@@ -1,0 +1,133 @@
+"""Text-analysis functions for training-data pipelines.
+
+All native Spark SQL expressions (codegen-friendly, no Python in the hot
+path): token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  Each has an exact DuckDB-SQL rendering used by the
+correctness oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language marker-word lists for the n-gram/stopword heuristic;
+# deterministic and SQL-renderable (the goal is the *operator shape* —
+# swap in real profiles for production)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed."""
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on word boundaries AND every 4
+    characters inside long words — a cheap, deterministic stand-in for a
+    BPE tokenizer's token count (useful for budget estimates)."""
+    return F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(text, "(\\w{4})(?=\\w)", "$1 "), " "
+            ),
+            lambda w: w != "",
+        )
+    ).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks)
+    ).otherwise(0.0)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, "[^A-Za-z0-9\\s]", "")
+    return F.when(
+        F.length(text) > 0,
+        (F.length(text) - F.length(stripped)).cast("double") / F.length(text),
+    ).otherwise(0.0)
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks)
+    ).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic in [0, 1]: rewards mid-length documents with
+    low punctuation noise and a natural stopword rate.  The exact formula
+    is arbitrary by design — the operator contract is determinism."""
+    n_tok = token_count(text).cast("double")
+    length_term = F.least(n_tok / 100.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, lambda w, m=markers: w.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-word hit counts; ties and zero-hit docs →
+    'und' (undetermined).  Deterministic tiebreak: a language wins only
+    with a strictly greater count than every other."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    result = F.lit("und")
+    # build nested WHEN: lang wins iff its count > all others and > 0
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] > scores[other])
+        result = F.when(cond, F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Classic 'fingerprint' canonicalization: lowercase, split, dedupe,
+    sort, rejoin, md5 — two documents with the same bag of words collide,
+    which is exactly the clustering key cheap near-dup passes use."""
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(tokens(F.lower(text)))), " "
+    )
+    return F.md5(canon)
+
+
+def rolling_hash(text: Column, modulus: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters (h = h*base + code mod m)
+    — the streaming-friendly fingerprint primitive (Rabin-Karp style)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % modulus,
+    )

@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five families, each designed for the 100 TB regime:
+
+  * exact          — md5 groupBy; shuffle keyed on a 128-bit digest, so
+                     partial aggregation collapses duplicates map-side;
+  * minhash + LSH  — shingle → k minhashes → b bands; only band-equal
+                     candidates are compared, so the self-join is on
+                     band buckets, never all-pairs;
+  * simhash        — 64 tokens-weighted sign bits → near-dup by Hamming
+                     distance on a single BIGINT;
+  * n-gram Jaccard — exact verification (used downstream of LSH);
+  * embedding cosine — see operators/similarity.py.
+
+Portability note: every hash here derives from md5 (via conv of the
+leading 15 hex chars to a 60-bit integer) rather than Spark's xxhash64,
+so the DuckDB oracles can compute bit-identical signatures — the
+correctness gate then validates real signatures, not just row counts.
+md5 is more expensive than xxhash64; for production the seed-k family
+can swap to ``xxhash64(col, lit(k))`` without changing any shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash60(col, seed: int | None = None):
+    """Deterministic 60-bit integer hash of a string column, computable
+    identically in DuckDB: int(md5(seed || s)[:15], 16)."""
+    s = F.concat(F.lit(f"{seed}|"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str, seed: int | None = None) -> str:
+    inner = f"'{seed}|' || {expr}" if seed is not None else expr
+    return f"CAST(('0x' || substr(md5({inner}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per duplicated text, with the
+    keeper (min id) and the duplicate count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def distinct_by_text(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text — the dedup pass a
+    training pipeline runs before anything else. Window-free: an
+    aggregate + semi-join keeps the plan to two shuffles on small keys."""
+    keepers = (
+        docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(keepers, [text_col, id_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with native sequence/transform/slice — no UDF, stays in
+    codegen. Documents shorter than n words yield their full token join
+    as a single shingle (so no document silently disappears).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, h0..h{k-1}) minhash signature columns.
+
+    One aggregation: min over k independent md5-seeded hash values —
+    shuffle is keyed on the doc id, signature width is constant.
+    """
+    aggs = [
+        F.min(hash60(F.col("shingle"), seed=k)).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 4,
+                   rows_per_band: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """Banded-LSH candidate pairs: docs agreeing on all rows of at least
+    one band → (id_a, id_b, n_bands_matched).
+
+    The join is an equi-join on (band_index, band_key): at scale each
+    bucket holds only near-duplicates, so the pair blow-up is bounded by
+    real duplication, not corpus size.
+    """
+    num_hashes = bands * rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"h{b * rows_per_band + r}").cast("string")
+                      for r in range(rows_per_band)],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
+                            bands: int = 4, rows_per_band: int = 2,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Full chain: shingle → minhash → LSH bands → candidate pairs with
+    the estimated Jaccard (fraction of matching minhashes)."""
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
+    cand = lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band,
+                          id_col=id_col)
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{k}").alias(f"a_h{k}") for k in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{k}").alias(f"b_h{k}") for k in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_h{k}") == F.col(f"b_h{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b", "n_bands_matched",
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.0,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-Jaccard for all intersecting pairs.
+
+    Shuffle is keyed on the shingle; pairs that share nothing never meet.
+    At 100 TB this runs downstream of LSH candidates, not standalone —
+    compose with a semi-join against ``lsh_candidates`` output.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_common",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Per-document SimHash fingerprint over word tokens.
+
+    bit_i(doc) = sign of Σ_tokens (bit i of hash(token) ? +1 : -1);
+    fingerprint = Σ bit_i << i.  All native expressions: explode → one
+    groupBy with ``bits`` conditional sums → bit assembly.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("tok"),
+    )
+    h = hash60(F.col("tok"), seed=0)
+    toks = toks.select(id_col, h.alias("th"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_bit = toks.groupBy(id_col).agg(*aggs)
+    fingerprint = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return per_bit.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, bits: int = 16,
+                            max_hamming: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Pairs whose SimHash fingerprints differ in ≤ max_hamming bits.
+
+    Joins on fingerprint bands (two halves) so at scale candidates meet
+    only when one half matches exactly (valid for max_hamming < bits/2
+    splits by pigeonhole when max_hamming ≤ 1 per half; for the general
+    case increase the number of bands)."""
+    fp = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
+    half = bits // 2
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
+    hi = F.shiftright(F.col("simhash"), half)
+    banded = fp.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), lo.alias("key")),
+                F.struct(F.lit(1).alias("band"), hi.alias("key")),
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,152 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The container has no codec libraries, so the DECODE step is stubbed —
+``decoder="fake"`` derives deterministic metadata/features from the
+payload bytes (md5-seeded), ``decoder="real"`` raises NotImplementedError
+at the point where PIL/ffmpeg would be invoked.  Everything around the
+stub is real, scale-correct Spark:
+
+  * typed schema: (media_id, kind, payload BINARY, meta STRUCT);
+  * Arrow-batched ``mapInPandas`` with bounded batch size — payloads
+    never materialize on the driver and each task processes a bounded
+    byte volume;
+  * explode-style frame sampling keeps per-row output width constant.
+
+At 100 TB the payload column dominates I/O: keep it in its own parquet
+column (columnar pruning skips it unless selected) and size
+``spark.sql.files.maxPartitionBytes`` so a task's batch of payloads fits
+executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<source:string,n_bytes:long>"
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, channels int, "
+    "n_bytes long"
+)
+
+FEATURES_SCHEMA = "media_id long, feature array<float>"
+
+FRAMES_SCHEMA = "media_id long, frame_index int, frame_payload binary"
+
+
+def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Adapter: wrap the synthetic documents table as a media table
+    (payload = utf-8 bytes of text) so the plumbing is testable without
+    real binaries."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic pseudo-decode: dimensions derived from md5(payload)."""
+    h = hashlib.md5(payload).digest()
+    width = 64 + int.from_bytes(h[0:2], "big") % 1960
+    height = 64 + int.from_bytes(h[2:4], "big") % 1960
+    channels = 1 + h[4] % 4
+    return width, height, channels
+
+
+def decode_metadata(media: DataFrame, decoder: str = "fake",
+                    batch_size: int = 256) -> DataFrame:
+    """Decode payloads to (width, height, channels) metadata.
+
+    ``mapInPandas`` so each Arrow batch holds at most ``batch_size``
+    payloads — the backpressure knob real codec work needs.
+    """
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image/audio decode requires codec libraries not "
+                    "present in this environment; use decoder='fake'"
+                )
+            dims = [_fake_dims(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    sized = media.repartition(
+        max(1, media.sparkSession.sparkContext.defaultParallelism)
+    ) if batch_size else media
+    return sized.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake featurizer: payload bytes → dim-float vector
+    (md5-chained).  Real models slot in at the marked line; the Spark
+    contract (schema, batching, no driver materialization) is final."""
+
+    def _featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                data = bytes(p)
+                # <- real model inference goes here
+                vec, seed = [], data
+                while len(vec) < dim:
+                    seed = hashlib.md5(seed).digest()
+                    vec.extend(b / 255.0 - 0.5 for b in seed)
+                feats.append([float(x) for x in vec[:dim]])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats}
+            )
+
+    return media.mapInPandas(_featurize, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame sampling for 'video' payloads: split the byte stream into
+    fixed-size chunks and keep every chunk up to ``max_frames`` — pure
+    native expressions (no Python), constant output width per row."""
+    n_frames = F.least(
+        F.ceil(F.length("payload") / every_n_bytes).cast("int"),
+        F.lit(max_frames),
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(idx).alias("frame_index"),
+            F.col("payload"),
+        )
+        .select(
+            "media_id",
+            "frame_index",
+            F.expr(
+                f"substring(payload, frame_index * {every_n_bytes} + 1, "
+                f"{every_n_bytes})"
+            ).alias("frame_payload"),
+        )
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two regimes:
+
+  * ``cosine_topk`` — exact brute-force top-k for a bounded query set:
+    broadcast the queries, one pass over the corpus, per-query top-k via
+    window rank. Scales linearly in corpus size × |queries| — the
+    baseline and the verifier for the approximate path.
+  * ``lsh_bucket_topk`` — sign-LSH bucketing: the bucket key is the sign
+    pattern of the first ``bits`` coordinates (the simplest deterministic
+    hyperplane family — axis-aligned planes). Candidates are compared
+    only within their bucket, so the join is equi on the bucket key and
+    corpus-size-independent per query. Recall is tunable via ``bits``
+    (fewer bits → bigger buckets → higher recall/cost).
+
+Dot products use native higher-order functions (``zip_with`` +
+``aggregate``) — no Python in the hot path.  ``quantized`` variants do
+the arithmetic on round(x*10^6) integers so results are bit-identical
+across engines (the DuckDB oracle can verify values exactly — float
+summation order never matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def _quantize(col: Column) -> Column:
+    """array<float> → array<long> of round(x * 1e6)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Cosine similarity over quantized int vectors — deterministic to the
+    bit across engines; rounded to ``decimals``."""
+    qa, qb = _quantize(a), _quantize(b)
+    dot = _int_dot(qa, qb).cast("double")
+    na = F.sqrt(_int_norm2(qa).cast("double"))
+    nb = F.sqrt(_int_norm2(qb).cast("double"))
+    return F.round(
+        F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(0.0), decimals
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    The query side is filtered then broadcast; the corpus side streams —
+    at 100 TB this is one scan, no shuffle until the per-query top-k
+    aggregation (cardinality |queries| × corpus partitions × k).
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Sign-LSH bucket id from the first ``bits`` coordinates."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, 1, bits),
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda x, i: F.when(x >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket. Same output shape as :func:`cosine_topk` (ranks computed
+    within the bucket)."""
+    with_bucket = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+    )
+    q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cos ≥ threshold) via sign-LSH
+    blocking: bucket equi-join, then exact cosine on candidates only."""
+    with_bucket = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", quantized_cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

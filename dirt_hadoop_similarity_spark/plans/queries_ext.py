@@ -1,0 +1,491 @@
+"""Extension queries: dedup, similarity search, text analysis, multimodal.
+
+Registered into the same ``QUERIES`` registry as the core set.  Every
+hash used here is md5-derived (see operators/dedup.hash60) so the DuckDB
+oracles verify bit-identical signatures, not just row counts; cosine
+arithmetic is quantized to integers so dot products compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.functions import textfns
+from dirt_hadoop_similarity_spark.operators import dedup, multimodal, similarity
+from dirt_hadoop_similarity_spark.plans.queries import load, register
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    "Exact dedup: md5 groupBy duplicate groups.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents)
+"""
+
+_H60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    cols = ",\n         ".join(
+        f"min({_H60.format(expr=f\"'{k}|' || shingle\")}) AS h{k}"
+        for k in range(num_hashes)
+    )
+    return f"""
+  SELECT doc_id, {cols}
+  FROM ({_SHINGLES_SQL}) GROUP BY doc_id
+"""
+
+
+_MINHASH_LSH_SQL = f"""
+WITH sig AS ({_minhash_sql(8)}),
+banded AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)
+           WHEN 1 THEN CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)
+           WHEN 2 THEN CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)
+           ELSE        CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR)
+         END AS key
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_bands_matched
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b, c.n_bands_matched,
+       round((
+         (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
+         (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+         (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
+         (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+         (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) +
+         (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) +
+         (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) +
+         (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_LSH_SQL,
+    "MinHash+LSH near-dup candidates: shingle → 8 minhashes → 4 bands "
+    "→ band-bucket join → estimated Jaccard.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4,
+        rows_per_band=2,
+    )
+
+
+_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       round(CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= 0.10
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_SQL,
+    "Exact 3-gram Jaccard over intersecting pairs (LSH verification path).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(load(spark, sf_dir, "documents"), n=3,
+                               min_jaccard=0.10)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    th = _H60.format(expr="'0|' || tok")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {th} AS th
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+        FROM documents)
+),
+per_bit AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM per_bit
+"""
+
+
+@register(
+    "dedup_simhash",
+    _simhash_sql(16),
+    "SimHash fingerprints (16-bit) per document — near-dup by Hamming.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = list(range(10))
+
+_ANN_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))}))
+),
+cv AS (
+  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.q * c.c) AS BIGINT) AS dot
+  FROM qv q JOIN cv c ON c.i = q.i AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CASE WHEN sqrt(CAST(nq.n2 AS DOUBLE)) > 0
+                     AND sqrt(CAST(nc.n2 AS DOUBLE)) > 0
+                    THEN CAST(d.dot AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+                    ELSE 0 END, 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    _ANN_SQL,
+    "Brute-force cosine top-5 for 10 query vectors (quantized-int exact).",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
+_LSH_BUCKET_SQL = """
+  SELECT vec_id,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+            + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+            + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+            + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+            + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings
+"""
+
+_ANN_LSH_SQL = f"""
+WITH buckets AS ({_LSH_BUCKET_SQL}),
+qv AS (
+  SELECT e.vec_id, b.bucket, i,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})) e
+  JOIN buckets b ON b.vec_id = e.vec_id
+),
+cv AS (
+  SELECT e.vec_id, b.bucket, i,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) e
+  JOIN buckets b ON b.vec_id = e.vec_id
+),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.q * c.c) AS BIGINT) AS dot
+  FROM qv q JOIN cv c ON c.i = q.i AND c.bucket = q.bucket AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    _ANN_LSH_SQL,
+    "Sign-LSH bucketed approximate top-5 (8-bit axis-sign buckets).",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket_topk(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in textfns.STOPWORDS)
+
+_TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(ltoks) > 0
+              THEN CAST(len(list_filter(ltoks, w -> list_contains([{_STOP_LIST}], w))) AS DOUBLE)
+                   / len(ltoks) ELSE 0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) ELSE 0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+              ELSE 0 END AS mean_word_len
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round((least(n_tokens / 100.0, 1.0)
+              + (1.0 - least(punct_ratio * 5.0, 1.0))
+              + least(stop_ratio * 4.0, 1.0)) / 3.0, 6) AS quality
+FROM m
+"""
+
+
+@register(
+    "text_quality",
+    _TEXT_QUALITY_SQL,
+    "Per-document quality metrics: token count, stopword/punct ratios, "
+    "mean word length, composite score.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textfns.token_count(t).alias("n_tokens"),
+        F.round(textfns.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(textfns.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(textfns.mean_word_length(t), 6).alias("mean_word_len"),
+        textfns.quality_score(t).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter(ltoks, w -> list_contains([{', '.join(map(repr, markers))}], w)))"
+        for lang, markers in textfns.LANG_MARKERS.items()
+    }
+    langs = list(score)
+    cases = []
+    for lang in langs:
+        conds = [f"{score[lang]} > 0"] + [
+            f"{score[lang]} > {score[o]}" for o in langs if o != lang
+        ]
+        cases.append((lang, " AND ".join(conds)))
+    # mirror the Spark fold: later langs' WHEN wraps earlier result, so
+    # evaluate in REVERSE registration order
+    expr = "'und'"
+    for lang, cond in cases:
+        expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ltoks
+  FROM documents
+)
+SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT doc_id, {expr} AS predicted_lang FROM base
+) GROUP BY predicted_lang
+"""
+
+
+@register(
+    "text_langid",
+    _langid_sql(),
+    "Marker-word language-ID heuristic, aggregated by predicted language.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(textfns.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '))
+             AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM documents GROUP BY fingerprint
+    """,
+    "Bag-of-words fingerprint clustering (canonicalize → md5 → group).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", textfns.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+@register(
+    "text_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+    FROM documents
+    """,
+    "Polynomial rolling hash (Rabin-Karp) fingerprint per document.",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textfns.rolling_hash(F.col("text")).alias("rhash")
+    )
+
+
+@register(
+    "text_token_budget",
+    """
+    SELECT source,
+           CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+             AS whitespace_tokens,
+           CAST(sum(len(list_filter(
+             string_split(regexp_replace(text, '(\\w{4})(?=\\w)', '\\1 ', 'g'), ' '),
+             w -> w <> ''))) AS BIGINT) AS bpe_ish_tokens
+    FROM documents GROUP BY source
+    """,
+    "Corpus token budgeting per source: whitespace + sub-word-ish counts.",
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(textfns.token_count(F.col("text"))).alias("whitespace_tokens"),
+        F.sum(textfns.bpe_ish_token_count(F.col("text"))).alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_metadata",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(64 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1960 AS INTEGER) AS width,
+           CAST(64 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1960 AS INTEGER) AS height,
+           CAST(1 + CAST(('0x' || substr(md5(text), 9, 2)) AS INTEGER) % 4 AS INTEGER) AS channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    "Multimodal decode plumbing: mapInPandas fake-decoder metadata, "
+    "verified byte-for-byte against the md5 derivation in SQL.",
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(load(spark, sf_dir, "documents"))
+    return multimodal.decode_metadata(media, decoder="fake")
+
+
+@register(
+    "media_frames",
+    None,  # binary frame payloads: rows-only check (blob compare is engine-specific)
+    "Video frame sampling: fixed-size byte chunks, ≤8 frames per media row.",
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(
+        load(spark, sf_dir, "documents"), kind="video"
+    )
+    return multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+
+
+@register(
+    "media_features",
+    None,  # float32 arrays from Python featurizer: rows-only check
+    "Feature extraction plumbing: payload → fixed-dim float vector via "
+    "Arrow-batched mapInPandas.",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, dim=16)
