@@ -21,24 +21,27 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+def _registry():
+    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401 — register extensions
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
-    return QUERIES["dirt_sim"].fn(spark, "/root/testdata/sf0.001")
+    return QUERIES
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    return _registry()["dirt_sim"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
-
-    return {name: qd.fn for name, qd in QUERIES.items()}
+    return {name: qd.fn for name, qd in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query; rows-only checks omit."""
-    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
-
     return {
-        name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None
+        name: qd.oracle
+        for name, qd in _registry().items()
+        if qd.oracle is not None
     }

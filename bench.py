@@ -1,0 +1,79 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <scale factor>}
+
+Each query is timed to full materialization (count of the result) after a
+shared session warm-up; the suite spans the engine's major cost classes:
+the DIRT MI/similarity pipeline, heavy joins/aggs, windows, dedup
+(MinHash-LSH + exact Jaccard), ANN search, and text scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "dirt_mi",
+    "dirt_sim",
+    "q1_pricing_summary",
+    "join_orders_lineitem",
+    "self_join_lineitem",
+    "window_cumsum",
+    "sessionize",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from dirt_hadoop_similarity_spark.session import get_spark
+    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    spark = get_spark(
+        app_name="dhs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # warm up the JVM + parquet footers outside the timed region
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

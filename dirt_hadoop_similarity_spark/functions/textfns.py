@@ -37,11 +37,15 @@ def token_count(text: Column) -> Column:
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token count: splits on word boundaries AND every 4
     characters inside long words — a cheap, deterministic stand-in for a
-    BPE tokenizer's token count (useful for budget estimates)."""
+    BPE tokenizer's token count (useful for budget estimates).
+
+    Pattern avoids lookahead (RE2-compatible → identical in DuckDB):
+    a space is inserted after EVERY 4 word chars; the trailing empty
+    token a multiple-of-4 word produces is dropped by the filter."""
     return F.size(
         F.filter(
             F.split(
-                F.regexp_replace(text, "(\\w{4})(?=\\w)", "$1 "), " "
+                F.regexp_replace(text, "(\\w{4})", "$1 "), " "
             ),
             lambda w: w != "",
         )
@@ -87,10 +91,19 @@ def quality_score(text: Column) -> Column:
     return F.round((length_term + punct_term + stop_term) / 3.0, 6)
 
 
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    # single-arg lambda built via closure: a two-arg lambda (even with a
+    # default) makes PySpark bind the HOF's (element, index) form
+    def pred(w):
+        return w.isin(*markers)
+
+    return F.size(F.filter(toks, pred))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     toks = tokens(F.lower(text))
     return {
-        lang: F.size(F.filter(toks, lambda w, m=markers: w.isin(*m)))
+        lang: _marker_hits(toks, markers)
         for lang, markers in LANG_MARKERS.items()
     }
 

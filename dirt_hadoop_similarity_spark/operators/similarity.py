@@ -97,18 +97,15 @@ def cosine_topk(
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
-    """Sign-LSH bucket id from the first ``bits`` coordinates."""
-    return F.aggregate(
-        F.zip_with(
-            F.slice(vec, 1, bits),
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda x, i: F.when(x >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    """Sign-LSH bucket id from the first ``bits`` coordinates.
+
+    Unrolled sum of per-coordinate powers of two (bits is small and
+    static) — shift amounts must be Python ints in Spark."""
+    bucket = sum(
+        F.when(F.get(vec, i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
     )
+    return bucket.cast("long")
 
 
 def lsh_bucket_topk(

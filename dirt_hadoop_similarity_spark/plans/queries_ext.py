@@ -45,9 +45,11 @@ _H60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
 
 
 def _minhash_sql(num_hashes: int = 8) -> str:
+    def seeded(k: int) -> str:
+        return _H60.format(expr=f"'{k}|' || shingle")
+
     cols = ",\n         ".join(
-        f"min({_H60.format(expr=f\"'{k}|' || shingle\")}) AS h{k}"
-        for k in range(num_hashes)
+        f"min({seeded(k)}) AS h{k}" for k in range(num_hashes)
     )
     return f"""
   SELECT doc_id, {cols}
@@ -432,7 +434,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
              AS whitespace_tokens,
            CAST(sum(len(list_filter(
-             string_split(regexp_replace(text, '(\\w{4})(?=\\w)', '\\1 ', 'g'), ' '),
+             string_split(regexp_replace(text, '(\\w{4})', '\\1 ', 'g'), ' '),
              w -> w <> ''))) AS BIGINT) AS bpe_ish_tokens
     FROM documents GROUP BY source
     """,

@@ -1,0 +1,166 @@
+"""Additional operator-coverage queries: as-of join, semi-structured
+JSON, rollup/grouping sets, multi-join top-k, and column profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.plans.queries import load, register
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase_ts
+      FROM events
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(date_diff('microsecond', last_purchase_ts, ts) // 1000000 AS BIGINT)
+             AS secs_since_purchase
+    FROM ordered
+    WHERE event_type = 'error' AND last_purchase_ts IS NOT NULL
+    """,
+    "As-of join (no native Spark op): for each error event, the most "
+    "recent prior purchase of the same user — window last(ignore nulls) "
+    "composition, identical semantics both engines.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_purchase_ts", last_purchase)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("last_purchase_ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_purchase_ts")))
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("secs_since_purchase"),
+        )
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    "Semi-structured extraction: JSON props column → typed aggregation.",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "rollup_returnflag",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "Rollup / grouping sets (the reference's A3 marginals are a manual "
+    "partial cube; here is the declarative form).",
+)
+def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "Three-table join + agg + deterministic top-10 (TPC-H Q3 shape).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'lineitem' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price,
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_flags
+    FROM lineitem
+    """,
+    "Table profiling: cardinalities, ranges, null counts in one pass "
+    "(the exact-stats core of a data-quality sweep).",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_flags"),
+    )

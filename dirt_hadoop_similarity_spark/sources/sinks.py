@@ -1,0 +1,41 @@
+"""Sinks: Parquet checkpoints (internal) and TSV export (human-readable,
+the reference's inter-job format — S3 §2.1).
+
+The reference materializes every stage as `key \\t value` text on S3
+(DirtDriver.java:1009-1014).  Internally we keep Parquet (columnar,
+predicate pushdown, 10×+ smaller); TSV remains as an export format for
+downstream consumers of the reference's files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite",
+              coalesce: int | None = None) -> None:
+    """Tab-separated text export, reference-compatible (no header,
+    no quoting — path strings contain no tabs by construction)."""
+    out = df.coalesce(coalesce) if coalesce else df
+    (
+        out.write.mode(mode)
+        .option("sep", "\t")
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def read_tsv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.csv(path, sep="\t", schema=schema)
+
+
+def checkpoint_parquet(df: DataFrame, path: str,
+                       partition_by: list[str] | None = None) -> DataFrame:
+    """Materialize an intermediate to Parquet and return the re-read
+    DataFrame — the restartable analogue of the reference's per-job S3
+    writes, and a plan-breaker when a DAG grows too deep."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -1,0 +1,137 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is pure batch (SURVEY.md §2.8) — this module is the
+extension surface a continuously-ingesting corpus needs.  Every
+transformation is written against a generic DataFrame so the SAME
+function serves the batch table and the streaming source; the streaming
+wrapper adds watermark/trigger/sink plumbing.
+
+Local smoke testing uses the parquet file source + an in-memory sink and
+``processAllAvailable()`` — the documented pattern for driving a
+streaming query to a deterministic finish on static data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts arrives as nanos-since-epoch (see session.py); convert
+    to a microsecond timestamp for watermarking."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) window counts + sums per event type.
+
+    Works on both batch and streaming inputs; the watermark bounds state
+    for late data in streaming mode and is a no-op in batch."""
+    ev = normalize_event_ts(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return ev.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the static events parquet (smoke/demo)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+
+
+def run_windowed_counts_smoke(
+    spark: SparkSession, sf_dir: str, query_name: str = "windowed_counts_smoke"
+) -> DataFrame:
+    """Drive the windowed aggregation through a real streaming query into
+    a memory sink; returns the materialized result table."""
+    agg = windowed_counts(stream_events(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful session counting via applyInPandasWithState:
+    per user, a session closes when no event arrives within
+    ``gap_seconds``.  Emits (user_id, n_sessions, n_events) as state
+    times out / the stream ends.
+
+    This is the streaming analogue of plans/queries.sessionize — the
+    batch window version is the oracle for its semantics."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = normalize_event_ts(events).select("user_id", "ts", "event_id")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        stamps = []
+        for pdf in pdfs:
+            stamps.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+            )
+        stamps.sort()
+        for us in stamps:
+            if last_ts is None or us - last_ts > gap_seconds * 1_000_000:
+                n_sessions += 1
+            last_ts = us
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

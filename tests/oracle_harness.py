@@ -57,6 +57,7 @@ def _values_match(a, b) -> bool:
 
 
 def compare_query(spark, name: str, sf_dir: str) -> dict:
+    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
     qd = QUERIES[name]
@@ -98,6 +99,7 @@ def compare_all(spark=None, sf_dir: str = "/root/testdata/sf0.001", names=None):
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
     own_session = spark is None

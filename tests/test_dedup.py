@@ -1,0 +1,77 @@
+"""Dedup operator unit tests on hand-built corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper_id == 1
+    assert groups[0].n_copies == 3
+
+
+def test_distinct_by_text(docs):
+    kept = sorted(r.doc_id for r in dedup.distinct_by_text(docs).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    rows = dedup.word_shingles(df, n=3).collect()
+    assert [(r.doc_id, r.shingle) for r in rows] == [(1, "one two")]
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sh = dedup.word_shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=4)
+    rows = {r.doc_id: (r.h0, r.h1, r.h2, r.h3) for r in sig.collect()}
+    assert rows[1] == rows[2] == rows[5]
+    assert rows[1] != rows[4]
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    out = dedup.minhash_near_duplicates(docs, n=3, num_hashes=8, bands=4,
+                                        rows_per_band=2)
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    # near-dup 3 should be a candidate of the dup cluster with high est_jaccard
+    assert (1, 3) in pairs
+    # unrelated doc 4 pairs with nothing
+    assert not any(4 in p for p in pairs)
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    # 2-shingles: {ab,bc,cd} vs {ab,bc,ce} → common 2, union 4 → 0.5
+    out = dedup.jaccard_pairs(df, n=2).collect()
+    assert len(out) == 1
+    assert out[0].n_common == 2
+    assert out[0].jaccard == pytest.approx(0.5)
+
+
+def test_simhash_identical_and_disjoint(docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
+    assert fp[1] == fp[2] == fp[5]
+    assert 0 <= fp[1] < (1 << 16)
+    pairs = dedup.simhash_near_duplicates(docs, bits=16, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(2, 5)] == 0

@@ -1,0 +1,55 @@
+"""Structured Streaming smoke tests: real streaming queries driven to
+completion on static parquet via the memory sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.streaming import events as sev
+
+
+def test_windowed_counts_stream_matches_batch(spark, sf_dir):
+    stream_result = sev.run_windowed_counts_smoke(
+        spark, sf_dir, query_name="wc_smoke_test"
+    )
+    batch = sev.windowed_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    s = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in stream_result.collect()
+    }
+    b = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert s == b
+    assert len(s) > 0
+
+
+def test_stateful_sessionize_matches_batch_oracle(spark, sf_dir):
+    """applyInPandasWithState session counts == the batch window query
+    (plans/queries.sessionize) on the same data."""
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in QUERIES["sessionize"].fn(spark, sf_dir).collect()
+    }
+
+    stream = sev.stream_events(spark, sf_dir)
+    out = sev.sessionize_stateful(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_smoke_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.table("sess_smoke_test").collect()
+    }
+    assert got == batch

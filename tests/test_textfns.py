@@ -1,0 +1,62 @@
+"""Text-analysis function tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.functions import textfns
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(col(F.col("text")).alias("v")).first().v
+
+
+def test_token_counts(spark):
+    assert _one(spark, "a bb  ccc ", textfns.token_count) == 3
+    assert _one(spark, "", textfns.token_count) == 0
+    # "abcdefgh" → "abcd efgh" → 2; "abc" → 1
+    assert _one(spark, "abcdefgh abc", textfns.bpe_ish_token_count) == 3
+
+
+def test_ratios(spark):
+    assert _one(spark, "the dog", textfns.stopword_ratio) == pytest.approx(0.5)
+    assert _one(spark, "ab!?", textfns.punct_ratio) == pytest.approx(0.5)
+    assert _one(spark, "", textfns.punct_ratio) == 0.0
+    assert _one(spark, "ab abcd", textfns.mean_word_length) == pytest.approx(3.0)
+
+
+def test_quality_bounds(spark):
+    v = _one(spark, "the a of and to " * 30, textfns.quality_score)
+    assert 0.0 <= v <= 1.0
+    assert _one(spark, "", textfns.quality_score) <= 0.4
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat of the house and a dog", textfns.lang_id) == "en"
+    assert _one(spark, "el perro de la casa y que", textfns.lang_id) == "es"
+    assert _one(spark, "xyzzy plugh", textfns.lang_id) == "und"
+    # tie (de 'die' vs fr 'la' one hit each) → und
+    assert _one(spark, "die la", textfns.lang_id) == "und"
+
+
+def test_fingerprint_bag_of_words_collision(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c a"), (2, "A b C c"), (3, "a b d")], ["doc_id", "text"]
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", textfns.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # same lowercase word bag
+    assert fps[1] != fps[3]
+
+
+def test_rolling_hash_deterministic(spark):
+    v1 = _one(spark, "hello world", textfns.rolling_hash)
+    # reference value computed in plain Python
+    expect = 0
+    for ch in "hello world":
+        expect = (expect * 31 + ord(ch)) % 1_000_000_007
+    assert v1 == expect
