@@ -156,28 +156,58 @@ def minhash_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """Full chain: shingle → minhash → LSH bands → candidate pairs with
-    the estimated Jaccard (fraction of matching minhashes)."""
+    the estimated Jaccard (fraction of matching minhashes).
+
+    Fused plan: the banded rows CARRY the full signature, so the
+    estimated Jaccard falls out of the band join itself — no join back
+    to the signature table, and the (expensive) shingle+hash stage is
+    computed once per side instead of once per downstream use.  The
+    signature relation is additionally cached: it is tiny (one row ×
+    k columns per document) while its lineage re-tokenizes every
+    document."""
+    rows_per_band = max(rows_per_band, 1)
     sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
-    cand = lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band,
-                          id_col=id_col)
-    a = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{k}").alias(f"a_h{k}") for k in range(num_hashes)],
+    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).cache()
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"h{b * rows_per_band + r}").cast("string")
+                      for r in range(rows_per_band)],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
     )
-    b = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{k}").alias(f"b_h{k}") for k in range(num_hashes)],
-    )
+    banded = sig.select(
+        F.col(id_col), *[f"h{k}" for k in range(num_hashes)],
+        F.explode(band_structs).alias("bk"),
+    ).select(id_col, *[f"h{k}" for k in range(num_hashes)], "bk.band", "bk.key")
+
+    a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
-        F.when(F.col(f"a_h{k}") == F.col(f"b_h{k}"), 1).otherwise(0)
+        F.when(F.col(f"a.h{k}") == F.col(f"b.h{k}"), 1).otherwise(0)
         for k in range(num_hashes)
     )
     return (
-        cand.join(a, "id_a").join(b, "id_b")
-        .select(
-            "id_a", "id_b", "n_bands_matched",
-            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_matched"),
+            F.round(
+                F.max(matches) / F.lit(float(num_hashes)), 6
+            ).alias("est_jaccard"),
         )
     )
 
@@ -194,7 +224,9 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.0,
     At 100 TB this runs downstream of LSH candidates, not standalone —
     compose with a semi-join against ``lsh_candidates`` output.
     """
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # the shingle relation feeds the self-join (both sides) and the size
+    # table — cache so tokenization + dedup runs once, not three times
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -118,7 +118,9 @@ def _doc_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dirt_tables(spark: SparkSession, sf_dir: str):
     facts = _doc_facts(spark, sf_dir)
-    triples = counting.triples(facts)
+    # triples feeds 4 consumers (sw, ps, N, mi); cached so the tokenize +
+    # first aggregation runs once — the N collect populates the cache
+    triples = counting.triples(facts).cache()
     sw = counting.word_margins(triples)
     ps = counting.path_margins(triples)
     n_total = counting.global_n(triples)

@@ -136,6 +136,44 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_distinct",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM documents d
+    WHERE doc_id = (SELECT min(doc_id) FROM documents d2 WHERE d2.text = d.text)
+    """,
+    "The canonical first dedup pass: keep one doc (min id) per distinct "
+    "text, summarized.",
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators.dedup import distinct_by_text
+
+    docs = load(spark, sf_dir, "documents")
+    return distinct_by_text(docs).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@register(
+    "profile_approx",
+    None,  # HLL/quantile sketches differ across engines → rows-only
+    "Approximate profiling: approx_count_distinct + percentile_approx — "
+    "the sketch ops a 100 TB profile sweep uses instead of exact "
+    "distincts (accuracy bounds asserted in tests/test_queries_misc.py).",
+)
+def profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
+@register(
     "profile_columns",
     """
     SELECT 'lineitem' AS tbl,

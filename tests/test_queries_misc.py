@@ -1,0 +1,49 @@
+"""Accuracy / shape tests for queries without exact oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_profile_approx_bounds(spark, sf_dir):
+    """Sketch results must land within documented error of exact values
+    (approx_count_distinct default rsd = 5%)."""
+    from dirt_hadoop_similarity_spark.plans import queries_more
+
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES, load
+
+    row = QUERIES["profile_approx"].fn(spark, sf_dir).first()
+    li = load(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("p"),
+        F.countDistinct("l_orderkey").alias("o"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+    ).first()
+    assert row.approx_parts == pytest.approx(exact.p, rel=0.15)
+    assert row.approx_orders == pytest.approx(exact.o, rel=0.15)
+    assert row.median_price == pytest.approx(exact.med, rel=0.10)
+
+
+def test_media_frames_shapes(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_ext
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    frames = QUERIES["media_frames"].fn(spark, sf_dir)
+    stats = frames.agg(
+        F.max(F.length("frame_payload")).alias("max_len"),
+        F.max("frame_index").alias("max_idx"),
+        F.countDistinct("media_id").alias("n_media"),
+    ).first()
+    assert stats.max_len <= 64
+    assert stats.max_idx <= 7
+    assert stats.n_media > 0
+
+
+def test_media_features_dim_and_determinism(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_ext
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    feats = QUERIES["media_features"].fn(spark, sf_dir)
+    a = {r.media_id: r.feature for r in feats.limit(50).collect()}
+    b = {r.media_id: r.feature for r in feats.limit(50).collect()}
+    assert all(len(v) == 16 for v in a.values())
+    assert a == b  # deterministic featurizer
