@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "dirt_extract_counts",
     "dirt_mi",
     "dirt_sim",
     "q1_pricing_summary",

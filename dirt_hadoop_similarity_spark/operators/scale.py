@@ -1,0 +1,73 @@
+"""Scale mechanics: skew salting and bucketed (shuffle-free) joins.
+
+These are the two knobs the engine reaches for when AQE alone isn't
+enough at the 100 TB tier:
+
+  * **Salted aggregation** — a hot key (the reference's `have`/`be in`
+    paths, a boilerplate shingle, a celebrity user) funnels its entire
+    mass through one reducer. Salting splits each key into ``salt``
+    sub-keys, aggregates partially per sub-key, then finishes with a
+    second (tiny) aggregation. Works for any algebraic aggregate.
+  * **Salted join** — same idea for joins: the big skewed side gets a
+    deterministic salt column; the small side is replicated ``salt``
+    times; the join key becomes (key, salt). Replication factor trades
+    memory for parallelism.
+  * **Bucketed tables** — pre-shuffle once at write time
+    (``bucketBy(n, key)``); every later equi-join/aggregate on that key
+    is exchange-free. The cluster-scale analogue of the reference's
+    assumption that margins fit in task RAM — except it scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_sum(df: DataFrame, keys: list[str], value: str, salt: int = 16,
+               alias: str | None = None) -> DataFrame:
+    """Two-phase skew-proof SUM: groupBy (keys + salt) partial, then
+    groupBy keys final.  Salt derives from a hash of the whole row's
+    monotonically-increasing position — uniform and deterministic within
+    a run, never driver-visible."""
+    out = alias or f"sum_{value}"
+    salted = df.withColumn(
+        "_salt", (F.monotonically_increasing_id() % salt).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(F.sum(value).alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(out))
+
+
+def salted_join(large: DataFrame, small: DataFrame, key: str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join resilient to hot keys on the large side: the large side
+    gets a deterministic per-row salt, the small side is exploded into
+    ``salt`` replicas, and the join runs on (key, salt) so one hot key
+    spreads over ``salt`` tasks."""
+    if how not in ("inner", "left", "left_outer"):
+        # right/full would duplicate unmatched small-side replicas
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    big = large.withColumn(
+        "_salt", (F.monotonically_increasing_id() % salt).cast("int")
+    )
+    replicas = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return big.join(replicas, [key, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
+                   sort_by: str | None = None) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table —
+    subsequent joins/aggregations on ``key`` skip the exchange."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  key: str, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables; with matching bucket specs Catalyst
+    plans a SortMergeJoin with NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

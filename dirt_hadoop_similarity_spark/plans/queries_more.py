@@ -135,6 +135,60 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUX_SQL = ", ".join(
+    f"'{w}'"
+    for w in (
+        "be", "am", "is", "are", "was", "were", "been", "being",
+        "do", "does", "did", "have", "has", "had", "will", "would",
+        "shall", "should", "can", "could", "may", "might", "must",
+    )
+)
+
+
+@register(
+    "dirt_extract_counts",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_extractions,
+           CAST(sum(n_chars_weight) AS BIGINT) AS total_weight
+    FROM (
+      SELECT doc_id, 1 + (doc_id % 7) AS n_chars_weight
+      FROM toks
+      WHERE len(t) >= 3 AND lower(t[2]) NOT IN ({_AUX_SQL})
+    )
+    """,
+    "G1-G3+P3+P4 end-to-end: the real path-extraction UDTF over biarc "
+    "lines synthesized from documents (w1/NNS w2/VBP w3/NN pattern). The "
+    "oracle verifies the extraction COUNT algebra (arity + aux-stoplist "
+    "filters); path strings involve the Porter stemmer and stay "
+    "pytest-verified.",
+)
+def dirt_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators.extraction import extractions
+    from dirt_hadoop_similarity_spark.sources.biarcs import with_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    # synthesize a biarc ngram: first word NNS subject, second VBP root,
+    # third NN object; weight varies deterministically with doc_id
+    biarcs = docs.filter(F.size(toks) >= 3).select(
+        F.concat(
+            F.get(toks, 0), F.lit("/NNS/nsubj/2 "),
+            F.get(toks, 1), F.lit("/VBP/ROOT/0 "),
+            F.get(toks, 2), F.lit("/NN/dobj/2"),
+        ).alias("ngram"),
+        (1 + F.col("doc_id") % 7).alias("n"),
+    )
+    ex = extractions(with_tokens(biarcs))
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_extractions"),
+        F.sum("n").alias("total_weight"),
+    )
+
+
 @register(
     "dedup_distinct",
     """

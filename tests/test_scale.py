@@ -1,0 +1,76 @@
+"""Scale-mechanics tests: salting preserves results; bucketing removes
+exchanges from the physical plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.operators import scale
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key carrying 90% of rows
+    hot = spark.range(9000).select(
+        F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("cold"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.lit(2.0).alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_sum_matches_plain(skewed):
+    plain = {
+        r.k: r.s
+        for r in skewed.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r.k: r.sum_v for r in scale.salted_sum(skewed, ["k"], "v").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(skewed, spark):
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"cold{i}", f"C{i}") for i in range(50)],
+        ["k", "label"],
+    )
+    plain = (
+        skewed.join(dim, "k").groupBy("label").agg(F.sum("v").alias("s"))
+    )
+    salted = (
+        scale.salted_join(skewed, dim, "k")
+        .groupBy("label")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # tables land in ./spark-warehouse (gitignored); warehouse dir is a
+    # static conf so it can't be redirected on a live session
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("y")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: with broadcast allowed the planner
+        # broadcasts these tiny tables and ignores bucketing entirely
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        scale.write_bucketed(a, "t_bucket_a", "k", buckets=8, sort_by="k")
+        scale.write_bucketed(b, "t_bucket_b", "k", buckets=8, sort_by="k")
+        joined = scale.bucketed_join(spark, "t_bucket_a", "t_bucket_b", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
