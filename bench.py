@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "dirt_extract_counts",
+    "dirt_full_pipeline",
     "dirt_mi",
     "dirt_sim",
     "q1_pricing_summary",

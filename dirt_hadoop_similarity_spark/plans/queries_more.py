@@ -190,6 +190,69 @@ def dirt_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dirt_full_pipeline",
+    None,  # path identities involve the Porter stemmer → rows-only check
+    "The COMPLETE DIRT DAG in one query: biarc synthesis → token parse → "
+    "path-extraction UDTF → marginals → MI → pair fan-out → feature "
+    "intersection → Lin scores. Pairs come from the corpus's own most "
+    "frequent paths; output is the deterministic score summary.",
+)
+def dirt_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.plans.pipeline import run_pipeline
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    with_t = docs.filter(F.size(toks) >= 6).select(
+        F.col("doc_id"), toks.alias("t")
+    )
+    # two sentence shapes per document: SVO and S-V-prep-O
+    svo = with_t.select(
+        F.concat(
+            F.get("t", 0), F.lit("/NNS/nsubj/2 "),
+            F.get("t", 1), F.lit("/VBP/ROOT/0 "),
+            F.get("t", 2), F.lit("/NN/dobj/2"),
+        ).alias("ngram"),
+        (1 + F.col("doc_id") % 5).alias("n"),
+    )
+    svpo = with_t.select(
+        F.concat(
+            F.get("t", 3), F.lit("/NNS/nsubj/2 "),
+            F.get("t", 1), F.lit("/VBP/ROOT/0 "),
+            F.get("t", 4), F.lit("/IN/prep/2 "),
+            F.get("t", 5), F.lit("/NN/pobj/3"),
+        ).alias("ngram"),
+        (1 + F.col("doc_id") % 3).alias("n"),
+    )
+    lines = svo.unionByName(svpo).select(
+        F.concat_ws("\t", F.lit("h"), "ngram", F.col("n").cast("string")).alias(
+            "value"
+        )
+    )
+    res = run_pipeline(spark, lines)
+    top_paths = (
+        res.path_margins.groupBy("path")
+        .agg(F.sum("n").alias("pn"))
+        .orderBy(F.desc("pn"), "path")
+        .limit(10)
+        .select("path")
+    )
+    a, b = top_paths.alias("a"), top_paths.alias("b")
+    pairs = a.join(b, F.col("a.path") < F.col("b.path")).select(
+        F.col("a.path").alias("p1"), F.col("b.path").alias("p2")
+    )
+    from dirt_hadoop_similarity_spark.operators import overlap
+
+    sims = overlap.similarities(res.mi, pairs, res.sum_mi)
+    return sims.agg(
+        F.count(F.lit(1)).alias("n_pairs_scored"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+
+
+@register(
     "dedup_distinct",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_kept,
