@@ -483,6 +483,34 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_frames_text",
+    """
+    SELECT media_id, frame_index, substring(text, frame_index * 64 + 1, 64) AS frame_text
+    FROM (
+      SELECT doc_id AS media_id, text,
+             CAST(unnest(generate_series(
+               0, least(CAST(ceil(length(text) / 64.0) AS BIGINT), 8) - 1)) AS INTEGER)
+               AS frame_index
+      FROM documents WHERE length(text) > 0
+    )
+    """,
+    "Frame sampling with a full value oracle: document payloads are "
+    "ASCII, so byte chunks decode losslessly to strings DuckDB can "
+    "reproduce with substring arithmetic.",
+)
+def media_frames_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(
+        load(spark, sf_dir, "documents"), kind="video"
+    )
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.decode("frame_payload", "utf-8").alias("frame_text"),
+    )
+
+
+@register(
     "media_features",
     None,  # float32 arrays from Python featurizer: rows-only check
     "Feature extraction plumbing: payload → fixed-dim float vector via "

@@ -61,6 +61,45 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_events",
+    """
+    SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts < e.ts
+     AND p.ts >= e.ts - INTERVAL 30 MINUTE
+    GROUP BY e.user_id
+    """,
+    "Range (interval) join: purchases within 30 min before each error, "
+    "per user. The batch oracle for the stream-stream join in "
+    "streaming/events.py. At scale: bucketize the time axis and "
+    "equi-join on (user, bucket) to bound the join's search window.",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    return (
+        e.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pts") < F.col("ets"))
+            & (
+                F.unix_micros(F.col("pts"))
+                >= F.unix_micros(F.col("ets")) - 1800 * 1_000_000
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
     "json_props_extract",
     """
     SELECT event_type,

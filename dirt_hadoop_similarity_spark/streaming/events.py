@@ -87,6 +87,35 @@ def run_windowed_counts_smoke(
     return spark.table(query_name)
 
 
+def purchases_before_errors(events: DataFrame,
+                            window_seconds: int = 1800) -> DataFrame:
+    """Stream-stream interval join: for each error event, the purchases
+    of the same user in the preceding ``window_seconds``.
+
+    On streaming inputs both sides carry watermarks so the join state is
+    bounded; on batch inputs the same expression is a plain range join
+    (oracle: plans/queries_more.range_join_events)."""
+    ev = normalize_event_ts(events)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts"), F.col("event_id").alias("error_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    if events.isStreaming:
+        errors = errors.withWatermark("error_ts", "1 hour")
+        purchases = purchases.withWatermark("purchase_ts", "1 hour")
+    return errors.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts") < F.col("error_ts"))
+        & (
+            F.col("purchase_ts")
+            >= F.col("error_ts") - F.expr(f"INTERVAL {window_seconds} SECOND")
+        ),
+    ).select("user_id", "error_id", "error_ts", "purchase_ts")
+
+
 def sessionize_stateful(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:

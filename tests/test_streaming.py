@@ -26,6 +26,33 @@ def test_windowed_counts_stream_matches_batch(spark, sf_dir):
     assert len(s) > 0
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join drains to the same pairs as the batch
+    range join on the same parquet."""
+    batch = sev.purchases_before_errors(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    expect = {(r.user_id, r.error_id, r.purchase_ts) for r in batch.collect()}
+
+    out = sev.purchases_before_errors(sev.stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_smoke_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.error_id, r.purchase_ts)
+        for r in spark.table("ssj_smoke_test").collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_stateful_sessionize_matches_batch_oracle(spark, sf_dir):
     """applyInPandasWithState session counts == the batch window query
     (plans/queries.sessionize) on the same data."""
