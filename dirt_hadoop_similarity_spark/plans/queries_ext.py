@@ -448,6 +448,68 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, word, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, source, word
+),
+df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY word),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.word,
+         round(sum(tf.tf * (ln((nd.n_docs + 1.0) / (df.df + 1.0)) + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON df.word = tf.word CROSS JOIN nd
+  GROUP BY tf.source, tf.word
+)
+SELECT source, word, tfidf, rank FROM (
+  SELECT source, word, tfidf,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY tfidf DESC, word) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "text_tfidf_top_terms",
+    _TFIDF_SQL,
+    "TF-IDF (smoothed idf, ln) aggregated per source; top-5 terms each "
+    "with deterministic tiebreak — classic text weighting, all native "
+    "expressions, no ml.feature dependency.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select("doc_id").distinct().count()
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df_t), "word")
+        .groupBy("source", "word")
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("tfidf"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
