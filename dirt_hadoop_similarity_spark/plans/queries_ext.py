@@ -448,6 +448,46 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_NEARDUP_SQL = f"""
+WITH buckets AS ({_LSH_BUCKET_SQL}),
+cv AS (
+  SELECT e.vec_id, b.bucket, i,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) e
+  JOIN buckets b ON b.vec_id = e.vec_id
+),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM cv a JOIN cv b
+    ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, cos FROM (
+  SELECT d.id_a, d.id_b,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+) WHERE cos >= 0.4
+"""
+
+
+@register(
+    "embedding_near_dups",
+    _EMB_NEARDUP_SQL,
+    "Embedding-cosine near-duplicate pairs (cos ≥ 0.4) via sign-LSH "
+    "blocking — the vector-dedup pass of a training pipeline.",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_duplicates(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, bits=8
+    )
+
+
 _TFIDF_SQL = """
 WITH toks AS (
   SELECT doc_id, source, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word

@@ -330,6 +330,63 @@ def profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_orderstatus",
+    """
+    SELECT o_orderpriority, status, round(total, 4) AS total FROM (
+      SELECT o_orderpriority, 'O' AS status,
+             COALESCE(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0) AS total
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT o_orderpriority, 'F',
+             COALESCE(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0)
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT o_orderpriority, 'P',
+             COALESCE(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0)
+      FROM orders GROUP BY o_orderpriority
+    )
+    """,
+    "Unpivot (melt): wide pivoted columns back to long form via stack — "
+    "the inverse of pivot_orderstatus.",
+)
+def unpivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(c, F.lit(0.0)).alias(c) for c in ("O", "F", "P")],
+        )
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'O', O, 'F', F, 'P', P) AS (status, total)",
+    ).select("o_orderpriority", "status", F.round("total", 4).alias("total"))
+
+
+@register(
+    "percentile_exact",
+    """
+    SELECT l_returnflag,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS median_price,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact interpolated percentiles (ordered aggregate) per group.",
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@register(
     "profile_columns",
     """
     SELECT 'lineitem' AS tbl,
