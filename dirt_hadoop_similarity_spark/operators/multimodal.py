@@ -68,8 +68,14 @@ def decode_metadata(media: DataFrame, decoder: str = "fake",
                     batch_size: int = 256) -> DataFrame:
     """Decode payloads to (width, height, channels) metadata.
 
-    ``mapInPandas`` so each Arrow batch holds at most ``batch_size``
-    payloads — the backpressure knob real codec work needs.
+    ``mapInPandas`` over the source partitions as-is — no shuffle.  Batch
+    backpressure comes from ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    (set session-wide from ``batch_size`` below; it is an execution-time
+    conf, so it genuinely bounds each Arrow batch handed to ``_decode``)
+    plus ``spark.sql.files.maxPartitionBytes`` bounding per-task byte
+    volume at the scan.  An earlier version ``repartition``-ed the media
+    relation "to size batches" — that was a full shuffle of every payload
+    byte with zero semantic effect, a scale-killer at 100 TB.
     """
 
     def _decode(batches):
@@ -93,10 +99,11 @@ def decode_metadata(media: DataFrame, decoder: str = "fake",
                 }
             )
 
-    sized = media.repartition(
-        max(1, media.sparkSession.sparkContext.defaultParallelism)
-    ) if batch_size else media
-    return sized.mapInPandas(_decode, DECODED_SCHEMA)
+    if batch_size:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+    return media.mapInPandas(_decode, DECODED_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:

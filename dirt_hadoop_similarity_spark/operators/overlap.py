@@ -89,8 +89,13 @@ def similarities(
     )
 
     # Emit-zero universe: pairs where >=1 member path has MI features.
+    # Shaped as inner-join-then-distinct (not members left-semi mi) so the
+    # tiny membership table is the BUILD side of a broadcast hash join —
+    # a broadcast hint on the stream side of a left-semi is unsupported
+    # and Spark logs a warning while silently shuffling both sides.
     emitted = (
-        members.join(mi_df.select("path").distinct(), "path", "left_semi")
+        mi_df.select("path")
+        .join(members, "path", "inner")
         .select("p1", "p2")
         .distinct()
     )

@@ -53,7 +53,15 @@ def canonical_gold(pairs_df: DataFrame) -> DataFrame:
 
 def pr_scan(scored: DataFrame, gold: DataFrame) -> DataFrame:
     """A8: labeled pairs in descending-score order with cumulative
-    tp/fp, precision, recall, f1 per prefix (threshold = row's score)."""
+    tp/fp, precision, recall, f1 per prefix (threshold = row's score).
+
+    Parity note: the reference evaluator's find_optimal_threshold
+    (analysis/evaluate_dirt.py:226-250) iterates every OCCURRENCE of a
+    pair across part files, double-counting a pair that appears in more
+    than one reducer's output; here the scan runs over pairs already
+    deduped to max score (load_system_output / A7), which is the
+    intentional, arguably-more-correct divergence — Job 4 partitions by
+    pair so duplicates should not occur in practice."""
     total_pos = gold.filter(F.col("label") == 1).count()
     labeled = scored.join(gold, ["p1", "p2"], "inner")
     w = (

@@ -31,6 +31,14 @@ from dirt_hadoop_similarity_spark.operators import counting, mi as mi_ops, overl
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet is TIMESTAMP(NANOS), which a vanilla Spark session
+        # refuses to read (PARQUET_TYPE_ILLEGAL).  nanosAsLong is a
+        # runtime-settable SQL conf, so set it here in the query path —
+        # the caller's session (the driver harness constructs its own
+        # vanilla one) cannot be assumed to have it.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong → truncate to

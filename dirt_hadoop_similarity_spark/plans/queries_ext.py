@@ -534,10 +534,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     )
     df_t = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.select("doc_id").distinct().count()
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # global N as a 1-row aggregate cross-joined (same pattern as
+    # counting.global_n) — no driver-side count(), no extra job
+    nd = docs.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = (
         tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(nd))
         .groupBy("source", "word")
         .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("tfidf"))
     )
@@ -614,10 +617,27 @@ def media_frames_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_features",
-    None,  # float32 arrays from Python featurizer: rows-only check
+    """
+    SELECT doc_id AS media_id,
+           CAST(g.i AS INTEGER) AS component,
+           CAST(('0x' || substr(md5(text), g.i * 2 + 1, 2)) AS INTEGER)
+             AS byte_value
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+    """,
     "Feature extraction plumbing: payload → fixed-dim float vector via "
-    "Arrow-batched mapInPandas.",
+    "Arrow-batched mapInPandas.  For the oracle the vector is exploded "
+    "and de-quantized back to the md5 digest byte ((f+0.5)*255 rounds to "
+    "an exact integer despite float32 storage), giving a full per-"
+    "component value check instead of rows-only.",
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(load(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media, dim=16)
+    feats = multimodal.extract_features(media, dim=16)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("component", "f")
+    ).select(
+        "media_id",
+        F.col("component").cast("int").alias("component"),
+        F.round((F.col("f") + 0.5) * 255).cast("int").alias("byte_value"),
+    )

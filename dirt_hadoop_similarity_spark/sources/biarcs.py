@@ -52,7 +52,11 @@ def parse_biarc_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     # F.get (not []): null-safe on short arrays.  Under ANSI mode p[i]
     # throws on out-of-bounds, and optimizer rules (e.g. local-relation
     # folding) may evaluate the projection before the size() guard filter.
-    parts = F.split(F.col(col), "\t")
+    # Trailing tabs are stripped first: Java's String.split("\t") drops
+    # trailing empty fields, so 'head\tngram\t' has length 2 there and is
+    # rejected — F.split keeps trailing empties, which would wrongly
+    # accept the line with a defaulted count (DirtDriver.java:487-492).
+    parts = F.split(F.regexp_replace(F.col(col), "\t+$", ""), "\t")
     return (
         lines.select(parts.alias("p"))
         .filter(F.size("p") >= 3)

@@ -104,10 +104,18 @@ def compare_all(spark=None, sf_dir: str = "/root/testdata/sf0.001", names=None):
 
     own_session = spark is None
     if own_session:
-        from dirt_hadoop_similarity_spark.session import get_spark
+        # VANILLA session on purpose — the driver harness constructs its
+        # own plain SparkSession, so any conf a query needs must be set
+        # in the query path itself.  Round 1 shipped a 7-query failure
+        # because this replica used the tuned get_spark() and masked it.
+        from pyspark.sql import SparkSession
 
-        spark = get_spark(app_name="oracle-check", master="local[8]",
-                          shuffle_partitions=8)
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
     results = []
     for name in names or QUERIES:
         try:

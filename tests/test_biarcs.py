@@ -52,6 +52,22 @@ def test_malformed_tokens_skipped(spark):
     assert [(t.word, t.head) for t in rows[0].tokens] == [("ok", 1)]
 
 
+def test_trailing_empty_fields_rejected(spark):
+    # Java's String.split("\t") drops trailing empty fields, so a line
+    # 'head\tngram\t' has length 2 and is rejected (DirtDriver.java:487-492);
+    # a real third field followed by trailing tabs is still accepted.
+    df = _parse(
+        spark,
+        [
+            "head\tngram\t",       # empty count field → len 2 in Java → dropped
+            "head\tngram\t\t\t",   # all-trailing empties → dropped
+            "head\tngram\t42\t",   # trailing tab after real count → kept
+        ],
+    )
+    rows = df.collect()
+    assert [(r.head_word, r.n) for r in rows] == [("head", 42)]
+
+
 def test_empty_word_allowed(spark):
     # "/NN/dep/2" → empty word, still a token (matches reference substring math)
     df = with_tokens(_parse(spark, ["h\t/NN/dep/2 x/VB/ROOT/0\t1"]))

@@ -42,8 +42,14 @@ def test_media_features_dim_and_determinism(spark, sf_dir):
     from dirt_hadoop_similarity_spark.plans import queries_ext
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
+    # registered query is the exploded/quantized view (driver-checkable);
+    # one row per (media_id, component) with the md5 digest byte
     feats = QUERIES["media_features"].fn(spark, sf_dir)
-    a = {r.media_id: r.feature for r in feats.limit(50).collect()}
-    b = {r.media_id: r.feature for r in feats.limit(50).collect()}
-    assert all(len(v) == 16 for v in a.values())
+    a = {(r.media_id, r.component): r.byte_value for r in feats.collect()}
+    b = {(r.media_id, r.component): r.byte_value for r in feats.collect()}
+    per_media = {}
+    for (mid, comp), byte in a.items():
+        per_media.setdefault(mid, set()).add(comp)
+        assert 0 <= byte <= 255
+    assert all(comps == set(range(16)) for comps in per_media.values())
     assert a == b  # deterministic featurizer
