@@ -577,14 +577,37 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frames",
-    None,  # binary frame payloads: rows-only check (blob compare is engine-specific)
-    "Video frame sampling: fixed-size byte chunks, ≤8 frames per media row.",
+    """
+    SELECT media_id, frame_index,
+           md5(substring(text, frame_index * 64 + 1, 64)) AS frame_md5,
+           CAST(length(substring(text, frame_index * 64 + 1, 64)) AS INTEGER)
+             AS frame_len
+    FROM (
+      SELECT doc_id AS media_id, text,
+             CAST(unnest(generate_series(
+               0, least(CAST(ceil(length(text) / 64.0) AS BIGINT), 8) - 1)) AS INTEGER)
+               AS frame_index
+      FROM documents WHERE length(text) > 0
+    )
+    """,
+    "Video frame sampling: fixed-size byte chunks, ≤8 frames per media "
+    "row.  The registered projection digests each binary frame to "
+    "(md5, length) scalars — raw blobs are pandas-unsortable in the "
+    "driver's canonicalizer — and the payloads are ASCII, so DuckDB "
+    "reproduces the digest with character substring arithmetic (same "
+    "equivalence media_frames_text relies on).",
 )
 def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(
         load(spark, sf_dir, "documents"), kind="video"
     )
-    return multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.md5("frame_payload").alias("frame_md5"),
+        F.length("frame_payload").cast("int").alias("frame_len"),
+    )
 
 
 @register(

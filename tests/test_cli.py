@@ -1,0 +1,83 @@
+"""End-to-end CLI test: corpus + testset files in, artifacts out.
+
+Uses the hand-computed mini corpus from test_pipeline, so the expected
+metrics are exact: the only score>0 pair is (chase, pursue) which is the
+gold positive → optimal threshold gives P = R = F1 = 1.0.
+"""
+
+import glob
+import json
+
+from dirt_hadoop_similarity_spark.__main__ import main as cli_main
+
+CORPUS = [
+    "chase\tdogs/NNS/nsubj/2 chase/VBP/ROOT/0 cats/NNS/dobj/2\t3\t1999,3",
+    "pursue\tdogs/NNS/nsubj/2 pursue/VBP/ROOT/0 cats/NNS/dobj/2\t2",
+    "chase\tfoxes/NNS/nsubj/2 chase/VBP/ROOT/0 birds/NNS/dobj/2\t1",
+    "die\tpatients/NNS/nsubj/2 die/VBP/ROOT/0 from/IN/prep/2 infections/NNS/pobj/3\t2",
+]
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(CORPUS) + "\n")
+    pos = tmp_path / "positive-preds.txt"
+    pos.write_text("X chase Y\tX pursue Y\n")
+    neg = tmp_path / "negative-preds.txt"
+    neg.write_text("X chase Y\tX die from Y\n")
+    out = tmp_path / "out"
+
+    rc = cli_main(
+        [str(corpus), "--testset", str(pos), str(neg), "--out", str(out)]
+    )
+    assert rc == 0
+
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["pairs_found"] == 1
+    assert metrics["precision"] == 1.0
+    assert metrics["recall"] == 1.0
+    assert metrics["f1"] == 1.0
+    assert metrics["threshold"] > 0
+
+    # stdout: one JSON summary line (last line)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["global_n"] == 16
+    assert summary["pairs_found"] == 1
+
+    # similarities.tsv: both testset pairs emitted (chase has MI features),
+    # the no-overlap pair with 0.0
+    sim_lines = []
+    for part in glob.glob(str(out / "similarities.tsv" / "part-*")):
+        with open(part) as f:
+            sim_lines += [l.split("\t") for l in f.read().splitlines()]
+    assert len(sim_lines) == 2
+    scores = sorted(float(l[2]) for l in sim_lines)
+    assert scores[0] == 0.0 and scores[1] > 0
+
+    # pr_curve.csv: header + one labeled score>0 row
+    curve_parts = glob.glob(str(out / "pr_curve.csv" / "part-*"))
+    assert curve_parts
+    header, *rows = open(curve_parts[0]).read().splitlines()
+    assert header.split(",")[:4] == ["p1", "p2", "score", "label"]
+    assert len(rows) == 1
+
+    report = (out / "report.md").read_text()
+    assert "| **Pairs Found** | 1 |" in report
+    assert "## False negatives" in report
+
+    # mi/sum_mi Job-2/2.5 artifacts exist and are non-empty
+    assert glob.glob(str(out / "mi.tsv" / "part-*"))
+    assert glob.glob(str(out / "sum_mi.tsv" / "part-*"))
+
+
+def test_cli_no_testset(spark, tmp_path, capsys):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(CORPUS) + "\n")
+    out = tmp_path / "out2"
+    rc = cli_main([str(corpus), "--out", str(out)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["global_n"] == 16
+    assert "pairs_found" not in summary
+    assert glob.glob(str(out / "mi.tsv" / "part-*"))
+    assert not (out / "similarities.tsv").exists()

@@ -23,13 +23,28 @@ def test_profile_approx_bounds(spark, sf_dir):
     assert row.median_price == pytest.approx(exact.med, rel=0.10)
 
 
+def test_dirt_full_pipeline_exact_summary(spark, sf_dir):
+    """The full-DAG query has no SQL oracle (path identities flow through
+    the Porter stemmer), so pin its summary to exact precomputed values on
+    the fixed sf0.001 documents table — every stage is deterministic."""
+    if sf_dir != "/root/testdata/sf0.001":
+        pytest.skip("exact values precomputed for sf0.001 only")
+    from dirt_hadoop_similarity_spark.plans import queries_more
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    row = QUERIES["dirt_full_pipeline"].fn(spark, sf_dir).first()
+    assert row.n_pairs_scored == 45
+    assert row.n_positive == 45
+    assert row.max_score == pytest.approx(0.55277, abs=1e-6)
+
+
 def test_media_frames_shapes(spark, sf_dir):
     from dirt_hadoop_similarity_spark.plans import queries_ext
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
     frames = QUERIES["media_frames"].fn(spark, sf_dir)
     stats = frames.agg(
-        F.max(F.length("frame_payload")).alias("max_len"),
+        F.max("frame_len").alias("max_len"),
         F.max("frame_index").alias("max_idx"),
         F.countDistinct("media_id").alias("n_media"),
     ).first()
