@@ -144,6 +144,88 @@ def lsh_bucket_topk(
     )
 
 
+def random_hyperplanes(
+    dim: int, bits: int, seed: str = "rh"
+) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane family: per-plane int16
+    weights derived from md5(seed:plane:component).
+
+    Axis-sign planes (``sign_bucket``) are the weakest possible family —
+    each bit looks at a single coordinate, so correlated dimensions give
+    unbalanced buckets.  These planes mix ALL coordinates per bit (the
+    classic SRP construction), and because the weights are integers
+    derived from a pinned digest, the exact same constants can be
+    embedded in a DuckDB oracle: the bucketing is reproducible
+    cross-engine with pure integer arithmetic.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:4], 16)
+            - 32768
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """SRP bucket id: bit j = sign(plane_j · quantize(vec)).
+
+    All-long arithmetic (quantized vector × int16 weights) — bit-exact in
+    any engine; the plane weights are plan-time literal arrays."""
+    q = _quantize(vec)
+    terms = []
+    for j, plane in enumerate(planes):
+        pl = F.array(*[F.lit(w).cast("long") for w in plane])
+        terms.append(
+            F.when(_int_dot(q, pl) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    return sum(terms).cast("long")
+
+
+def rh_bucket_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    seed: str = "rh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with signed-random-projection buckets — same
+    shape and join strategy as :func:`lsh_bucket_topk` (bucket equi-join,
+    query side broadcast), stronger hash family."""
+    planes = random_hyperplanes(dim, bits, seed)
+    with_bucket = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -284,6 +284,85 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Signed-random-projection variant: the SAME int16 plane constants are
+# embedded in both the Spark plan and the oracle SQL (derived once via
+# similarity.random_hyperplanes), so bucketing is bit-exact cross-engine.
+_RH_BITS, _RH_DIM = 8, 64
+_RH_PLANES = similarity.random_hyperplanes(_RH_DIM, _RH_BITS)
+
+_RH_BUCKET_SQL = "\n    + ".join(
+    f"(CASE WHEN list_dot_product(ql, CAST([{', '.join(map(str, plane))}] AS BIGINT[])) >= 0 "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j, plane in enumerate(_RH_PLANES)
+)
+
+_ANN_RH_SQL = f"""
+WITH buckets AS (
+  SELECT vec_id,
+         CAST({_RH_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ql
+        FROM embeddings)
+),
+qv AS (
+  SELECT e.vec_id, b.bucket, i,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})) e
+  JOIN buckets b ON b.vec_id = e.vec_id
+),
+cv AS (
+  SELECT e.vec_id, b.bucket, i,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) e
+  JOIN buckets b ON b.vec_id = e.vec_id
+),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.q * c.c) AS BIGINT) AS dot
+  FROM qv q JOIN cv c ON c.i = q.i AND c.bucket = q.bucket AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_rh_topk",
+    _ANN_RH_SQL,
+    "Signed-random-projection bucketed approximate top-5: 8 md5-derived "
+    "int16 hyperplanes mixing all 64 coordinates per bit — the proper "
+    "SRP family the axis-sign variant documents as its upgrade path; "
+    "bucket ids bit-exact across engines via integer arithmetic.",
+)
+def ann_rh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.rh_bucket_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        k=5,
+        bits=_RH_BITS,
+        dim=_RH_DIM,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -116,6 +116,28 @@ def purchases_before_errors(events: DataFrame,
     ).select("user_id", "error_id", "error_ts", "purchase_ts")
 
 
+def dedup_events(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup for at-least-once sources.
+
+    Batch → plain ``dropDuplicates``.  Streaming →
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` on a
+    stream keeps EVERY key seen forever (unbounded state — the classic
+    footgun); the watermarked variant evicts keys once the event-time
+    horizon passes, so state is bounded by (watermark × arrival rate)
+    while still deduplicating any duplicate that arrives within the
+    horizon — the delivery guarantee replayed sources actually need."""
+    ev = normalize_event_ts(events)
+    if ev.isStreaming:
+        return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return ev.dropDuplicates(list(key_cols))
+
+
 def sessionize_stateful(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:

@@ -53,6 +53,65 @@ def test_lsh_bucket_topk_subset_of_bucket(emb):
     assert sorted(r.neighbor_id for r in out) == [1, 2, 4]
 
 
+def test_random_hyperplanes_deterministic_and_mixing(emb):
+    p1 = similarity.random_hyperplanes(4, 3)
+    p2 = similarity.random_hyperplanes(4, 3)
+    assert p1 == p2  # pinned digest derivation, no RNG state
+    assert all(-32768 <= w <= 32767 for plane in p1 for w in plane)
+    # different planes must differ (the family actually mixes)
+    assert p1[0] != p1[1] != p1[2]
+    assert similarity.random_hyperplanes(4, 3, seed="other") != p1
+
+
+def test_rh_bucket_sign_semantics(emb, spark):
+    from pyspark.sql import functions as F
+
+    planes = similarity.random_hyperplanes(4, 3)
+    got = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            similarity.hyperplane_bucket(F.col("embedding"), planes).alias("b"),
+        ).collect()
+    }
+    # recompute driver-side with exact integer math
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    for vid, vec in rows.items():
+        q = [round(x * 1_000_000) for x in vec]
+        expect = sum(
+            (1 << j)
+            for j, plane in enumerate(planes)
+            if sum(w * qi for w, qi in zip(plane, q)) >= 0
+        )
+        assert got[vid] == expect
+    # opposite vectors land in complementary buckets (every bit flips
+    # unless a dot is exactly 0 — not the case for these planes)
+    assert got[0] ^ got[3] == 0b111
+
+
+def test_rh_recall_not_worse_than_axis_sign(spark, sf_dir):
+    """On the real embeddings table, SRP buckets should recall at least
+    as many true (brute-force) top-5 neighbors as axis-sign buckets at
+    the same bit width — the reason the family exists."""
+    from dirt_hadoop_similarity_spark.plans.queries import load
+
+    emb_t = load(spark, sf_dir, "embeddings")
+    qids = list(range(0, 500, 50))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb_t, qids, k=5).collect()
+    }
+    rh = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.rh_bucket_topk(emb_t, qids, k=5, bits=8).collect()
+    }
+    ax = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_bucket_topk(emb_t, qids, k=5, bits=8).collect()
+    }
+    assert len(rh & truth) >= len(ax & truth)
+
+
 def test_embedding_near_duplicates(emb):
     out = similarity.embedding_near_duplicates(emb, threshold=0.99, bits=4)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}

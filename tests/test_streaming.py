@@ -53,6 +53,43 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a doubled event log drains to
+    exactly the distinct event set (duplicates arrive well within the
+    watermark horizon on a static drain)."""
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dup_dir = str(tmp_path / "dup_events")
+    # two identical files → every event arrives twice
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+
+    expect_n = src.select("event_id").distinct().count()
+    doubled = spark.read.parquet(dup_dir)
+    assert doubled.count() == 2 * src.count()
+    assert sev.dedup_events(doubled).count() == expect_n  # batch path
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(sev.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(dup_dir)
+    )
+    out = sev.dedup_events(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_smoke_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dedup_smoke_test")
+    assert got.count() == expect_n
+    assert got.select("event_id").distinct().count() == expect_n
+
+
 def test_stateful_sessionize_matches_batch_oracle(spark, sf_dir):
     """applyInPandasWithState session counts == the batch window query
     (plans/queries.sessionize) on the same data."""
