@@ -226,6 +226,140 @@ def rh_bucket_topk(
     )
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: each vector → its max-cosine centroid (``cell``).
+
+    ``centroids``: (cell long, cvec array<float>) — always small (k ≤ a
+    few thousand) → broadcast; assignment is one corpus pass, no shuffle
+    until the per-vector argmax (window over |centroids| candidate rows).
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        quantized_cosine(F.col(vec_col), F.col("cvec")).alias("ccos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def seed_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seeds: the first ``n_centroids`` vectors by
+    id.  The testable stand-in for a trained codebook — swap in
+    :func:`kmeans_centroids` (or any external trainer) at scale; the
+    IVF search path is identical either way."""
+    return embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means codebook trainer, pure DataFrame ops.
+
+    Per iteration: broadcast the k centroids, one corpus pass to assign
+    (max cosine), then a groupBy-mean over the cells — the classic
+    Lloyd's step as partial-aggregated shuffle whose volume is k × dim,
+    not corpus mass.  The driver-side loop holds only the iteration
+    counter; centroids never leave the cluster.  Deterministic: seeds
+    are the first k vectors by id, ties break on cell id."""
+    cent = seed_centroids(embeddings, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_cells(embeddings, cent, id_col, vec_col)
+        # Lloyd's update via posexplode + (cell, component) avg: partial
+        # aggregation collapses each map partition to ≤ k×dim rows before
+        # the shuffle — collect_list-of-vectors per cell would buffer
+        # whole cells in one aggregation state (no map-side combine).
+        means = assigned.select(
+            "cell", F.posexplode(vec_col).alias("i", "x")
+        ).groupBy("cell", "i").agg(F.avg("x").alias("m"))
+        cent = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"].cast("float"),
+            ).alias("cvec")
+        )
+    return cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in centroid cells;
+    a query probes its ``nprobe`` closest cells and scores only those
+    vectors.  The other scale path next to LSH bucketing — candidate
+    volume is (corpus / n_centroids) × nprobe per query, tunable
+    independently of the hash-family geometry.
+
+    Defaults to :func:`seed_centroids` (deterministic, oracle-friendly);
+    pass ``centroids=kmeans_centroids(...)`` for a trained codebook.
+    """
+    cent = centroids if centroids is not None else seed_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    assigned = assign_cells(embeddings, cent, id_col, vec_col)
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q_scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qvec", "cell",
+        quantized_cosine(F.col("qvec"), F.col("cvec")).alias("ccos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+        # no distinct needed: assignment puts each neighbor in exactly ONE
+        # cell, so the cell join yields ≤1 row per (query, neighbor)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

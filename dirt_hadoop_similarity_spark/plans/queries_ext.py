@@ -363,6 +363,99 @@ def ann_rh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-flat: the cell-partition scale path next to hash bucketing.  The
+# oracle uses the deterministic seed codebook (vec_id < n_centroids) so
+# assignment/probing are reproducible in pure SQL; the trained-codebook
+# variant (kmeans_centroids) is pytest-verified instead.
+_IVF_N_CENT, _IVF_NPROBE = 16, 2
+
+_ANN_IVF_SQL = f"""
+WITH qall AS (
+  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+qcent AS (
+  SELECT vec_id AS cell, i, q FROM qall WHERE vec_id < {_IVF_N_CENT}
+),
+norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qall GROUP BY vec_id),
+vc_dots AS (
+  SELECT v.vec_id, c.cell, CAST(sum(v.q * c.q) AS BIGINT) AS dot
+  FROM qall v JOIN qcent c ON c.i = v.i
+  GROUP BY v.vec_id, c.cell
+),
+vc_cos AS (
+  SELECT d.vec_id, d.cell,
+         round(CASE WHEN nv.n2 > 0 AND nc.n2 > 0
+                    THEN CAST(d.dot AS DOUBLE)
+                         / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+                    ELSE 0 END, 6) AS ccos
+  FROM vc_dots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cell
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+    FROM vc_cos) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+    FROM vc_cos WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, CAST(sum(q1.q * q2.q) AS BIGINT) AS dot
+  FROM cand cd
+  JOIN qall q1 ON q1.vec_id = cd.query_id
+  JOIN qall q2 ON q2.vec_id = cd.neighbor_id AND q2.i = q1.i
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CASE WHEN nq.n2 > 0 AND nc.n2 > 0
+                    THEN CAST(d.dot AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+                    ELSE 0 END, 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    _ANN_IVF_SQL,
+    "IVF-flat approximate top-5: corpus vectors assigned to max-cosine "
+    "centroid cells (deterministic seed codebook), queries probe their 2 "
+    "closest cells — the cell-partition scale path next to LSH buckets; "
+    "quantized-int math keeps it bit-exact cross-engine.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        k=5,
+        n_centroids=_IVF_N_CENT,
+        nprobe=_IVF_NPROBE,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -112,6 +112,64 @@ def test_rh_recall_not_worse_than_axis_sign(spark, sf_dir):
     assert len(rh & truth) >= len(ax & truth)
 
 
+def test_kmeans_separates_blobs(spark):
+    """Two clean angular blobs: 5 Lloyd's iterations must put each blob's
+    members in one cell, and the two cells must differ."""
+    rows = (
+        # blob A ~ +x axis, blob B ~ +y axis (ids interleaved so the
+        # first-2 seeds land one in each blob)
+        [(0, [1.0, 0.05 * i, 0.0, 0.0]) for i in range(1)]
+        + [(1, [0.05, 1.0, 0.0, 0.0])]
+        + [(2 + i, [1.0, 0.02 * i, 0.0, 0.0]) for i in range(10)]
+        + [(12 + i, [0.02 * i, 1.0, 0.0, 0.0]) for i in range(10)]
+    )
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.kmeans_centroids(emb_df, k=2, iters=5)
+    assigned = similarity.assign_cells(emb_df, cent)
+    cells = {r.vec_id: r.cell for r in assigned.collect()}
+    blob_a = {0} | set(range(2, 12))
+    blob_b = {1} | set(range(12, 22))
+    cells_a = {cells[v] for v in blob_a}
+    cells_b = {cells[v] for v in blob_b}
+    assert len(cells_a) == 1 and len(cells_b) == 1
+    assert cells_a != cells_b
+
+
+def test_ivf_topk_candidates_come_from_probed_cells(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans.queries import load
+
+    emb_t = load(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb_t, [7], k=50, n_centroids=16, nprobe=2)
+    rows = out.collect()
+    assert len(rows) > 0
+    # every neighbor must be assigned to one of the query's 2 probed cells
+    cent = similarity.seed_centroids(emb_t, 16)
+    assigned = {r.vec_id: r.cell for r in similarity.assign_cells(emb_t, cent).collect()}
+    import pyspark.sql.functions as F
+
+    probes = {
+        r.cell
+        for r in similarity.assign_cells(
+            emb_t.filter(F.col("vec_id") == 7), cent
+        ).collect()
+    }  # top-1 probe is the assignment cell; nprobe=2 is a superset
+    neighbor_cells = {assigned[r.neighbor_id] for r in rows}
+    assert len(neighbor_cells) <= 2
+    assert probes <= neighbor_cells or len(neighbor_cells) == 2
+
+
+def test_ivf_with_trained_codebook_runs(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans.queries import load
+
+    emb_t = load(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(emb_t, k=8, iters=2)
+    out = similarity.ivf_topk(
+        emb_t, [3, 9], k=3, nprobe=2, centroids=cent
+    ).collect()
+    assert len(out) > 0
+    assert all(r.rank <= 3 for r in out)
+
+
 def test_embedding_near_duplicates(emb):
     out = similarity.embedding_near_duplicates(emb, threshold=0.99, bits=4)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
