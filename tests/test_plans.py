@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the properties PERF.md's audit claims
+must stay true as the code evolves — pushdown reaching the scan,
+broadcast on the provably-small sides, no unexpected exchanges.
+
+These assert on plan STRUCTURE, not timings, so they are stable on any
+box; each mirrors a row of the PERF.md plan-audit table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.plans.queries import QUERIES, load
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
+
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan
+    # projection pruning: the scan schema must not carry all 16 lineitem
+    # columns — l_comment never appears
+    assert "l_comment" not in plan
+
+
+def test_dirt_mi_margins_are_broadcast(spark, sf_dir):
+    df = QUERIES["dirt_mi"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_query_side_broadcast_no_cartesian(spark, sf_dir):
+    df = QUERIES["ann_cosine_topk"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_families_join_on_bucket_equi(spark, sf_dir):
+    for name in ("ann_lsh_topk", "ann_rh_topk"):
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        # bucket equi-join → hash join; a cross/NLJ here would be the
+        # all-pairs blow-up the buckets exist to prevent
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
+            name,
+            plan,
+        )
+
+
+def test_media_decode_has_no_exchange_full_query(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_ext  # noqa: F401
+
+    plan = _plan(QUERIES["media_metadata"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    plan = _plan(QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_events_filter_pushdown_survives_ts_conversion(spark, sf_dir):
+    """The nanos→micros conversion wraps the scan in a projection; an
+    event_type filter applied on top must still reach the parquet scan."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    plan = _plan(ev)
+    assert "PushedFilters" in plan and "event_type" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan
