@@ -1,0 +1,236 @@
+"""End-to-end training-data curation funnel.
+
+Composes the engine's curation operators into the pipeline a real
+pretraining-data run executes, in the canonical order:
+
+  ingest -> exact dedup -> near-dup removal (MinHash/LSH)
+         -> quality + language gate -> token-budget selection
+
+This is the "whole point" composition: each stage is an operator that is
+individually oracle-checked elsewhere (dedup_exact, dedup_minhash_lsh,
+text_quality, text_langid, text_token_budget); here they run as ONE
+lazy DataFrame plan whose output is the per-stage funnel summary
+(docs surviving + tokens surviving), the number every curation run
+reports first.
+
+Scale design (the part that must survive 100 TB):
+  * exact-dedup keeper flag = ``min(doc_id) over (partition by
+    md5(text))`` — a window keyed on the digest, so the only shuffle of
+    the full corpus is one hash partition on a 32-byte key; no global
+    sort, no driver state.
+  * near-dup drops come from the banded-LSH equi-join
+    (`dedup.minhash_near_duplicates`) on the already-exact-deduped set;
+    the drop list (ids to remove) is bounded by real duplication and
+    enters as the build side of a join, never a collect.
+  * the token-budget cut is a TWO-LEVEL cumulative sum: quality scores
+    are rounded to 6 dp, so there are at most ~1e6 distinct bucket
+    values regardless of corpus size.  Per-bucket token totals partial-
+    aggregate map-side; the running total over buckets is a window on
+    that tiny relation; only the ordering WITHIN the single boundary
+    bucket needs a doc-level window, and that window is PARTITIONED BY
+    the bucket value — never a single-partition global sort of the
+    corpus (the classic scale-killer in naive "sort by quality, take
+    until budget" implementations).
+  * the budget itself is a fraction of surviving tokens, computed as a
+    1-row aggregate cross-joined back (same pattern as counting.global_n
+    per SURVEY S6) — no driver round-trip in the plan.
+
+Reference parity: the reference has no curation pipeline (it is a DIRT
+similarity engine); this module is part of the training-data extension
+surface mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.functions import textfns
+from dirt_hadoop_similarity_spark.operators import dedup
+
+STAGES = (
+    "1_ingest",
+    "2_exact_dedup",
+    "3_near_dedup",
+    "4_quality_lang",
+    "5_token_budget",
+)
+
+
+def annotate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
+             min_quality: float = 0.35, langs: tuple[str, ...] = ("en",),
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document survival flags for funnel stages 2-4.
+
+    Returns (id, n_tokens, quality, predicted_lang, keep_exact,
+    keep_near, keep_quality) — text is projected away once the flags are
+    computed, so downstream aggregation never shuffles payloads.
+    """
+    t = F.col(text_col)
+    keeper = Window.partitionBy(F.md5(t))
+    scored = docs.select(
+        F.col(id_col),
+        t,
+        textfns.token_count(t).alias("n_tokens"),
+        textfns.quality_score(t).alias("quality"),
+        textfns.lang_id(t).alias("predicted_lang"),
+        (F.col(id_col) == F.min(id_col).over(keeper)).alias("keep_exact"),
+    )
+
+    survivors = scored.filter(F.col("keep_exact"))
+    drops = (
+        dedup.minhash_near_duplicates(
+            survivors.select(id_col, text_col), text_col=text_col,
+            id_col=id_col,
+        )
+        .filter(F.col("est_jaccard") >= near_dup_min_est_jaccard)
+        # greedy keep-the-oldest policy: of each candidate pair the
+        # larger id is dropped (id_a < id_b by construction)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+
+    return (
+        scored.drop(text_col)
+        .join(drops, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "quality",
+            "predicted_lang",
+            "keep_exact",
+            (F.col("keep_exact") & F.col("_dropped").isNull()).alias("keep_near"),
+            (
+                F.col("keep_exact")
+                & F.col("_dropped").isNull()
+                & F.col("predicted_lang").isin(*langs)
+                & (F.col("quality") >= min_quality)
+            ).alias("keep_quality"),
+        )
+    )
+
+
+def budget_selection(gated: DataFrame, budget_fraction: float = 0.5,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Highest-quality-first token-budget cut over quality-gated docs.
+
+    Selection order is (quality DESC, id ASC); a document is kept while
+    the running token total through it stays within ``budget_fraction``
+    of the gated corpus' total tokens.  Adds ``in_budget``.
+    """
+    budget = gated.agg(
+        F.floor(F.sum("n_tokens") * F.lit(budget_fraction))
+        .cast("long")
+        .alias("_budget")
+    )
+
+    bucket_totals = (
+        gated.groupBy("quality")
+        .agg(F.sum("n_tokens").alias("_bucket_tokens"))
+    )
+    over_buckets = (
+        Window.orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_cum = bucket_totals.select(
+        "quality",
+        F.coalesce(F.sum("_bucket_tokens").over(over_buckets), F.lit(0))
+        .cast("long")
+        .alias("_tokens_before_bucket"),
+    )
+
+    in_bucket = (
+        Window.partitionBy("quality")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        gated.join(bucket_cum, "quality")
+        .join(F.broadcast(budget))
+        .withColumn(
+            "_tokens_through_doc",
+            F.col("_tokens_before_bucket")
+            + F.sum("n_tokens").over(in_bucket).cast("long"),
+        )
+        .withColumn("in_budget", F.col("_tokens_through_doc") <= F.col("_budget"))
+        .drop("_tokens_before_bucket", "_tokens_through_doc", "_budget")
+    )
+
+
+def funnel_summary(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
+                   min_quality: float = 0.35, langs: tuple[str, ...] = ("en",),
+                   budget_fraction: float = 0.5, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The funnel report: (stage, n_docs, n_tokens), one row per stage.
+
+    Stages 1-4 fall out of ONE aggregate over the annotated relation
+    (conditional sums on the survival flags); stage 5 adds the budget
+    cut over the gated subset.  The annotated relation is cached — it is
+    a handful of scalars per document and is consumed by both branches.
+    """
+    ann = annotate(
+        docs,
+        near_dup_min_est_jaccard=near_dup_min_est_jaccard,
+        min_quality=min_quality,
+        langs=langs,
+        text_col=text_col,
+        id_col=id_col,
+    ).cache()
+
+    def _stage(flag, suffix):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"d_{suffix}"),
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias(f"t_{suffix}"),
+        ]
+
+    wide = ann.agg(
+        *_stage(None, "1"),
+        *_stage("keep_exact", "2"),
+        *_stage("keep_near", "3"),
+        *_stage("keep_quality", "4"),
+    )
+
+    kept = budget_selection(
+        ann.filter("keep_quality"), budget_fraction=budget_fraction,
+        id_col=id_col,
+    ).filter("in_budget")
+    stage5 = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("d_5"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t_5"),
+    )
+
+    stack_args = ", ".join(
+        f"'{name}', d_{i + 1}, t_{i + 1}" for i, name in enumerate(STAGES)
+    )
+    return (
+        wide.join(F.broadcast(stage5))
+        .select(
+            F.expr(
+                f"stack({len(STAGES)}, {stack_args}) AS (stage, n_docs, n_tokens)"
+            )
+        )
+    )
+
+
+def curate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
+           min_quality: float = 0.35, langs: tuple[str, ...] = ("en",),
+           budget_fraction: float = 0.5, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """The curated corpus itself: input rows that survive all stages."""
+    ann = annotate(
+        docs,
+        near_dup_min_est_jaccard=near_dup_min_est_jaccard,
+        min_quality=min_quality,
+        langs=langs,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    kept = budget_selection(
+        ann.filter("keep_quality"), budget_fraction=budget_fraction,
+        id_col=id_col,
+    ).filter("in_budget")
+    return docs.join(kept.select(id_col), id_col, "left_semi")

@@ -513,9 +513,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
+def _langid_case_expr(ltoks: str = "ltoks") -> str:
+    """The lang_id argmax as one DuckDB CASE expression over a token-list
+    column — shared by the text_langid and curation_funnel oracles."""
     score = {
-        lang: f"len(list_filter(ltoks, w -> list_contains([{', '.join(map(repr, markers))}], w)))"
+        lang: f"len(list_filter({ltoks}, w -> list_contains([{', '.join(map(repr, markers))}], w)))"
         for lang, markers in textfns.LANG_MARKERS.items()
     }
     langs = list(score)
@@ -530,6 +532,11 @@ def _langid_sql() -> str:
     expr = "'und'"
     for lang, cond in cases:
         expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def _langid_sql() -> str:
+    expr = _langid_case_expr()
     return f"""
 WITH base AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ltoks
@@ -835,4 +842,146 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.col("component").cast("int").alias("component"),
         F.round((F.col("f") + 0.5) * 255).cast("int").alias("byte_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: the full training-data pipeline as one plan
+# ---------------------------------------------------------------------------
+
+_CURATION_THRESH = dict(min_matches=4, min_quality=0.35, lang="en",
+                        budget_fraction=0.5)
+
+
+def _curation_sql() -> str:
+    """Oracle for the five-stage funnel.  Mirrors operators/curation.py
+    stage by stage: the exact-dedup keeper window, the banded-MinHash
+    drop list (>=4 of 8 hashes agree == est_jaccard >= 0.5), the
+    quality+language gate, and the two-level bucket-cumsum budget cut."""
+    langid = _langid_case_expr()
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(8)
+    )
+    sig_cols = ",\n         ".join(
+        f"min({_H60.format(expr=f_expr)}) AS h{k}"
+        for k, f_expr in ((k, f"'{k}|' || shingle") for k in range(8))
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round((least(len(toks) / 100.0, 1.0)
+                + (1.0 - least((CASE WHEN length(text) > 0
+                     THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                          / length(text) ELSE 0 END) * 5.0, 1.0))
+                + least((CASE WHEN len(ltoks) > 0
+                     THEN CAST(len(list_filter(ltoks, w -> list_contains([{_STOP_LIST}], w))) AS DOUBLE)
+                          / len(ltoks) ELSE 0 END) * 4.0, 1.0)) / 3.0, 6) AS quality,
+         {langid} AS predicted_lang,
+         (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep_exact
+  FROM (SELECT doc_id, text,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS ltoks
+        FROM documents)
+),
+s1 AS (SELECT doc_id, text FROM scored WHERE keep_exact),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM s1)
+),
+sig AS (
+  SELECT doc_id, {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)
+           WHEN 1 THEN CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)
+           WHEN 2 THEN CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)
+           ELSE        CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR)
+         END AS key
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+drops AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  WHERE ({match_sum}) >= {_CURATION_THRESH['min_matches']}
+),
+flags AS (
+  SELECT s.doc_id, s.n_tokens, s.quality, s.predicted_lang, s.keep_exact,
+         (s.keep_exact AND d.doc_id IS NULL) AS keep_near,
+         (s.keep_exact AND d.doc_id IS NULL
+          AND s.predicted_lang = '{_CURATION_THRESH['lang']}'
+          AND s.quality >= {_CURATION_THRESH['min_quality']}) AS keep_quality
+  FROM scored s LEFT JOIN drops d USING (doc_id)
+),
+budget AS (
+  SELECT CAST(floor(sum(n_tokens) * {_CURATION_THRESH['budget_fraction']}) AS BIGINT) AS b
+  FROM flags WHERE keep_quality
+),
+gated AS (SELECT doc_id, n_tokens, quality FROM flags WHERE keep_quality),
+bucket AS (SELECT quality, CAST(sum(n_tokens) AS BIGINT) AS btok
+           FROM gated GROUP BY quality),
+bcum AS (
+  SELECT quality,
+         CAST(coalesce(sum(btok) OVER (ORDER BY quality DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS before_bucket
+  FROM bucket
+),
+sel AS (
+  SELECT t.doc_id, t.n_tokens
+  FROM (SELECT g.doc_id, g.n_tokens, b.before_bucket,
+               sum(g.n_tokens) OVER (PARTITION BY g.quality ORDER BY g.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS in_bucket_cum
+        FROM gated g JOIN bcum b USING (quality)) t, budget
+  WHERE t.before_bucket + t.in_bucket_cum <= budget.b
+)
+SELECT '1_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM flags
+UNION ALL
+SELECT '2_exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM flags WHERE keep_exact
+UNION ALL
+SELECT '3_near_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM flags WHERE keep_near
+UNION ALL
+SELECT '4_quality_lang', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM flags WHERE keep_quality
+UNION ALL
+SELECT '5_token_budget', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM sel
+"""
+
+
+@register(
+    "curation_funnel",
+    _curation_sql(),
+    "The five-stage training-data curation pipeline as ONE lazy plan: "
+    "ingest -> exact dedup (md5 keeper window) -> MinHash/LSH near-dup "
+    "removal (est_jaccard >= 0.5) -> quality+language gate -> highest-"
+    "quality-first token-budget cut (50% of surviving tokens).  Output "
+    "is the per-stage funnel report every curation run leads with.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import curation
+
+    return curation.funnel_summary(
+        load(spark, sf_dir, "documents"),
+        near_dup_min_est_jaccard=0.5,
+        min_quality=_CURATION_THRESH["min_quality"],
+        langs=(_CURATION_THRESH["lang"],),
+        budget_fraction=_CURATION_THRESH["budget_fraction"],
     )

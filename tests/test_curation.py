@@ -1,0 +1,90 @@
+"""Curation-funnel invariants the oracle can't express: the budget-cut
+greedy property, funnel monotonicity, and the curate() corpus API."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir):
+    summary = curation.funnel_summary(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    rows = {r["stage"]: r for r in summary.collect()}
+    assert set(rows) == set(curation.STAGES)
+    for earlier, later in zip(curation.STAGES, curation.STAGES[1:]):
+        assert rows[later]["n_docs"] <= rows[earlier]["n_docs"]
+        assert rows[later]["n_tokens"] <= rows[earlier]["n_tokens"]
+    assert rows["1_ingest"]["n_docs"] > 0
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    docs = _docs(
+        spark,
+        [(7, "the cat sat on the mat"), (3, "the cat sat on the mat"),
+         (5, "a completely different document entirely")],
+    )
+    ann = curation.annotate(docs).collect()
+    kept = {r["doc_id"] for r in ann if r["keep_exact"]}
+    assert kept == {3, 5}
+
+
+def test_near_dup_drops_younger_of_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [(1, base), (2, base + " extra"),  # near-dups: shared shingles
+         (9, "unrelated text about completely different subject matter here")],
+    )
+    ann = {r["doc_id"]: r for r in curation.annotate(docs).collect()}
+    assert ann[1]["keep_near"] is True
+    assert ann[2]["keep_near"] is False  # larger id of the near-dup pair
+    assert ann[9]["keep_near"] is True
+
+
+def test_budget_cut_is_prefix_of_quality_order(spark, sf_dir):
+    """The kept set is exactly the maximal prefix of the
+    (quality desc, doc_id asc) order whose running token total fits the
+    budget — the two-level bucket cumsum must agree doc-for-doc with the
+    naive global-sort formulation it replaces."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ann = curation.annotate(docs)
+    gated = ann.filter("keep_quality")
+    total = gated.agg(F.sum("n_tokens")).first()[0]
+    budget = total // 2
+
+    sel = curation.budget_selection(gated, budget_fraction=0.5)
+    rows = sorted(
+        sel.collect(), key=lambda r: (-r["quality"], r["doc_id"])
+    )
+    kept_tokens = sum(r["n_tokens"] for r in rows if r["in_budget"])
+    assert 0 < kept_tokens <= budget
+
+    running = 0
+    for r in rows:
+        running += r["n_tokens"]
+        assert r["in_budget"] == (running <= budget), (r["doc_id"], running)
+
+
+def test_curate_returns_original_schema_subset(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = curation.curate(docs)
+    assert kept.columns == docs.columns
+    assert 0 < kept.count() < docs.count()
+    # every kept row is an original row
+    assert kept.join(docs, kept.columns, "left_anti").count() == 0
+
+
+def test_empty_gate_yields_zero_budget_stage(spark):
+    docs = _docs(spark, [(1, "zzz qqq"), (2, "yyy xxx")])  # no 'en' markers
+    summary = {r["stage"]: r for r in curation.funnel_summary(docs).collect()}
+    assert summary["4_quality_lang"]["n_docs"] == 0
+    assert summary["5_token_budget"]["n_docs"] == 0
+    assert summary["5_token_budget"]["n_tokens"] == 0
