@@ -985,3 +985,117 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         langs=(_CURATION_THRESH["lang"],),
         budget_fraction=_CURATION_THRESH["budget_fraction"],
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, r.r FROM reach r JOIN edges e ON e.v = r.node
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_components",
+    _COMPONENTS_SQL,
+    "Transitive duplicate clusters: MinHash near-dup pairs (est_jaccard "
+    ">= 0.5) -> undirected edges -> min-label-propagation connected "
+    "components.  The oracle computes the same fixpoint as a recursive "
+    "CTE (component = min reachable node id).",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import components
+
+    pairs = dedup.minhash_near_duplicates(
+        load(spark, sf_dir, "documents")
+    ).filter(F.col("est_jaccard") >= 0.5)
+    comp = components.connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset splitting
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET = ("CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+                 "AS UBIGINT)::BIGINT % 10000")
+
+_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, {_SPLIT_BUCKET} AS bucket,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
+"""
+
+
+@register(
+    "dataset_split",
+    _SPLIT_SQL,
+    "Deterministic hash-bucket train/val/test split (80/10/10 on "
+    "md5(doc_id) buckets) with per-split doc and token counts — "
+    "reproducible across runs, partitionings, and engines, unlike "
+    "rand()-based sampling.",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    assigned = sampling.assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(textfns.token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_SQL = f"""
+SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_SHINGLES_SQL})
+GROUP BY shingle HAVING count(*) >= 5
+"""
+
+
+@register(
+    "text_boilerplate",
+    _BOILERPLATE_SQL,
+    "Boilerplate 3-gram detection: shingles appearing in >= 5 distinct "
+    "documents (word_shingles emits distinct shingles per doc, so the "
+    "count IS document frequency) — the repeated-ngram signal C4-style "
+    "cleaning removes.  Pure groupBy with map-side partial aggregation.",
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents"), n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )

@@ -1,0 +1,71 @@
+"""Hash-sampling invariants: the properties rand()-based sampling lacks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_split_disjoint_exhaustive_and_sized(docs):
+    assigned = sampling.assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              assigned.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, disjoint
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # rates roughly respected (hash uniformity; 500 docs -> loose bound)
+    assert 0.6 * n < counts["train"] < 0.95 * n
+
+
+def test_split_stable_under_repartition(docs):
+    a = sampling.assign_split(docs, "doc_id", {"a": 0.5, "b": 0.5})
+    b = sampling.assign_split(
+        docs.repartition(13, "source"), "doc_id", {"a": 0.5, "b": 0.5}
+    )
+    left = {r["doc_id"]: r["split"] for r in a.select("doc_id", "split").collect()}
+    right = {r["doc_id"]: r["split"] for r in b.select("doc_id", "split").collect()}
+    assert left == right
+
+
+def test_sample_is_subset_and_stable(docs):
+    s1 = set(r["doc_id"] for r in
+             sampling.deterministic_sample(docs, 0.2, "doc_id").select("doc_id").collect())
+    s2 = set(r["doc_id"] for r in
+             sampling.deterministic_sample(docs.repartition(7), 0.2, "doc_id")
+             .select("doc_id").collect())
+    assert s1 == s2
+    assert 0 < len(s1) < docs.count()
+    # nested rates: a 10% sample is a subset of the 20% sample
+    s_small = set(r["doc_id"] for r in
+                  sampling.deterministic_sample(docs, 0.1, "doc_id")
+                  .select("doc_id").collect())
+    assert s_small <= s1
+
+
+def test_salt_decorrelates(docs):
+    split = sampling.assign_split(docs, "doc_id", {"train": 0.5, "test": 0.5})
+    sample = sampling.deterministic_sample(docs, 0.5, "doc_id")
+    in_sample = set(r["doc_id"] for r in sample.select("doc_id").collect())
+    trains = set(r["doc_id"] for r in
+                 split.filter("split = 'train'").select("doc_id").collect())
+    # with the same salt these sets would coincide exactly; distinct
+    # salts must make them materially different
+    overlap = len(in_sample & trains)
+    assert overlap < min(len(in_sample), len(trains))
+
+
+def test_validation(docs):
+    with pytest.raises(ValueError):
+        sampling.assign_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(docs, 1.5, "doc_id")
