@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "text_quality",
+    "curation_funnel",
+    "dedup_components",
 ]
 
 

@@ -151,6 +151,91 @@ def lsh_candidates(signatures: DataFrame, bands: int = 4,
     )
 
 
+def _banded_with_sigs(signatures: DataFrame, bands: int, rows_per_band: int,
+                      id_col: str) -> DataFrame:
+    """Explode a signature relation to (id, h0..hk, band, key) — the band
+    rows CARRY the signature so est-Jaccard falls out of the band join
+    without a join back to the signature table."""
+    num_hashes = bands * rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"h{b * rows_per_band + r}").cast("string")
+                      for r in range(rows_per_band)],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), *[f"h{k}" for k in range(num_hashes)],
+        F.explode(band_structs).alias("bk"),
+    ).select(id_col, *[f"h{k}" for k in range(num_hashes)], "bk.band", "bk.key")
+
+
+def signature_index(docs: DataFrame, n: int = 3, num_hashes: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The persistable dedup index: one (id, h0..h{k-1}) row per doc.
+
+    At scale this is written once (partitioned/bucketed however the
+    corpus is) and only APPENDED to as batches arrive — incremental
+    dedup never re-shingles the corpus."""
+    return minhash_signatures(
+        word_shingles(docs, n=n, text_col=text_col, id_col=id_col),
+        num_hashes=num_hashes, id_col=id_col,
+    )
+
+
+def incremental_near_duplicates(corpus_sigs: DataFrame, batch_docs: DataFrame,
+                                n: int = 3, num_hashes: int = 8,
+                                bands: int = 4, rows_per_band: int = 2,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Near-dups of a NEW batch against an EXISTING corpus signature
+    index: (batch_id, corpus_id, n_bands_matched, est_jaccard).
+
+    The daily-ingest shape: the corpus side is the precomputed
+    ``signature_index`` (read, never recomputed); only the batch is
+    shingled and hashed.  The batch's banded rows are broadcast —
+    a day's ingest is tiny next to the corpus — so the corpus-side scan
+    never shuffles; with the index additionally bucketed by (band, key)
+    the probe is pure partition pruning at 100 TB.
+    """
+    rows_per_band = max(rows_per_band, 1)
+    batch_sigs = signature_index(
+        batch_docs, n=n, num_hashes=num_hashes, text_col=text_col,
+        id_col=id_col,
+    )
+    cb = _banded_with_sigs(corpus_sigs, bands, rows_per_band, id_col).alias("a")
+    bb = F.broadcast(
+        _banded_with_sigs(batch_sigs, bands, rows_per_band, id_col)
+    ).alias("b")
+    matches = sum(
+        F.when(F.col(f"a.h{k}") == F.col(f"b.h{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return (
+        cb.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .groupBy(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"a.{id_col}").alias("corpus_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_matched"),
+            F.round(
+                F.max(matches) / F.lit(float(num_hashes)), 6
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 def minhash_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
                             bands: int = 4, rows_per_band: int = 2,
                             text_col: str = "text",
@@ -169,24 +254,7 @@ def minhash_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).cache()
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[F.col(f"h{b * rows_per_band + r}").cast("string")
-                      for r in range(rows_per_band)],
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), *[f"h{k}" for k in range(num_hashes)],
-        F.explode(band_structs).alias("bk"),
-    ).select(id_col, *[f"h{k}" for k in range(num_hashes)], "bk.band", "bk.key")
-
+    banded = _banded_with_sigs(sig, bands, rows_per_band, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
         F.when(F.col(f"a.h{k}") == F.col(f"b.h{k}"), 1).otherwise(0)

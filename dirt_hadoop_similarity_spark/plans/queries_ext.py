@@ -1099,3 +1099,66 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs persisted signature index
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT_ID = 400  # documents below = "existing corpus", rest = "new batch"
+
+
+def _incremental_sql() -> str:
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(8)
+    )
+    shingles = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents)
+"""
+    return f"""
+WITH sig AS ({_minhash_sql(8).replace(_SHINGLES_SQL, shingles)}),
+banded AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)
+           WHEN 1 THEN CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)
+           WHEN 2 THEN CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)
+           ELSE        CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR)
+         END AS key
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+         CAST(count(*) AS BIGINT) AS n_bands_matched
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key
+   AND a.doc_id < {_INCR_SPLIT_ID} AND b.doc_id >= {_INCR_SPLIT_ID}
+  GROUP BY 1, 2
+)
+SELECT c.batch_id, c.corpus_id, c.n_bands_matched,
+       round(({match_sum}) / 8.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.corpus_id
+JOIN sig sb ON sb.doc_id = c.batch_id
+"""
+
+
+@register(
+    "dedup_incremental",
+    _incremental_sql(),
+    "Incremental dedup (the daily-ingest shape): a new batch "
+    f"(doc_id >= {_INCR_SPLIT_ID}) probes the persisted MinHash "
+    "signature index of the existing corpus via a broadcast band join — "
+    "the corpus is never re-shingled and never shuffles.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus_sigs = dedup.signature_index(
+        docs.filter(F.col("doc_id") < _INCR_SPLIT_ID)
+    )
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT_ID)
+    return dedup.incremental_near_duplicates(corpus_sigs, batch)
