@@ -52,12 +52,22 @@ def bpe_ish_token_count(text: Column) -> Column:
     ).cast("long")
 
 
-def stopword_ratio(text: Column) -> Column:
-    toks = tokens(F.lower(text))
-    hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+def stopword_ratio_from(ltoks: Column) -> Column:
+    """Stopword ratio over a PRE-TOKENIZED lowercase token array.
+
+    The ``*_from`` variants exist because HOF expressions (filter/
+    transform/aggregate) are interpreted, not codegen'd, so Spark's
+    subexpression elimination does not dedupe repeated tokenizations —
+    a caller combining several text metrics should tokenize ONCE into a
+    materialized column and feed it to these (see curation.annotate)."""
+    hits = F.size(F.filter(ltoks, lambda w: w.isin(*STOPWORDS)))
     return F.when(
-        F.size(toks) > 0, hits.cast("double") / F.size(toks)
+        F.size(ltoks) > 0, hits.cast("double") / F.size(ltoks)
     ).otherwise(0.0)
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_ratio_from(tokens(F.lower(text)))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -68,8 +78,7 @@ def punct_ratio(text: Column) -> Column:
     ).otherwise(0.0)
 
 
-def mean_word_length(text: Column) -> Column:
-    toks = tokens(text)
+def mean_word_length_from(toks: Column) -> Column:
     total = F.aggregate(
         F.transform(toks, lambda w: F.length(w)),
         F.lit(0).cast("long"),
@@ -80,15 +89,25 @@ def mean_word_length(text: Column) -> Column:
     ).otherwise(0.0)
 
 
+def mean_word_length(text: Column) -> Column:
+    return mean_word_length_from(tokens(text))
+
+
+def quality_score_from(toks: Column, ltoks: Column, text: Column) -> Column:
+    """quality_score over pre-tokenized arrays (see stopword_ratio_from
+    for why): only punct_ratio still touches the raw text."""
+    n_tok = F.size(toks).cast("double")
+    length_term = F.least(n_tok / 100.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio_from(ltoks) * 4.0, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+
+
 def quality_score(text: Column) -> Column:
     """Composite heuristic in [0, 1]: rewards mid-length documents with
     low punctuation noise and a natural stopword rate.  The exact formula
     is arbitrary by design — the operator contract is determinism."""
-    n_tok = token_count(text).cast("double")
-    length_term = F.least(n_tok / 100.0, F.lit(1.0))
-    punct_term = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
-    stop_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
-    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+    return quality_score_from(tokens(text), tokens(F.lower(text)), text)
 
 
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
@@ -108,11 +127,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(text: Column) -> Column:
-    """argmax over marker-word hit counts; ties and zero-hit docs →
-    'und' (undetermined).  Deterministic tiebreak: a language wins only
-    with a strictly greater count than every other."""
-    scores = lang_scores(text)
+def lang_id_from(ltoks: Column) -> Column:
+    """lang_id over a pre-tokenized lowercase token array (see
+    stopword_ratio_from for why).  argmax over marker-word hit counts;
+    ties and zero-hit docs → 'und'."""
+    scores = {
+        lang: _marker_hits(ltoks, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
     langs = list(scores)
     result = F.lit("und")
     # build nested WHEN: lang wins iff its count > all others and > 0
@@ -123,6 +145,13 @@ def lang_id(text: Column) -> Column:
                 cond = cond & (scores[lang] > scores[other])
         result = F.when(cond, F.lit(lang)).otherwise(result)
     return result
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-word hit counts; ties and zero-hit docs →
+    'und' (undetermined).  Deterministic tiebreak: a language wins only
+    with a strictly greater count than every other."""
+    return lang_id_from(tokens(F.lower(text)))
 
 
 def fingerprint(text: Column) -> Column:

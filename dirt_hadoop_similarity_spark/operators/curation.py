@@ -15,9 +15,18 @@ reports first.
 
 Scale design (the part that must survive 100 TB):
   * exact-dedup keeper flag = ``min(doc_id) over (partition by
-    md5(text))`` — a window keyed on the digest, so the only shuffle of
-    the full corpus is one hash partition on a 32-byte key; no global
-    sort, no driver state.
+    md5(text))`` — a window keyed on the digest: a hash partition on a
+    32-byte key, no global sort, no driver state.  The lazy plan
+    computes this window once per consumer (the flag branch and the
+    near-dup branch); a real 100 TB run materializes the exact-deduped
+    corpus between stages (sinks.checkpoint_parquet) as stage outputs
+    are checkpointed anyway, making it one shuffle total.
+  * near-dup candidate generation runs ON the exact-deduped survivors,
+    deliberately: exact-duplicate clusters share identical MinHash
+    signatures, so running LSH pre-dedup inflates band buckets
+    quadratically in the duplication factor (1M copies of a boilerplate
+    page -> 10^12 candidate pairs).  Dedup-first keeps bucket sizes
+    bounded by NEAR-duplication only.
   * near-dup drops come from the banded-LSH equi-join
     (`dedup.minhash_near_duplicates`) on the already-exact-deduped set;
     the drop list (ids to remove) is bounded by real duplication and
@@ -68,12 +77,25 @@ def annotate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
     """
     t = F.col(text_col)
     keeper = Window.partitionBy(F.md5(t))
-    scored = docs.select(
+    # tokenize ONCE into materialized columns: the metric expressions
+    # are interpreted HOFs, outside codegen subexpression elimination,
+    # so inlined variants re-split the text per metric (~10x per row for
+    # quality + lang-id; negligible at short doc lengths, linear in text
+    # size at real ones)
+    base = docs.select(
         F.col(id_col),
         t,
-        textfns.token_count(t).alias("n_tokens"),
-        textfns.quality_score(t).alias("quality"),
-        textfns.lang_id(t).alias("predicted_lang"),
+        textfns.tokens(t).alias("_toks"),
+        textfns.tokens(F.lower(t)).alias("_ltoks"),
+    )
+    scored = base.select(
+        F.col(id_col),
+        t,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        textfns.quality_score_from(
+            F.col("_toks"), F.col("_ltoks"), t
+        ).alias("quality"),
+        textfns.lang_id_from(F.col("_ltoks")).alias("predicted_lang"),
         (F.col(id_col) == F.min(id_col).over(keeper)).alias("keep_exact"),
     )
 

@@ -29,6 +29,33 @@ def read_tsv(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.csv(path, sep="\t", schema=schema)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = "gzip",
+                partition_by: list[str] | None = None) -> None:
+    """JSON-lines export — the de-facto interchange format for training
+    corpora.  One JSON object per line; gzip by default (splittable
+    formats like zstd-parquet stay the INTERNAL format — JSONL is for
+    interop with tokenizer/trainer tooling that expects it)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: str | None = None) -> DataFrame:
+    """JSONL scan.  ALWAYS pass a schema in production: schema inference
+    is a full extra pass over the data (at 100 TB, a second 100 TB read)
+    and silently unions ragged attributes.  Unparseable lines land in
+    `_corrupt_record` (PERMISSIVE mode) instead of failing the job."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def checkpoint_parquet(df: DataFrame, path: str,
                        partition_by: list[str] | None = None) -> DataFrame:
     """Materialize an intermediate to Parquet and return the re-read

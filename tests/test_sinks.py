@@ -29,3 +29,33 @@ def test_checkpoint_parquet_roundtrip(spark):
         back = sinks.checkpoint_parquet(df, f"{d}/ckpt", partition_by=["part"])
         assert back.count() == 100
         assert set(back.columns) == {"id", "part"}
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from dirt_hadoop_similarity_spark.sources.sinks import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, 'quotes " and\ttabs', "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_jsonl_corrupt_line_quarantined(spark, tmp_path):
+    from dirt_hadoop_similarity_spark.sources.sinks import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n')
+    back = read_jsonl(
+        spark, str(p),
+        schema="doc_id long, text string, _corrupt_record string",
+    )
+    rows = back.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
