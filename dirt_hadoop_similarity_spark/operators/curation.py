@@ -133,6 +133,37 @@ def annotate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
     )
 
 
+def quality_gate(docs: DataFrame, *, min_quality: float = 0.35,
+                 langs: tuple[str, ...] = ("en",),
+                 text_col: str = "text") -> DataFrame:
+    """The funnel's quality + language predicate as a STATELESS filter:
+    no window, no state, no shuffle — which means it runs unchanged on a
+    streaming input (gate documents at ingest time, before they ever
+    land in the corpus) as well as in the batch funnel.  Adds
+    ``quality`` and ``predicted_lang`` to the surviving rows.
+
+    Exact dedup / near-dup / budget stages are deliberately NOT here:
+    they need corpus-wide state and belong to the batch (or
+    watermark-bounded) passes.
+    """
+    t = F.col(text_col)
+    gated = docs.select(
+        "*",
+        textfns.tokens(t).alias("_toks"),
+        textfns.tokens(F.lower(t)).alias("_ltoks"),
+    ).select(
+        *docs.columns,
+        textfns.quality_score_from(
+            F.col("_toks"), F.col("_ltoks"), t
+        ).alias("quality"),
+        textfns.lang_id_from(F.col("_ltoks")).alias("predicted_lang"),
+    )
+    return gated.filter(
+        F.col("predicted_lang").isin(*langs)
+        & (F.col("quality") >= min_quality)
+    )
+
+
 def budget_selection(gated: DataFrame, budget_fraction: float = 0.5,
                      id_col: str = "doc_id") -> DataFrame:
     """Highest-quality-first token-budget cut over quality-gated docs.

@@ -415,3 +415,54 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("null_flags"),
     )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "Full CUBE over (status, priority): all 2^2 grouping sets in one "
+    "pass — Spark expands to a single shuffle with grouping-id, the "
+    "declarative form of hand-maintained marginal tables.",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_10min
+    FROM events
+    """,
+    "Value-based (RANGE) window frame: per user, events in the trailing "
+    "10 minutes including the current one.  Unlike ROWS frames this is "
+    "deterministic under timestamp ties (all tied rows enter the "
+    "frame), so both engines agree row-for-row.  The frame is over "
+    "epoch microseconds in BOTH engines to pin identical arithmetic.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10min"),
+    )

@@ -117,3 +117,32 @@ def test_stateful_sessionize_matches_batch_oracle(spark, sf_dir):
         for r in spark.table("sess_smoke_test").collect()
     }
     assert got == batch
+
+
+def test_stream_quality_gate_equals_batch(spark, sf_dir):
+    """The stateless ingest gate must admit exactly the documents the
+    batch funnel's stage-4 predicate admits (same scores, same rows)."""
+    from dirt_hadoop_similarity_spark.operators import curation
+    from dirt_hadoop_similarity_spark.streaming import corpus
+
+    streamed = corpus.run_quality_gate_smoke(
+        spark, sf_dir, query_name="qgate_eq_batch"
+    )
+    batch = curation.quality_gate(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    s_rows = {
+        r["doc_id"]: (r["quality"], r["predicted_lang"])
+        for r in streamed.select("doc_id", "quality", "predicted_lang").collect()
+    }
+    b_rows = {
+        r["doc_id"]: (r["quality"], r["predicted_lang"])
+        for r in batch.select("doc_id", "quality", "predicted_lang").collect()
+    }
+    assert s_rows == b_rows
+    assert len(s_rows) > 0
+    # and it agrees with the funnel's keep_quality flag
+    ann = curation.annotate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    flagged = {r["doc_id"] for r in ann.filter("keep_quality").collect()}
+    # gate is dedup-unaware: flagged is gate-survivors minus dup drops
+    assert flagged <= set(s_rows)
