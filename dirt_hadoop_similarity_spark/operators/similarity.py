@@ -386,3 +386,162 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): compressed codes + asymmetric distance search
+# ---------------------------------------------------------------------------
+#
+# The storage half of the ANN-at-scale story: a D-dim float vector (256 B
+# at D=64) becomes m one-byte codes (8 B at m=8) — the corpus index fits
+# in a fraction of the memory/IO, and search scores CODES against a tiny
+# per-query lookup table (ADC: asymmetric distance computation) instead
+# of touching raw vectors.  Jegou, Douze, Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011.
+#
+# All distances are squared-L2 over quantized ints (round(x*1e6)) so
+# encode/search are bit-exact across engines — the DuckDB oracle checks
+# codes AND distances, not just counts.
+
+
+def _int_d2(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two quantized int arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def subvector_split(vec: Column, m: int, dsub: int) -> Column:
+    """array<float>[m*dsub] → array of m quantized int subvectors."""
+    return F.array(
+        *[_quantize(F.slice(vec, j * dsub + 1, dsub)) for j in range(m)]
+    )
+
+
+def pq_seed_codebooks(embeddings: DataFrame, m: int = 8, dsub: int = 8,
+                      ksub: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Deterministic per-subspace codebooks: centroid ``code`` of
+    subspace ``sub`` is the sub-th slice of the code-th vector by id —
+    (sub, code, cvec array<long>), m × ksub rows.  The oracle-friendly
+    stand-in for a trained codebook (swap in :func:`pq_train_codebooks`
+    at scale; the encode/search path is identical)."""
+    subs = subvector_split(F.col(vec_col), m, dsub)
+    return (
+        embeddings.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).alias("code"), F.posexplode(subs).alias("sub", "cvec"))
+        .select("sub", "code", "cvec")
+    )
+
+
+def pq_train_codebooks(embeddings: DataFrame, m: int = 8, dsub: int = 8,
+                       ksub: int = 16, iters: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's per-subspace codebook training, all m subspaces in ONE
+    pass per iteration: explode every vector into its m subvectors once,
+    then each iteration is a broadcast assign (argmin d2 over the m×ksub
+    codebook) + a ((sub, code), component) average whose shuffle is
+    m × ksub × dsub rows after partial aggregation — corpus-size-
+    independent, exactly like :func:`kmeans_centroids`."""
+    subs = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            subvector_split(F.col(vec_col), m, dsub)
+        ).alias("sub", "svec"),
+    ).cache()
+    cb = pq_seed_codebooks(embeddings, m, dsub, ksub, id_col, vec_col)
+    w = W.partitionBy(id_col, "sub").orderBy("d2", "code")
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(cb), "sub")
+            .withColumn("d2", _int_d2(F.col("svec"), F.col("cvec")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select("sub", "code", F.posexplode("svec").alias("i", "x"))
+            .groupBy("sub", "code", "i")
+            .agg(F.avg("x").alias("mx"))
+        )
+        cb = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                lambda s: F.round(s["mx"]).cast("long"),
+            ).alias("cvec")
+        )
+    subs.unpersist()
+    return cb
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int = 8,
+              dsub: int = 8, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, sub, code): each subvector's argmin-d2 codebook entry
+    (ties break on the lower code).  m rows per vector — the long form;
+    pack with collect_list if a single array column is wanted.  One
+    corpus pass; the codebook is broadcast."""
+    subs = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            subvector_split(F.col(vec_col), m, dsub)
+        ).alias("sub", "svec"),
+    )
+    w = W.partitionBy(id_col, "sub").orderBy("d2", "code")
+    return (
+        subs.join(F.broadcast(codebooks), "sub")
+        .withColumn("d2", _int_d2(F.col("svec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                m: int = 8, dsub: int = 8, ksub: int = 16,
+                codebooks: DataFrame | None = None,
+                codes: DataFrame | None = None,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ-ADC approximate top-k: (query_id, neighbor_id, adc_d2, rank),
+    rank by ASCENDING approximate squared distance.
+
+    Search touches only CODES: the per-query lookup table (m × ksub
+    exact subdistances from the query's subvectors to every codebook
+    entry) is broadcast, each code row picks up its subdistance by
+    (sub, code) equi-join, and a groupBy sums the m parts.  At 100 TB
+    the codes relation is the persisted index (25-50× smaller than raw
+    vectors); raw embeddings are read only for the query side.
+    ``adc_d2`` is an exact integer — no float-order nondeterminism.
+    """
+    cb = codebooks if codebooks is not None else pq_seed_codebooks(
+        embeddings, m, dsub, ksub, id_col, vec_col
+    )
+    ix = codes if codes is not None else pq_encode(
+        embeddings, cb, m, dsub, id_col, vec_col
+    )
+
+    qsubs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            subvector_split(F.col(vec_col), m, dsub)
+        ).alias("sub", "qsvec"),
+    )
+    lut = qsubs.join(cb, "sub").select(
+        "query_id", "sub", "code",
+        _int_d2(F.col("qsvec"), F.col("cvec")).alias("d2"),
+    )
+
+    scored = (
+        ix.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

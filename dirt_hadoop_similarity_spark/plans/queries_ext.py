@@ -1162,3 +1162,72 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT_ID)
     return dedup.incremental_near_duplicates(corpus_sigs, batch)
+
+
+# ---------------------------------------------------------------------------
+# product quantization: compressed-code ANN (ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 8, 8, 16
+
+_ANN_PQ_SQL = f"""
+WITH qall AS (
+  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+cbsub AS (
+  SELECT vec_id AS code, (i - 1) // {_PQ_DSUB} AS sub, i, q AS c
+  FROM qall WHERE vec_id < {_PQ_KSUB}
+),
+vsub AS (SELECT vec_id, (i - 1) // {_PQ_DSUB} AS sub, i, q AS v FROM qall),
+vdist AS (
+  SELECT v.vec_id, v.sub, c.code,
+         CAST(sum((v.v - c.c) * (v.v - c.c)) AS BIGINT) AS d2
+  FROM vsub v JOIN cbsub c ON c.sub = v.sub AND c.i = v.i
+  GROUP BY v.vec_id, v.sub, c.code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM vdist) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, sub, code, d2 FROM vdist
+  WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM codes c
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code AND l.query_id <> c.vec_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2, rank FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rank
+  FROM adc) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_pq_topk",
+    _ANN_PQ_SQL,
+    "Product-quantization ADC top-5 (Jegou et al. 2011): vectors become "
+    f"{_PQ_M} one-byte codes via per-subspace argmin (seed codebooks = "
+    f"first {_PQ_KSUB} vectors, oracle-reproducible); search sums "
+    "exact-integer subdistances from a broadcast per-query lookup table "
+    "over the code index — the corpus' raw vectors are never touched at "
+    "query time.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_adc_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        k=5,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        ksub=_PQ_KSUB,
+    )
