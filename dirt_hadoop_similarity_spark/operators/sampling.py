@@ -65,3 +65,25 @@ def deterministic_sample(df: DataFrame, rate: float, key: str,
         raise ValueError(f"rate must be in [0,1], got {rate}")
     bound = int(round(rate * GRANULARITY))
     return df.filter(split_bucket(F.col(key), salt=salt) < bound)
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float], group_col: str,
+                      key: str, default_rate: float = 0.0,
+                      salt: str = "stratified") -> DataFrame:
+    """Per-group Bernoulli rates — the source-rebalancing knob of a
+    training-data mix (upsample books, downsample boilerplate-heavy web
+    crawl).  Same hash-bucket determinism as :func:`deterministic_sample`;
+    the group only selects the THRESHOLD, so a row's fate still depends
+    only on (salt, key): tightening a group's rate yields a strict
+    subset of its previous sample."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    bound = F.lit(int(round(default_rate * GRANULARITY)))
+    for g, r in rates.items():
+        bound = F.when(
+            F.col(group_col) == g, F.lit(int(round(r * GRANULARITY)))
+        ).otherwise(bound)
+    return df.filter(split_bucket(F.col(key), salt=salt) < bound)

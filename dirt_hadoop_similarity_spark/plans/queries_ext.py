@@ -1231,3 +1231,41 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsub=_PQ_DSUB,
         ksub=_PQ_KSUB,
     )
+
+
+_STRAT_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0}
+_STRAT_DEFAULT = 0.1
+
+_STRAT_BUCKET = ("CAST(('0x' || substr(md5('stratified|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+                 "AS UBIGINT)::BIGINT % 10000")
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(round(r * 10000))}"
+        for g, r in _STRAT_RATES.items()
+    )
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE {_STRAT_BUCKET} < (CASE {cases} ELSE {int(round(_STRAT_DEFAULT * 10000))} END)
+GROUP BY source
+"""
+
+
+@register(
+    "stratified_sample",
+    _stratified_sql(),
+    "Per-source stratified sampling (the training-mix rebalancing knob): "
+    "deterministic md5-bucket thresholds per group — src0 kept fully, "
+    "src4 dropped, unlisted sources at 10%; tightening a rate always "
+    "yields a subset of the looser sample.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(
+        docs, _STRAT_RATES, "source", "doc_id", default_rate=_STRAT_DEFAULT
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))

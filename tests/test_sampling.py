@@ -69,3 +69,23 @@ def test_validation(docs):
         sampling.assign_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
     with pytest.raises(ValueError):
         sampling.deterministic_sample(docs, 1.5, "doc_id")
+
+
+def test_stratified_rates_and_subset(docs):
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = sampling.stratified_sample(docs, rates, "source", "doc_id",
+                                      default_rate=0.2)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] == full["src0"]          # rate 1.0 keeps all
+    assert "src2" not in counts                    # rate 0.0 drops all
+    assert 0 < counts.get("src1", 0) < full["src1"]
+    # tightening a group's rate yields a subset of the looser sample
+    tighter = sampling.stratified_sample(docs, {"src1": 0.25}, "source",
+                                         "doc_id", default_rate=0.0)
+    loose_ids = {r["doc_id"] for r in
+                 kept.filter("source = 'src1'").select("doc_id").collect()}
+    tight_ids = {r["doc_id"] for r in tighter.select("doc_id").collect()}
+    assert tight_ids <= loose_ids
