@@ -56,6 +56,31 @@ def salted_join(large: DataFrame, small: DataFrame, key: str,
     return big.join(replicas, [key, "_salt"], how).drop("_salt")
 
 
+def semi_prune(large: DataFrame, small: DataFrame, key: str) -> DataFrame:
+    """Pre-join pruning: drop large-side rows whose key cannot match the
+    small side BEFORE the expensive join/aggregation shuffles them.
+
+    A plain shuffle join moves every large-side row, matching or not;
+    when the small side hits a sliver of the key space (a test-set pair
+    list against a corpus-wide MI table, an id batch against the full
+    signature index), most of that shuffle is waste.  This helper makes
+    the reduction explicit as a broadcast left-semi: the small side's
+    distinct keys ride to every task and non-members die at the scan, so
+    downstream shuffle volume becomes |matches|, not |large|.  Exact
+    (semi, not approximate) — safe to reuse the pruned relation alone.
+
+    When the small side's keys outgrow the broadcast threshold, DON'T
+    use this — Spark's runtime Bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, verified on by
+    default in this build) handles that tier automatically: it plants an
+    approximate bloom of the creation side under the scan of the
+    application side for shuffle joins, which is exactly this pattern
+    with bounded memory.
+    """
+    keys = small.select(F.col(key)).distinct()
+    return large.join(F.broadcast(keys), key, "left_semi")
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
                    sort_by: str | None = None) -> None:
     """Persist as a bucketed (and optionally sorted) managed table —

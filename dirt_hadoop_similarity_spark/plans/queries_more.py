@@ -466,3 +466,36 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_last_10min"),
     )
+
+
+@register(
+    "window_sliding",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 1800000000 - o.off) * 1800000000)
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events, (SELECT unnest([0, 1]) AS off) o
+    GROUP BY window_start, event_type
+    """,
+    "Sliding (hopping) window aggregation: 1-hour windows every 30 min, "
+    "so each event lands in exactly window/slide = 2 windows.  Spark "
+    "expands via the native window() generator; the oracle expands each "
+    "event to its two epoch-aligned starts — same alignment rule "
+    "(floor(t/slide) - k), timezone-independent for sub-day windows.",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )

@@ -74,3 +74,30 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_semi_prune_exact_and_broadcast(spark, sf_dir):
+    """Pruning must not change join RESULTS, must actually drop
+    non-members, and must plan as a broadcast semi join (no shuffle of
+    the large side before the reduction)."""
+    from dirt_hadoop_similarity_spark.operators.scale import semi_prune
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderstatus = 'F'")
+        .select("o_orderkey")
+        .limit(50)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    plain = li.join(keys, "l_orderkey")
+    pruned_join = semi_prune(li, keys, "l_orderkey").join(keys, "l_orderkey")
+    assert plain.exceptAll(pruned_join).count() == 0
+    assert pruned_join.exceptAll(plain).count() == 0
+
+    pruned = semi_prune(li, keys, "l_orderkey")
+    assert 0 < pruned.count() < li.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
