@@ -54,10 +54,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct().cache()
 
+    # seed = min(self, neighbors): the first propagation step fused into
+    # the init aggregate — star-shaped clusters (the common dedup case)
+    # converge immediately, saving one full join round
     labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("component"))
         .cache()
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]

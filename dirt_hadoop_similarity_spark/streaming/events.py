@@ -87,6 +87,33 @@ def run_windowed_counts_smoke(
     return spark.table(query_name)
 
 
+def run_stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
+                          query_name: str = "stream_to_parquet") -> None:
+    """Exactly-once file sink: append-mode parquet with a checkpoint.
+
+    The checkpoint's offset log + the sink's file-commit log make the
+    pair idempotent across restarts: a re-run with the same checkpoint
+    resumes AFTER the last committed batch, so already-written rows are
+    never duplicated (the property at-least-once sources need;
+    test_streaming proves a second run appends zero rows).
+
+    ``availableNow`` trigger: process everything available, then stop —
+    the batch-like run mode for backfills and tests; swap for
+    ``processingTime`` in a continuous deployment.  Output files commit
+    atomically per batch via the sink's _spark_metadata log.
+    """
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def purchases_before_errors(events: DataFrame,
                             window_seconds: int = 1800) -> DataFrame:
     """Stream-stream interval join: for each error event, the purchases

@@ -146,3 +146,32 @@ def test_stream_quality_gate_equals_batch(spark, sf_dir):
     flagged = {r["doc_id"] for r in ann.filter("keep_quality").collect()}
     # gate is dedup-unaware: flagged is gate-survivors minus dup drops
     assert flagged <= set(s_rows)
+
+
+def test_stream_to_parquet_exactly_once_across_restarts(spark, sf_dir, tmp_path):
+    """Re-running the same stream with the same checkpoint must append
+    ZERO rows: the offset log + file-commit log give exactly-once."""
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = sev.stream_events(spark, sf_dir)
+    gated = sev.normalize_event_ts(src).filter("event_type = 'purchase'")
+
+    sev.run_stream_to_parquet(gated, out, ckpt, query_name="e1_once")
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # restart with the SAME checkpoint: source offsets already committed
+    src2 = sev.stream_events(spark, sf_dir)
+    gated2 = sev.normalize_event_ts(src2).filter("event_type = 'purchase'")
+    sev.run_stream_to_parquet(gated2, out, ckpt, query_name="e1_once_again")
+    n_second = spark.read.parquet(out).count()
+    assert n_second == n_first
+
+    # and the content matches the batch filter exactly
+    batch = (
+        sev.normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert n_first == batch
