@@ -1269,3 +1269,95 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _STRAT_RATES, "source", "doc_id", default_rate=_STRAT_DEFAULT
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination + BPE pair counting
+# ---------------------------------------------------------------------------
+
+_BENCH_IDS = (5, 17, 42, 101, 250)  # stand-in "benchmark/eval" documents
+_CONTAM_MIN_SHINGLES = 2
+
+_DECONTAM_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id IN ({', '.join(map(str, _BENCH_IDS))})
+),
+hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh s JOIN bench b ON b.shingle = s.shingle
+  WHERE s.doc_id NOT IN ({', '.join(map(str, _BENCH_IDS))})
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shared FROM hits WHERE n_shared >= {_CONTAM_MIN_SHINGLES}
+"""
+
+
+@register(
+    "decontaminate",
+    _DECONTAM_SQL,
+    "Eval-set decontamination: corpus documents sharing >= 2 distinct "
+    "3-gram shingles with the benchmark set get flagged (then dropped "
+    "from training data).  The benchmark shingle set is tiny -> "
+    "broadcast; the corpus side is the shared word_shingles relation, "
+    "so the check is one broadcast hash join, no shuffle of the corpus.",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3)
+    bench = (
+        sh.filter(F.col("doc_id").isin(*_BENCH_IDS))
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(~F.col("doc_id").isin(*_BENCH_IDS))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN_SHINGLES)
+    )
+
+
+_BPE_SQL = """
+WITH words AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM words)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair HAVING count(*) >= 100
+"""
+
+
+@register(
+    "bpe_pair_counts",
+    _BPE_SQL,
+    "BPE tokenizer training, one merge-step: corpus-wide adjacent "
+    "character-pair frequencies (the argmax pair becomes the next "
+    "merge).  Pure explode + groupBy with map-side partial aggregation "
+    "— the shuffle is |distinct pairs| (bounded by alphabet^2), not "
+    "corpus mass; the full trainer loops this with a merge table "
+    "broadcast back, same shape as kmeans_centroids' driver loop.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    ).alias("w")
+    # length >= 2: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    # (DuckDB's generate_series(1, 0) is empty) — 1-char words must be
+    # excluded explicitly or they emit phantom pairs
+    words = docs.select(w).filter(F.length("w") >= 2)
+    pair = F.expr("substr(w, i, 2)")
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(pair.alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
