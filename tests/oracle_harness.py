@@ -57,10 +57,9 @@ def _values_match(a, b) -> bool:
 
 
 def compare_query(spark, name: str, sf_dir: str) -> dict:
-    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
-    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+    from dirt_hadoop_similarity_spark.plans.queries import ordered_registry
 
-    qd = QUERIES[name]
+    qd = ordered_registry()[name]
     sdf = qd.fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -99,9 +98,9 @@ def compare_all(spark=None, sf_dir: str = "/root/testdata/sf0.001", names=None):
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
-    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+    from dirt_hadoop_similarity_spark.plans.queries import ordered_registry
 
+    registry = ordered_registry()
     own_session = spark is None
     if own_session:
         # VANILLA session on purpose — the driver harness constructs its
@@ -117,7 +116,7 @@ def compare_all(spark=None, sf_dir: str = "/root/testdata/sf0.001", names=None):
             .getOrCreate()
         )
     results = []
-    for name in names or QUERIES:
+    for name in names or registry:
         try:
             r = compare_query(spark, name, sf_dir)
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep

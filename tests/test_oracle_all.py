@@ -1,0 +1,65 @@
+"""Every registered query runs against its DuckDB oracle on every
+pytest run — the local replica of the driver's correctness gate.
+
+This closes round 2's verification hole: the driver samples only the
+first ``DRIVER_WINDOW`` registry entries per round, so for the deferred
+tail (``queries._DEFERRED``) THIS test is the per-round gate.  A query
+can no longer ship with an oracle that has never been executed.
+
+The session is a ``newSession()`` with the events-nanos conf forced
+back to the driver's vanilla default, so any conf a query needs must be
+set in the query path itself (the round-1 lesson: the tuned test
+session masked a 7-query driver failure).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dirt_hadoop_similarity_spark.plans.queries import (
+    DRIVER_WINDOW,
+    ordered_registry,
+)
+from oracle_harness import compare_query
+
+REGISTRY = ordered_registry()
+
+
+@pytest.fixture(scope="module")
+def oracle_spark(spark):
+    s = spark.newSession()
+    # Replicate the driver's vanilla session where it bit us before:
+    # events.parquet is TIMESTAMP(NANOS) and the QUERY PATH must set
+    # nanosAsLong itself (plans/queries.load), not inherit it.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return s
+
+
+@pytest.mark.parametrize("name", list(REGISTRY))
+def test_query_matches_oracle(name, oracle_spark, sf_dir):
+    r = compare_query(oracle_spark, name, sf_dir)
+    assert r["ok"], {k: v for k, v in r.items() if k != "name"}
+
+
+def test_driver_window_contract():
+    """Queries needing a fresh driver row this round sit inside the
+    window; everything past the window is oracle-backed (gated above)."""
+    names = list(REGISTRY)
+    head = set(names[:DRIVER_WINDOW])
+    must_be_windowed = {
+        # never driver-verified before round 3
+        "cube_status_priority",
+        "window_range_frame",
+        "window_sliding",
+        # code changed after last green driver row
+        "dirt_extract_counts",
+        # flagship composition: deliberate rows-only driver row
+        "dirt_full_pipeline",
+    }
+    missing = must_be_windowed - head
+    assert not missing, f"must sit in driver window: {missing}"
+    for n in names[DRIVER_WINDOW:]:
+        assert REGISTRY[n].oracle is not None, (
+            f"{n} is past the driver window with no oracle — it would "
+            "never be value-checked anywhere"
+        )
