@@ -205,6 +205,12 @@ def incremental_near_duplicates(corpus_sigs: DataFrame, batch_docs: DataFrame,
     the probe is pure partition pruning at 100 TB.
     """
     rows_per_band = max(rows_per_band, 1)
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) must equal "
+            f"num_hashes ({num_hashes}): the banded rows carry exactly the "
+            "signature columns the band layout consumes"
+        )
     batch_sigs = signature_index(
         batch_docs, n=n, num_hashes=num_hashes, text_col=text_col,
         id_col=id_col,
@@ -251,6 +257,12 @@ def minhash_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     k columns per document) while its lineage re-tokenizes every
     document."""
     rows_per_band = max(rows_per_band, 1)
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) must equal "
+            f"num_hashes ({num_hashes}): the banded rows carry exactly the "
+            "signature columns the band layout consumes"
+        )
     sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).cache()
 

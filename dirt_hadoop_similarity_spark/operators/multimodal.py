@@ -64,18 +64,21 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
-def decode_metadata(media: DataFrame, decoder: str = "fake",
-                    batch_size: int = 256) -> DataFrame:
+def decode_metadata(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode payloads to (width, height, channels) metadata.
 
     ``mapInPandas`` over the source partitions as-is — no shuffle.  Batch
-    backpressure comes from ``spark.sql.execution.arrow.maxRecordsPerBatch``
-    (set session-wide from ``batch_size`` below; it is an execution-time
-    conf, so it genuinely bounds each Arrow batch handed to ``_decode``)
-    plus ``spark.sql.files.maxPartitionBytes`` bounding per-task byte
-    volume at the scan.  An earlier version ``repartition``-ed the media
-    relation "to size batches" — that was a full shuffle of every payload
-    byte with zero semantic effect, a scale-killer at 100 TB.
+    backpressure is the CALLER's conf, not this operator's side effect:
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (an execution-time
+    conf; default 10000 rows/batch) bounds each Arrow batch handed to
+    ``_decode``, and ``spark.sql.files.maxPartitionBytes`` bounds
+    per-task byte volume at the scan.  Set both session-wide when payload
+    rows are large.  An earlier version set maxRecordsPerBatch inside
+    this function — a session-global mutation that silently changed
+    Arrow batching for every subsequent pandas-UDF query; and the
+    version before that ``repartition``-ed the media relation "to size
+    batches" — a full shuffle of every payload byte with zero semantic
+    effect, a scale-killer at 100 TB.  Neither survives.
     """
 
     def _decode(batches):
@@ -99,10 +102,6 @@ def decode_metadata(media: DataFrame, decoder: str = "fake",
                 }
             )
 
-    if batch_size:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
-        )
     return media.mapInPandas(_decode, DECODED_SCHEMA)
 
 

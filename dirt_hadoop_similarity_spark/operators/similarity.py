@@ -292,11 +292,19 @@ def kmeans_centroids(
         means = assigned.select(
             "cell", F.posexplode(vec_col).alias("i", "x")
         ).groupBy("cell", "i").agg(F.avg("x").alias("m"))
-        cent = means.groupBy("cell").agg(
+        updated = means.groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "m"))),
                 lambda s: s["m"].cast("float"),
             ).alias("cvec")
+        )
+        # a cell that attracted no vectors this round vanishes from the
+        # groupBy; keep its previous centroid so k never shrinks (likely
+        # with near-identical seeds — the first k vectors by id)
+        cent = (
+            cent.select("cell", F.col("cvec").alias("prev"))
+            .join(updated, "cell", "left")
+            .select("cell", F.coalesce("cvec", "prev").alias("cvec"))
         )
     return cent
 
@@ -466,11 +474,20 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 8, dsub: int = 8,
             .groupBy("sub", "code", "i")
             .agg(F.avg("x").alias("mx"))
         )
-        cb = means.groupBy("sub", "code").agg(
+        updated = means.groupBy("sub", "code").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "mx"))),
                 lambda s: F.round(s["mx"]).cast("long"),
             ).alias("cvec")
+        )
+        # keep the previous entry for any (sub, code) cell that emptied
+        # this iteration — the codebook must stay m × ksub
+        cb = (
+            cb.select("sub", "code", F.col("cvec").alias("prev"))
+            .join(updated, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce("cvec", "prev").alias("cvec")
+            )
         )
     subs.unpersist()
     return cb

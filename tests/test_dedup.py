@@ -75,3 +75,14 @@ def test_simhash_identical_and_disjoint(docs):
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got[(1, 2)] == 0
     assert got[(2, 5)] == 0
+
+
+def test_band_layout_guard(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must equal num_hashes"):
+        dedup.minhash_near_duplicates(df, num_hashes=16, bands=4, rows_per_band=2)
+    sigs = dedup.signature_index(df, num_hashes=8)
+    with pytest.raises(ValueError, match="must equal num_hashes"):
+        dedup.incremental_near_duplicates(
+            sigs, df, num_hashes=8, bands=3, rows_per_band=2
+        )

@@ -40,11 +40,14 @@ def test_decode_metadata_plan_has_no_exchange(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_decode_metadata_batch_size_sets_arrow_conf(spark):
-    multimodal.decode_metadata(_media(spark, ["x"]), batch_size=7)
-    assert (
-        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "7"
-    )
+def test_decode_metadata_leaves_session_conf_unchanged(spark):
+    # regression: an earlier version set arrow.maxRecordsPerBatch
+    # session-wide at plan-build time, silently changing Arrow batching
+    # for every subsequent pandas-UDF query in the session.
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    multimodal.decode_metadata(_media(spark, ["x"])).collect()
+    assert spark.conf.get(key, None) == before
 
 
 def test_feature_quantization_roundtrip(spark):

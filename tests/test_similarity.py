@@ -137,6 +137,35 @@ def test_kmeans_separates_blobs(spark):
     assert cells_a != cells_b
 
 
+def test_kmeans_keeps_k_when_cell_empties(spark):
+    """Near-identical seeds: ids 0 and 1 are the same vector, so after
+    the first assignment one of the two seed cells attracts nothing
+    (ties break to the lower cell).  The trainer must keep k centroids
+    instead of silently shrinking the codebook."""
+    rows = (
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, 0.0])]
+        + [(3 + i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(5)]
+        + [(8 + i, [0.01 * i, 1.0, 0.0, 0.0]) for i in range(5)]
+    )
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.kmeans_centroids(emb_df, k=3, iters=3)
+    rows_out = cent.collect()
+    assert len(rows_out) == 3
+    assert {r.cell for r in rows_out} == {0, 1, 2}
+    assert all(len(r.cvec) == 4 for r in rows_out)
+
+
+def test_pq_codebook_keeps_full_shape(spark, sf_dir):
+    """The trained PQ codebook must stay m × ksub even when codes empty
+    during training (duplicate seeds make that likely)."""
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    cb = similarity.pq_train_codebooks(emb_df, m=4, dsub=4, ksub=8, iters=3)
+    counts = {r.sub: r.n for r in cb.groupBy("sub").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 8, 1: 8, 2: 8, 3: 8}
+
+
 def test_ivf_topk_candidates_come_from_probed_cells(spark, sf_dir):
     from dirt_hadoop_similarity_spark.plans.queries import load
 
