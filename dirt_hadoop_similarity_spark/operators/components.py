@@ -18,21 +18,26 @@ Scale notes:
   * the edge relation is bounded by real duplication (it comes out of
     the banded equi-join, never all-pairs), so each iteration's join is
     |edges|-sized, not corpus-sized;
-  * per-iteration results are cached and the previous iteration
-    unpersisted — the driver loop would otherwise stack one join + agg
-    per iteration into a single exponential lineage (use
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint=True`` on a
-    real cluster for the same reason across executor failures);
+  * each iteration ends in ``localCheckpoint`` — the label relation
+    appears TWICE in its own successor (once as itself, once under the
+    message join), so the logical plan doubles per round; ``cache``
+    alone cuts recomputation but not the plan, which explodes past
+    ~8 rounds (observed: OOM building the explain string on a
+    diameter-8 graph).  ``localCheckpoint`` truncates lineage; on a
+    real cluster use ``setCheckpointDir`` + ``checkpoint()`` so the
+    cut also survives executor loss;
   * convergence is detected with a 1-row aggregate per iteration
     (sum of labels, strictly decreasing until fixpoint — SURVEY S6
     scalar-read pattern), so the loop does at most ``diameter + 1``
     passes.
 
-For graphs with adversarially long chains (path graphs), swap the plain
-propagation for the large-star/small-star variant (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) — same join
-shape, provably O(log n) rounds; plain propagation is the right default
-for dedup workloads and keeps the plan to one join per round.
+For graphs with adversarially long chains (path graphs), use
+:func:`connected_components_star` — the large-star/small-star variant
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): same output and join shape, provably O(log n) rounds.  Plain
+propagation stays the default for dedup workloads (near-clique
+clusters converge in 1-2 rounds with one join per round); the star
+variant is property-tested equivalent on random graphs.
 """
 
 from __future__ import annotations
@@ -60,7 +65,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = (
         und.groupBy(F.col("u").alias("node"))
         .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("component"))
-        .cache()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
 
@@ -73,7 +78,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .cache()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels.unpersist()
@@ -83,6 +88,118 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         prev_sum = new_sum
     und.unpersist()
     return labels
+
+
+def connected_components_star(edges: DataFrame, src: str = "id_a",
+                              dst: str = "id_b",
+                              max_iter: int = 25) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): same
+    (node, component) output as :func:`connected_components`, but
+    provably O(log n) rounds regardless of cluster diameter — the
+    variant to use when duplicate graphs can contain long chains
+    (plain min-propagation needs ~diameter rounds).
+
+    Per round, two keyed aggregations over the edge relation:
+
+      * LARGE-STAR — for every node u, connect each strictly-larger
+        neighbor to min(N(u) ∪ {u}); halves the depth of large subtrees.
+      * SMALL-STAR — for every node u over its smaller neighbors,
+        connect u and each non-min neighbor to the minimum; flattens
+        what large-star left.
+
+    Edges stay canonical (hi, lo) throughout, so every emission
+    (v, m) already satisfies v > m and one ``distinct`` canonicalizes
+    the round.  Convergence: a 1-row (count, Σ xxhash64(u,v)) edge-set
+    fingerprint per round — the star operations reach a fixpoint where
+    the edge set is exactly the union of stars rooted at each component
+    minimum, and an unchanged fingerprint detects it.  Each round ends
+    in ``localCheckpoint`` — unlike ``cache`` it TRUNCATES lineage, which
+    otherwise compounds two joins + three distincts per round into an
+    exponentially growing logical plan (plain propagation converges in
+    1-2 rounds on dedup graphs so cache-swap suffices there; the star
+    variant exists for high-diameter graphs where rounds stack up).  On
+    a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` so the cut survives executor loss.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    def _fingerprint(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    prev = _fingerprint(e)
+
+    for _ in range(max_iter):
+        # LARGE-STAR over the undirected view: m(u) = min(N(u) ∪ {u});
+        # each undirected edge {x, y} (x < y) is re-emitted exactly once
+        # as (y, m(x)) — by the grouping where it is the larger endpoint
+        und = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = und.groupBy("u").agg(
+            F.min(F.least(F.col("u"), F.col("v"))).alias("m")
+        )
+        large = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR on the directed (hi, lo) edges: every lo-neighbor
+        # and u itself connect to the group minimum
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(
+                F.col("u"),
+                F.col("v"),
+                F.col("m"),
+            )
+        )
+        new_e = (
+            small.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(small.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _fingerprint(new_e)
+        e.unpersist()
+        e = new_e
+        if cur == prev:
+            break
+        prev = cur
+
+    # at fixpoint every member points only at its root; roots have no
+    # outgoing (hi, lo) edge — they label themselves
+    members = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    roots = nodes.join(members.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    out = members.union(roots)
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def duplicate_clusters(edges: DataFrame, src: str = "id_a",

@@ -1029,6 +1029,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+@register(
+    "dedup_components_ls",
+    _COMPONENTS_SQL,
+    "Same duplicate clusters via the large-star/small-star algorithm "
+    "(Kiveris et al., SoCC'14) — O(log n) rounds regardless of cluster "
+    "diameter, for graphs where min-label propagation's diameter bound "
+    "bites.  Same oracle as dedup_components: both algorithms converge "
+    "to component = min reachable node id.",
+)
+def dedup_components_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import components
+
+    pairs = dedup.minhash_near_duplicates(
+        load(spark, sf_dir, "documents")
+    ).filter(F.col("est_jaccard") >= 0.5)
+    comp = components.connected_components_star(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 # ---------------------------------------------------------------------------
 # deterministic dataset splitting
 # ---------------------------------------------------------------------------

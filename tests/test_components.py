@@ -52,3 +52,66 @@ def test_duplicate_clusters_rollup(spark):
 
 def test_empty_edges(spark):
     assert components.connected_components(_edges(spark, [])).count() == 0
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min reachable id
+    return {x: find(x) for x in parent}
+
+
+def test_star_matches_plain_and_union_find_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        pairs = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 45))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        expected = _union_find(pairs)
+        edges = _edges(spark, pairs)
+        star = {
+            r["node"]: r["component"]
+            for r in components.connected_components_star(edges).collect()
+        }
+        plain = {
+            r["node"]: r["component"]
+            for r in components.connected_components(edges).collect()
+        }
+        assert star == expected, f"trial {trial}"
+        assert plain == expected, f"trial {trial}"
+
+
+def test_star_converges_on_long_chain(spark):
+    # path graph 0-1-2-...-59: diameter 59 breaks plain propagation at
+    # max_iter=25; the star variant needs O(log n) rounds
+    pairs = [(i, i + 1) for i in range(59)]
+    comp = components.connected_components_star(_edges(spark, pairs))
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {i: 0 for i in range(60)}
+
+
+def test_star_empty_and_self_loops(spark):
+    assert components.connected_components_star(_edges(spark, [])).count() == 0
+    comp = components.connected_components_star(
+        _edges(spark, [(3, 3), (4, 5)])
+    )
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {3: 3, 4: 4, 5: 4}
