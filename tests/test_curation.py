@@ -88,3 +88,40 @@ def test_empty_gate_yields_zero_budget_stage(spark):
     assert summary["4_quality_lang"]["n_docs"] == 0
     assert summary["5_token_budget"]["n_docs"] == 0
     assert summary["5_token_budget"]["n_tokens"] == 0
+
+
+def test_budget_cut_unpartitioned_window_stays_on_bucket_relation(spark):
+    """Pin the bound behind the 'WindowExec: No Partition Defined'
+    warning: the ONLY unpartitioned window in the budget plan is the
+    bucket-level cumsum over groupBy(quality) output (≤ ~1e6 rows — one
+    per distinct rounded quality), never the corpus-sized doc relation.
+    A refactor moving the cumsum onto docs would show an unpartitioned
+    window over n_tokens instead of _bucket_tokens, or drop the
+    Aggregate from its subtree."""
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with several words") for i in range(50)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.size(F.split("text", " ")))
+    gated = curation.quality_gate(docs, min_quality=0.0)
+    out = curation.budget_selection(gated)
+    lines = out._jdf.queryExecution().optimizedPlan().toString().splitlines()
+
+    def indent(line):
+        return len(line) - len(line.lstrip(" :+-"))
+
+    unpartitioned = [
+        i
+        for i, l in enumerate(lines)
+        # a partitioned Window prints [exprs], [partition], [sort] — three
+        # bracket groups; unpartitioned prints only [exprs], [sort]
+        if "Window [" in l and l.count("], [") == 1
+    ]
+    assert len(unpartitioned) == 1, lines
+    i = unpartitioned[0]
+    assert "_bucket_tokens" in lines[i], lines[i]
+    subtree = []
+    for line in lines[i + 1:]:
+        if indent(line) <= indent(lines[i]):
+            break
+        subtree.append(line)
+    assert any("Aggregate" in l and "quality" in l for l in subtree), subtree
