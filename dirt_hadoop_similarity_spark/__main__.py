@@ -63,7 +63,43 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--top-k", type=int, default=5, help="error-analysis samples per class"
     )
+    p.add_argument(
+        "--plot",
+        action="store_true",
+        help="also render precision_recall_curve.png (requires matplotlib; "
+        "without it the CSV points are still written and a note is printed)",
+    )
     return p
+
+
+def _plot_pr_curve(scan_rows, path: str) -> bool:
+    """Reference parity for analysis/evaluate_dirt.py:251-262's
+    precision_recall_curve.png; matplotlib is optional in this
+    environment, so the hook degrades to the CSV points."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print(
+            "matplotlib not installed; skipping PNG "
+            "(pr_curve.csv has the same points)",
+            file=sys.stderr,
+        )
+        return False
+    rec = [r["recall"] for r in scan_rows]
+    prec = [r["precision"] for r in scan_rows]
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.plot(rec, prec, marker=".", linewidth=1)
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_title("Precision-Recall curve")
+    ax.set_ylim(0.0, 1.05)
+    ax.grid(True, alpha=0.3)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return True
 
 
 def _fmt_pairs(rows) -> str:
@@ -140,6 +176,20 @@ def main(argv=None) -> int:
             .option("header", True)
             .csv(os.path.join(args.out, "pr_curve.csv"))
         )
+
+        if args.plot:
+            scan_rows = [
+                r.asDict()
+                for r in report["scan"]
+                .select("score", "precision", "recall")
+                .orderBy(F.desc("score"))
+                .collect()  # gold-set bounded (see pr_scan's plan pin)
+            ]
+            if _plot_pr_curve(
+                scan_rows,
+                os.path.join(args.out, "precision_recall_curve.png"),
+            ):
+                summary["pr_curve_png"] = True
 
         samples = {
             k: df.collect() for k, df in report["samples"].items()

@@ -81,3 +81,25 @@ def test_cli_no_testset(spark, tmp_path, capsys):
     assert "pairs_found" not in summary
     assert glob.glob(str(out / "mi.tsv" / "part-*"))
     assert not (out / "similarities.tsv").exists()
+
+
+def test_cli_plot_flag_degrades_without_matplotlib(spark, tmp_path, capsys):
+    corpus = tmp_path / "corpus3.txt"
+    corpus.write_text("\n".join(CORPUS) + "\n")
+    pos = tmp_path / "p3.txt"
+    pos.write_text("X chase Y\tX pursue Y\n")
+    neg = tmp_path / "n3.txt"
+    neg.write_text("X chase Y\tX die from Y\n")
+    out = tmp_path / "out3"
+    rc = cli_main(
+        [str(corpus), "--testset", str(pos), str(neg), "--out", str(out),
+         "--plot"]
+    )
+    assert rc == 0
+    try:
+        import matplotlib  # noqa: F401
+        assert (out / "precision_recall_curve.png").exists()
+    except ImportError:
+        # hook must degrade: CSV points still written, no crash
+        assert not (out / "precision_recall_curve.png").exists()
+        assert glob.glob(str(out / "pr_curve.csv" / "part-*"))
