@@ -37,6 +37,7 @@ HEADLINE = [
     "text_quality",
     "curation_funnel",
     "dedup_components",
+    "dedup_components_ls",
 ]
 
 
