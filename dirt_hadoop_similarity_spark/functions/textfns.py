@@ -173,3 +173,63 @@ def rolling_hash(text: Column, modulus: int = 1_000_000_007, base: int = 31) -> 
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % modulus,
     )
+
+
+def repetition_metrics(docs, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top_word_max: float = 0.3,
+                       top_bigram_max: float = 0.2):
+    """Gopher-style repetition quality metrics per document: top-word
+    fraction, top-bigram fraction, word-distribution entropy, and the
+    combined ``is_repetitive`` flag (Rae et al. 2021 §A1.1's
+    "repetition signals", word-level rendering).
+
+    Two explode→partial-agg passes keyed by document (words, bigrams)
+    joined back on the id — every aggregation map-side combines, no
+    corpus-wide state, so the shuffle volume is the per-doc distinct
+    token mass, not corpus mass.  Documents with fewer than 2 words are
+    excluded (bigram fraction undefined).
+    """
+    # tokenize ONCE (HOFs are interpreted — no subexpression elimination)
+    base = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+        .select(id_col, "t", F.size("t").alias("n_words"))
+        .filter(F.col("n_words") >= 2)
+    )
+
+    wc = (
+        base.select(id_col, "n_words", F.explode("t").alias("word"))
+        .groupBy(id_col, "n_words", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p = F.col("c") / F.col("n_words")
+    wstats = wc.groupBy(id_col, "n_words").agg(
+        F.max("c").alias("top_w"),
+        (-F.sum(p * F.log(p))).alias("entropy"),
+    )
+
+    bigrams = F.expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"
+    )
+    bstats = (
+        base.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bg"))
+    )
+
+    top_word_frac = F.col("top_w") / F.col("n_words")
+    top_bigram_frac = F.col("top_bg") / (F.col("n_words") - 1)
+    # a high fraction only signals repetition if the top item actually
+    # repeats — short fully-distinct docs have large 1/n fractions
+    return wstats.join(bstats, id_col).select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        F.round("entropy", 6).alias("word_entropy"),
+        (((top_bigram_frac >= top_bigram_max) & (F.col("top_bg") >= 2))
+         | ((top_word_frac >= top_word_max) & (F.col("top_w") >= 2))
+         ).alias("is_repetitive"),
+    )

@@ -70,13 +70,30 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # The correctness driver samples the FIRST `DRIVER_WINDOW` registry
 # entries in iteration order, so iteration order is part of the
 # verification contract.  Any query whose code changed since its last
-# driver-green row, or that has never had a driver row, must sit inside
-# the window.  `_DEFERRED` names the tail that may sit past it; every
-# name there must be (a) driver-green in a previous round, (b)
-# code-unchanged since that green row, and (c) oracle-backed, because
-# tests/test_oracle_all.py re-runs every oracle-backed entry against
-# DuckDB on each pytest run — the local gate that covers the tail.
+# driver-green row, or that has never had a driver row, goes in
+# `_PRIORITY` — those are guaranteed a driver row this round.
+# `_DEFERRED` names the tail that may sit past the window; every name
+# there must be (a) driver-green in a previous round, (b) code-unchanged
+# since that green row, and (c) oracle-backed.  Anything else keeps
+# registration order between the two; if the non-deferred set exceeds
+# the window, the overflow must also satisfy (a)-(c).  The safety net
+# for everything outside the window is tests/test_oracle_all.py, which
+# re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
+_PRIORITY = [
+    # first driver rows pending since round 2
+    "cube_status_priority",
+    "window_range_frame",
+    "window_sliding",
+    # code changed after last green driver row
+    "dirt_extract_counts",
+    # flagship composition: deliberate rows-only driver row
+    "dirt_full_pipeline",
+    # new in round 3 — never driver-sampled
+    "dedup_components_ls",
+    "dedup_cluster_keepers",
+    "text_repetition",
+]
 _DEFERRED = [
     "text_quality",
     "text_langid",
@@ -94,15 +111,21 @@ _DEFERRED = [
 
 
 def ordered_registry() -> dict[str, QueryDef]:
-    """The full registry, driver-window priority first, deferred tail last."""
+    """The full registry: priority first, deferred tail last, everything
+    else in registration order between them."""
     from dirt_hadoop_similarity_spark.plans import (  # noqa: F401 — register extensions
         queries_ext,
         queries_more,
     )
 
-    head = {n: q for n, q in QUERIES.items() if n not in _DEFERRED}
+    first = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    mid = {
+        n: q
+        for n, q in QUERIES.items()
+        if n not in _DEFERRED and n not in first
+    }
     tail = {n: QUERIES[n] for n in _DEFERRED if n in QUERIES}
-    return {**head, **tail}
+    return {**first, **mid, **tail}
 
 
 # ---------------------------------------------------------------------------

@@ -1048,6 +1048,111 @@ def dedup_components_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+_CLUSTER_KEEPERS_SQL = f"""
+WITH comp AS ({_COMPONENTS_SQL}),
+sel AS (
+  SELECT c.component, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keeper_chars
+FROM sel GROUP BY component
+"""
+
+
+@register(
+    "dedup_cluster_keepers",
+    _CLUSTER_KEEPERS_SQL,
+    "Canonical-document selection per duplicate cluster: components over "
+    "the MinHash pair graph, then keep the RICHEST member (max n_chars, "
+    "tie-break min id) instead of the min-id default — the policy real "
+    "curation runs want when duplicates differ in truncation.  Window "
+    "argmax is keyed by component, so no global ordering.",
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dirt_hadoop_similarity_spark.operators import components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = components.connected_components(pairs)
+    joined = comp.join(
+        docs.select("doc_id", "n_chars"),
+        comp["node"] == F.col("doc_id"),
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "keeper_chars"
+            ),
+        )
+    )
+
+
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, toks, len(toks) AS n_words
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 2
+),
+wc AS (
+  SELECT doc_id, n_words, word, count(*) AS c
+  FROM (SELECT doc_id, n_words, unnest(toks) AS word FROM base)
+  GROUP BY doc_id, n_words, word
+),
+wstats AS (
+  SELECT doc_id, n_words, max(c) AS top_w,
+         -sum((c * 1.0 / n_words) * ln(c * 1.0 / n_words)) AS entropy
+  FROM wc GROUP BY doc_id, n_words
+),
+bstats AS (
+  SELECT doc_id, max(c) AS top_bg FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM base)
+    GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       round(w.top_w * 1.0 / w.n_words, 6) AS top_word_frac,
+       round(b.top_bg * 1.0 / (w.n_words - 1), 6) AS top_bigram_frac,
+       round(w.entropy, 6) AS word_entropy,
+       ((b.top_bg * 1.0 / (w.n_words - 1) >= 0.2 AND b.top_bg >= 2)
+        OR (w.top_w * 1.0 / w.n_words >= 0.3 AND w.top_w >= 2)) AS is_repetitive
+FROM wstats w JOIN bstats b ON b.doc_id = w.doc_id
+"""
+
+
+@register(
+    "text_repetition",
+    _REPETITION_SQL,
+    "Gopher-style repetition quality signals per document (Rae et al. "
+    "2021 §A1.1, word-level): top-word fraction, top-bigram fraction, "
+    "word-distribution entropy, combined is_repetitive flag.  Two "
+    "doc-keyed explode→partial-agg passes; shuffle volume is per-doc "
+    "distinct token mass.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfns.repetition_metrics(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # deterministic dataset splitting
 # ---------------------------------------------------------------------------

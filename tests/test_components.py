@@ -115,3 +115,31 @@ def test_star_empty_and_self_loops(spark):
     )
     rows = {r["node"]: r["component"] for r in comp.collect()}
     assert rows == {3: 3, 4: 4, 5: 4}
+
+
+def test_cluster_keepers_picks_richest_member(spark):
+    """dedup_cluster_keepers policy on a hand-built graph: keeper is the
+    max-n_chars member, tie-break min id."""
+    from dirt_hadoop_similarity_spark.plans.queries import ordered_registry  # noqa: F401
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    comp = components.connected_components(
+        _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 4)], "doc_id long, n_chars long"
+    )
+    joined = comp.join(docs, comp["node"] == docs["doc_id"])
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    keepers = {
+        r.component: (r.keeper_id, r.keeper_chars)
+        for r in joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keeper_chars"),
+        )
+        .collect()
+    }
+    assert keepers == {1: (2, 99), 7: (7, 5)}

@@ -44,19 +44,11 @@ def test_query_matches_oracle(name, oracle_spark, sf_dir):
 def test_driver_window_contract():
     """Queries needing a fresh driver row this round sit inside the
     window; everything past the window is oracle-backed (gated above)."""
+    from dirt_hadoop_similarity_spark.plans.queries import _PRIORITY
+
     names = list(REGISTRY)
     head = set(names[:DRIVER_WINDOW])
-    must_be_windowed = {
-        # never driver-verified before round 3
-        "cube_status_priority",
-        "window_range_frame",
-        "window_sliding",
-        # code changed after last green driver row
-        "dirt_extract_counts",
-        # flagship composition: deliberate rows-only driver row
-        "dirt_full_pipeline",
-    }
-    missing = must_be_windowed - head
+    missing = set(_PRIORITY) - head
     assert not missing, f"must sit in driver window: {missing}"
     for n in names[DRIVER_WINDOW:]:
         assert REGISTRY[n].oracle is not None, (

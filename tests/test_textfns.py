@@ -60,3 +60,39 @@ def test_rolling_hash_deterministic(spark):
     for ch in "hello world":
         expect = (expect * 31 + ord(ch)) % 1_000_000_007
     assert v1 == expect
+
+
+def test_repetition_metrics_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one word: top_word 1.0, bigram "a a" x3
+            (2, "a b c d"),          # all distinct
+            (3, "x y x y x"),        # alternating
+            (4, "solo"),             # <2 words -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textfns.repetition_metrics(docs).collect()}
+    assert set(out) == {1, 2, 3}
+
+    r1 = out[1]
+    assert r1.n_words == 4
+    assert r1.top_word_frac == 1.0
+    assert r1.top_bigram_frac == 1.0
+    assert r1.word_entropy == 0.0  # -1*ln(1)
+    assert r1.is_repetitive
+
+    r2 = out[2]
+    assert r2.top_word_frac == 0.25
+    assert r2.top_bigram_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert r2.word_entropy == pytest.approx(math.log(4), abs=1e-6)
+    assert not r2.is_repetitive
+
+    r3 = out[3]  # x:3/5, y:2/5; bigrams: "x y" x2, "y x" x2 of 4
+    assert r3.top_word_frac == 0.6
+    assert r3.top_bigram_frac == 0.5
+    expected_h = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
+    assert r3.word_entropy == pytest.approx(expected_h, abs=1e-6)
+    assert r3.is_repetitive
