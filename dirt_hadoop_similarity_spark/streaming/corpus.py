@@ -12,6 +12,7 @@ plumbing that runs it as a stream.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dirt_hadoop_similarity_spark.operators import curation
 
@@ -54,3 +55,68 @@ def run_quality_gate_smoke(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_est_jaccard: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    query_name: str = "incremental_dedup",
+) -> None:
+    """Near-dup dedup AT INGEST: each micro-batch is checked against the
+    persisted corpus signature index (``operators/dedup.signature_index``
+    parquet at ``index_path``) and only documents with no near-duplicate
+    in the corpus land in ``out_path``.
+
+    ``foreachBatch`` because the per-batch logic is a JOIN against a
+    batch-side relation Structured Streaming's incremental planner
+    can't express as a stateful op: the batch's banded rows broadcast
+    against the (bucketable, partition-prunable) index — exactly
+    ``dedup.incremental_near_duplicates``'s daily-ingest plan, run once
+    per micro-batch.  The index stays FIXED for the run: intra-ingest
+    duplicates (two new docs duplicating each other) are intentionally
+    left to the downstream batch components pass, which keeps every
+    micro-batch's decision independent — so stream output == the batch
+    operator's output on the same documents regardless of how the
+    source was split into batches (asserted in test_streaming), and
+    foreachBatch's at-least-once re-delivery is harmless because the
+    decision for a given doc is deterministic and the parquet append is
+    checkpoint-gated per batch id.
+
+    A nightly compaction then appends the day's survivors' signatures
+    to the index (one batch ``signature_index`` run) — read-modify-write
+    on the index stays OUT of the hot ingest path.
+    """
+    from dirt_hadoop_similarity_spark.operators import dedup
+
+    index_df = spark.read.parquet(index_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        dups = dedup.incremental_near_duplicates(
+            index_df,
+            batch_df,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+        ).filter(F.col("est_jaccard") >= min_est_jaccard)
+        survivors = batch_df.join(
+            dups.select(F.col("batch_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()

@@ -175,3 +175,55 @@ def test_stream_to_parquet_exactly_once_across_restarts(spark, sf_dir, tmp_path)
         .count()
     )
     assert n_first == batch
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Dedup-at-ingest: the foreachBatch stream against a persisted
+    signature index must keep exactly the docs the batch operator keeps,
+    regardless of micro-batch splits (2 files -> 2 batches here)."""
+    from dirt_hadoop_similarity_spark.operators import dedup
+    from dirt_hadoop_similarity_spark.streaming import corpus as sco
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    new_docs = docs.filter(F.col("doc_id") >= 300)
+
+    index_path = str(tmp_path / "sig_index")
+    dedup.signature_index(corpus).write.parquet(index_path)
+
+    # land the new docs as two files so availableNow runs >1 micro-batch
+    landing = tmp_path / "landing"
+    new_docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(landing / "f0")
+    )
+    new_docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(landing / "f1")
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(sco.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(landing))
+    )
+
+    out_path = str(tmp_path / "deduped")
+    sco.run_incremental_dedup_stream(
+        spark, stream, index_path, out_path, str(tmp_path / "ckpt"),
+        query_name="incr_dedup_test",
+    )
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+
+    dups = dedup.incremental_near_duplicates(
+        spark.read.parquet(index_path), new_docs
+    ).filter(F.col("est_jaccard") >= 0.5)
+    expect = {
+        r.doc_id
+        for r in new_docs.join(
+            dups.select(F.col("batch_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) < new_docs.count()  # the index really dropped dups
