@@ -93,6 +93,7 @@ _PRIORITY = [
     "dedup_components_ls",
     "dedup_cluster_keepers",
     "text_repetition",
+    "vocab_oov_rate",
 ]
 _DEFERRED = [
     "text_quality",

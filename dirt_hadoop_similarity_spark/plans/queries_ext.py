@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from dirt_hadoop_similarity_spark.functions import textfns
 from dirt_hadoop_similarity_spark.operators import dedup, multimodal, similarity
-from dirt_hadoop_similarity_spark.plans.queries import load, register
+from dirt_hadoop_similarity_spark.plans.queries import QUERIES, load, register
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -1048,6 +1048,74 @@ def dedup_components_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+_VOCAB_SIZE = 20
+
+_VOCAB_OOV_SQL = f"""
+WITH d AS (
+  SELECT {{bucket}} AS bucket,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split,
+         unnest(toks) AS word
+  FROM d
+),
+tc AS (SELECT word, count(*) AS c FROM s WHERE split = 'train' GROUP BY word),
+vocab AS (SELECT word FROM tc ORDER BY c DESC, word LIMIT {_VOCAB_SIZE})
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS oov_rate
+FROM s LEFT JOIN vocab v ON v.word = s.word
+GROUP BY split
+"""
+
+
+@register(
+    "vocab_oov_rate",
+    None,  # oracle filled in below (needs the split-bucket expression)
+    "Vocabulary coverage diagnostic: top-N vocabulary built from the "
+    "TRAIN split only (count desc, word asc tiebreak — deterministic "
+    "boundary), then per-split token counts and out-of-vocabulary "
+    "rates.  Vocab selection is orderBy+limit (distributed TakeOrdered, "
+    "never a materialized global sort) and the vocab is broadcast into "
+    "the coverage join; split assignment is the same hash-bucket "
+    "derivation as dataset_split, so eval never leaks into the vocab.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    with_split = sampling.assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    words = with_split.select(
+        "split", F.explode(textfns.tokens(F.col("text"))).alias("word")
+    )
+    vocab = (
+        words.filter(F.col("split") == "train")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(_VOCAB_SIZE)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            F.round(n_oov / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
 _CLUSTER_KEEPERS_SQL = f"""
 WITH comp AS ({_COMPONENTS_SQL}),
 sel AS (
@@ -1159,6 +1227,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_BUCKET = ("CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
                  "AS UBIGINT)::BIGINT % 10000")
+
+# vocab_oov_rate registers above (text section) but its oracle needs the
+# split-bucket derivation defined here
+QUERIES["vocab_oov_rate"].oracle = _VOCAB_OOV_SQL.format(bucket=_SPLIT_BUCKET)
 
 _SPLIT_SQL = f"""
 WITH b AS (
