@@ -189,6 +189,32 @@ def signature_index(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     )
 
 
+def compact_signature_index(spark, new_docs: DataFrame, index_path: str,
+                            out_path: str, n: int = 3, num_hashes: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> None:
+    """Nightly index compaction: merge a day's accepted documents into
+    the persisted signature index as a NEW snapshot at ``out_path``.
+
+    Only the new docs are shingled+hashed; the existing index is read
+    as-is (never recomputed).  The merge dedupes by id with the
+    EXISTING row winning, so re-running a day's compaction is
+    idempotent — critical because duplicated index rows would inflate
+    ``incremental_near_duplicates``'s ``n_bands_matched``.  Writing a
+    fresh snapshot (swap the reader's path, then delete the old one)
+    rather than appending in place keeps readers consistent and makes
+    the operation atomic at the directory level.
+    """
+    existing = spark.read.parquet(index_path)
+    new_sigs = signature_index(
+        new_docs, n=n, num_hashes=num_hashes, text_col=text_col,
+        id_col=id_col,
+    ).join(existing.select(id_col), id_col, "left_anti")
+    existing.unionByName(new_sigs).write.mode("errorifexists").parquet(
+        out_path
+    )
+
+
 def incremental_near_duplicates(corpus_sigs: DataFrame, batch_docs: DataFrame,
                                 n: int = 3, num_hashes: int = 8,
                                 bands: int = 4, rows_per_band: int = 2,
