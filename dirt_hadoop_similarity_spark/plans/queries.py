@@ -94,7 +94,14 @@ _PRIORITY = [
     "dedup_cluster_keepers",
     "text_repetition",
     "vocab_oov_rate",
+    "join_salted_skew",
 ]
+
+# Rows-only-by-design queries that may sit past the window: engine-
+# specific sketch outputs cannot value-match any oracle; their accuracy
+# bounds are pytest-pinned (test_queries_misc) and they held a rows-only
+# driver row in a previous round.
+_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 _DEFERRED = [
     "text_quality",
     "text_langid",

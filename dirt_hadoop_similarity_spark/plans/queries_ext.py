@@ -1048,6 +1048,39 @@ def dedup_components_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+@register(
+    "join_salted_skew",
+    """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_quantity), 4) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    "Skew-resilient salted join (operators/scale.salted_join) value-"
+    "checked against the PLAIN join oracle: salting must be a pure "
+    "physical rewrite — large side salted per row, small side "
+    "replicated, join on (key, salt) — with bit-identical aggregate "
+    "results.  The driver row proves the rewrite's result invariance; "
+    "the no-hot-partition property is pinned in tests/test_scale.py.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import scale
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        scale.salted_join(li, part, "p_partkey", salt=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+    )
+
+
 _VOCAB_SIZE = 20
 
 _VOCAB_OOV_SQL = f"""
