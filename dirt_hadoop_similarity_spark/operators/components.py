@@ -156,6 +156,10 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
         mins = und.groupBy("u").agg(
             F.min(F.least(F.col("u"), F.col("v"))).alias("m")
         )
+        # the distinct is load-bearing for dense clusters: every member
+        # of a k-clique has its (member, root) edge re-emitted by ~k
+        # neighborhoods, so skipping canonicalization here feeds k×
+        # duplicates into the small-star stage (measured slower)
         large = (
             und.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
