@@ -61,3 +61,17 @@ def test_driver_window_contract():
             f"{n} is past the driver window with no oracle — it would "
             "never be value-checked anywhere"
         )
+
+
+def test_entry_contract(oracle_spark, sf_dir):
+    """The driver's smoke check, locally: entry() runs on a vanilla-conf
+    session and yields rows with a stable schema; queries()/oracle_sql()
+    keys line up."""
+    import __spark_entry__ as e
+
+    df = e.entry(oracle_spark)
+    assert df.columns == ["p1", "p2", "score"]
+    assert len(df.take(1)) == 1
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(callable(fn) for fn in qs.values())
