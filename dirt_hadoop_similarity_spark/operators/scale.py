@@ -20,7 +20,7 @@ enough at the 100 TB tier:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -96,3 +96,30 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     """Join two same-bucketed tables; with matching bucket specs Catalyst
     plans a SortMergeJoin with NO Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """The diagnosis that precedes salting: the ``top`` hottest keys with
+    their frequency, rank, and multiple-of-average-load.
+
+    Scale shape: one partial-aggregated groupBy, a 1-row average
+    broadcast, and orderBy+limit (distributed TakeOrdered) BEFORE the
+    ranking window — the unpartitioned window only ever sees ``top``
+    rows, never the key space.  Read `x_avg` against the executor count:
+    a key at 40x average on a 32-slot stage is a straggler; reach for
+    `salted_sum`/`salted_join` (or AQE skew-join for joins).
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    avg = counts.agg(F.avg("n").alias("_avg_n"))
+    hot = counts.orderBy(F.desc("n"), F.asc(key)).limit(top)
+    w = Window.orderBy(F.desc("n"), F.asc(key))
+    return (
+        hot.crossJoin(F.broadcast(avg))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col(key).cast("long").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            "rank",
+            F.round(F.col("n") / F.col("_avg_n"), 6).alias("x_avg"),
+        )
+    )

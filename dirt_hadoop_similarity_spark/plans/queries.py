@@ -95,6 +95,7 @@ _PRIORITY = [
     "text_repetition",
     "vocab_oov_rate",
     "join_salted_skew",
+    "skew_profile",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-

@@ -1081,6 +1081,34 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_profile",
+    """
+    WITH c AS (SELECT l_suppkey AS key, count(*) AS n
+               FROM lineitem GROUP BY 1),
+    s AS (SELECT avg(n) AS avg_n FROM c),
+    t AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank
+          FROM c)
+    SELECT CAST(t.key AS BIGINT) AS key,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(t.rank AS BIGINT) AS rank,
+           round(t.n / s.avg_n, 6) AS x_avg
+    FROM t, s WHERE t.rank <= 10
+    """,
+    "Hot-key diagnosis (operators/scale.key_skew_profile): top-10 keys "
+    "by row count with rank and multiple-of-average load — the "
+    "measurement that decides between AQE skew-join, salting, and "
+    "doing nothing.  TakeOrdered before the ranking window, so the "
+    "unpartitioned window sees 10 rows, not the key space.",
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import scale
+
+    return scale.key_skew_profile(
+        load(spark, sf_dir, "lineitem"), "l_suppkey", top=10
+    )
+
+
 _VOCAB_SIZE = 20
 
 _VOCAB_OOV_SQL = f"""

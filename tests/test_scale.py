@@ -101,3 +101,21 @@ def test_semi_prune_exact_and_broadcast(spark, sf_dir):
     assert 0 < pruned.count() < li.count()
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_key_skew_profile_values_and_bounded_window(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 50 + [(2,)] * 30 + [(i, ) for i in range(3, 23)],
+        "k long",
+    )
+    prof = scale.key_skew_profile(df, "k", top=3)
+    rows = {r.rank: r for r in prof.collect()}
+    assert [rows[i].key for i in (1, 2, 3)] == [1, 2, 3]
+    assert rows[1].n == 50 and rows[2].n == 30 and rows[3].n == 1
+    # 22 keys, 100 rows -> avg 100/22
+    assert rows[1].x_avg == pytest.approx(50 / (100 / 22), abs=1e-6)
+    # the ranking window must sit ABOVE the top-k limit, never on the
+    # full key space
+    plan = prof._jdf.queryExecution().optimizedPlan().toString()
+    w_pos = plan.index("Window")
+    assert "GlobalLimit" in plan[w_pos:], plan
