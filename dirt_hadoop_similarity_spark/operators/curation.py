@@ -287,3 +287,59 @@ def curate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
         id_col=id_col,
     ).filter("in_budget")
     return docs.join(kept.select(id_col), id_col, "left_semi")
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic corpus order and assigned to fixed-``seq_len``
+    training bins by their global token offset (``bin = floor(offset /
+    seq_len)`` — the doc starts in that bin; boundary-crossing docs
+    spill into the next, as GPT-style packing splits them).
+
+    The global token offset is the budget_selection two-level cumsum,
+    NOT a corpus-wide window: docs are hash-bucketed (same md5
+    derivation as dataset splits, so layout is repartition-stable),
+    bucket token totals prefix-sum over the ≤GRANULARITY bucket
+    relation, and each doc adds its within-bucket cumsum — the only
+    unpartitioned window input is the bucket relation.  Adds
+    ``bin_id`` and ``token_offset``.
+    """
+    from dirt_hadoop_similarity_spark.operators.sampling import split_bucket
+
+    with_bucket = docs.withColumn(
+        "_bucket", split_bucket(F.col(id_col), salt="pack")
+    )
+    bucket_totals = with_bucket.groupBy("_bucket").agg(
+        F.sum(tokens_col).alias("_bucket_tokens")
+    )
+    over_buckets = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_cum = bucket_totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bucket_tokens").over(over_buckets), F.lit(0))
+        .cast("long")
+        .alias("_tokens_before_bucket"),
+    )
+    in_bucket = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_bucket.join(bucket_cum, "_bucket")
+        .withColumn(
+            "token_offset",
+            (
+                F.col("_tokens_before_bucket")
+                + F.coalesce(F.sum(tokens_col).over(in_bucket), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "bin_id", F.floor(F.col("token_offset") / seq_len).cast("long")
+        )
+        .drop("_bucket", "_tokens_before_bucket")
+    )

@@ -96,6 +96,7 @@ _PRIORITY = [
     "vocab_oov_rate",
     "join_salted_skew",
     "skew_profile",
+    "sequence_packing",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-

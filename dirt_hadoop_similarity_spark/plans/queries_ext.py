@@ -1293,6 +1293,55 @@ _SPLIT_BUCKET = ("CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
 # split-bucket derivation defined here
 QUERIES["vocab_oov_rate"].oracle = _VOCAB_OOV_SQL.format(bucket=_SPLIT_BUCKET)
 
+_PACK_BUCKET = ("CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+                "AS UBIGINT)::BIGINT % 10000")
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens,
+         {_PACK_BUCKET} AS bucket
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS token_offset
+  FROM d
+)
+SELECT CAST(token_offset // 512 AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) / 512.0, 6) AS fill
+FROM o GROUP BY bin_id
+"""
+
+
+@register(
+    "sequence_packing",
+    _PACK_SQL,
+    "Concat-and-chunk sequence packing (curation.pack_sequences): docs "
+    "laid out in hash-bucketed deterministic order, assigned to fixed "
+    "512-token training bins by global token offset; per-bin doc/token "
+    "counts and fill rate.  The offset is the two-level bucket cumsum — "
+    "the oracle's flat ORDER BY cumsum over the whole corpus is exactly "
+    "what the Spark plan avoids, and both must agree bit-for-bit.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import curation
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", textfns.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = curation.pack_sequences(docs, seq_len=512)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / 512.0, 6).alias("fill"),
+    )
+
 _SPLIT_SQL = f"""
 WITH b AS (
   SELECT doc_id, {_SPLIT_BUCKET} AS bucket,

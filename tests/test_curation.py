@@ -125,3 +125,37 @@ def test_budget_cut_unpartitioned_window_stays_on_bucket_relation(spark):
             break
         subtree.append(line)
     assert any("Aggregate" in l and "quality" in l for l in subtree), subtree
+
+
+def test_pack_sequences_offsets_exact_and_bucket_windowed(spark):
+    """token_offset must equal the local prefix sum over (bucket, id)
+    order, and the only unpartitioned window in the plan must consume
+    the bucket aggregate (same bound as budget_selection)."""
+    from dirt_hadoop_similarity_spark.operators.sampling import GRANULARITY
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    packed = curation.pack_sequences(docs, seq_len=64)
+    rows = packed.collect()
+
+    import hashlib
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"pack|{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % GRANULARITY
+
+    order = sorted(
+        [(bucket(i), i, 10 + i % 7) for i in range(40)]
+    )
+    offsets, acc = {}, 0
+    for _, i, n in order:
+        offsets[i] = acc
+        acc += n
+    for r in rows:
+        assert r.token_offset == offsets[r.doc_id], r
+        assert r.bin_id == offsets[r.doc_id] // 64
+
+    lines = packed._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    unpart = [l for l in lines if "Window [" in l and l.count("], [") == 1]
+    assert len(unpart) == 1 and "_bucket_tokens" in unpart[0], unpart
