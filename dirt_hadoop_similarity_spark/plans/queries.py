@@ -104,6 +104,12 @@ _PRIORITY = [
 # bounds are pytest-pinned (test_queries_misc) and they held a rows-only
 # driver row in a previous round.
 _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
+# Rotation policy: entries whose last driver-green row is OLDEST stay in
+# the window; the deferred tail is drawn from the MOST recently checked
+# round.  Round 3: the r02-green simple queries below sit out so the six
+# entries last checked in r01 (q3_shipping_priority, dedup_distinct,
+# profile_approx, unpivot_orderstatus, percentile_exact, profile_columns)
+# rotate back inside the 50-entry window.
 _DEFERRED = [
     "text_quality",
     "text_langid",
@@ -117,6 +123,13 @@ _DEFERRED = [
     "stratified_sample",
     "decontaminate",
     "bpe_pair_counts",
+    # r02-green, code-unchanged, deferred for the round-3 rotation
+    "least_greatest_pairs",
+    "window_cumsum",
+    "mi_expression",
+    "union_label",
+    "pivot_orderstatus",
+    "window_tumbling",
 ]
 
 
