@@ -67,6 +67,81 @@ def deterministic_sample(df: DataFrame, rate: float, key: str,
     return df.filter(split_bucket(F.col(key), salt=salt) < bound)
 
 
+def mixture_resample(df: DataFrame, parts: dict[str, int], group_col: str,
+                     key: str, max_repeat: int = 1,
+                     salt: str = "mixture") -> DataFrame:
+    """Resample to a target group mixture (the pretraining-mix builder:
+    "the corpus is 80% web / 5% books, train on 50/20" — e.g. The Pile's
+    per-source epoch weights).  ``parts`` gives integer mixture weights
+    (relative, need not sum to anything); groups not listed are dropped.
+    The output is the LARGEST corpus with that exact mixture in which no
+    group repeats more than ``max_repeat`` epochs; a row appears once per
+    epoch with an ``epoch`` column (1-based), so ``max_repeat=1`` is
+    downsample-only.
+
+    The rates are data-dependent, but everything stays in-plan: a
+    column-pruned count pass (k rows out), a 1-row min for the budget,
+    and the k-row factor table broadcast back onto the corpus — no
+    driver-side arithmetic, no collect.  All derivations are bigint
+    ``div`` arithmetic, so Spark and a SQL oracle agree bit-for-bit
+    (no float rate ever rounds differently).  Membership of the
+    fractional last epoch is the same (salt, key) hash bucket as
+    :func:`deterministic_sample`: repartition-proof, and raising a
+    group's weight only ever ADDS epochs for a given key.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    for g, p in parts.items():
+        if not isinstance(p, int) or isinstance(p, bool) or p <= 0:
+            raise ValueError(f"part for {g!r} must be a positive int, got {p!r}")
+    if max_repeat < 1:
+        raise ValueError(f"max_repeat must be >= 1, got {max_repeat}")
+    s = sum(parts.values())
+
+    part_col = F.lit(None).cast("long")
+    for g, p in parts.items():
+        part_col = F.when(F.col(group_col) == g, F.lit(p).cast("long")).otherwise(part_col)
+
+    listed = df.filter(F.col(group_col).isin(*parts))
+    counts = (
+        listed.withColumn("_parts", part_col)
+        .groupBy(group_col, "_parts")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    # budget = largest output size whose mixture needs <= max_repeat
+    # epochs from every group (the scarcest group binds).
+    budget = counts.select(
+        F.expr(f"min(_n * {max_repeat} * {s} div _parts)").alias("_budget")
+    )
+    factors = (
+        counts.crossJoin(F.broadcast(budget))
+        .withColumn("_need", F.expr("_parts * _budget"))  # units: rows * s
+        .withColumn("_epochs", F.expr(f"_need div ({s} * _n)"))
+        .withColumn(
+            "_rem_bound",
+            F.expr(f"(_need - _epochs * {s} * _n) * {GRANULARITY} div ({s} * _n)"),
+        )
+        .select(group_col, "_epochs", "_rem_bound")
+    )
+    gated = (
+        listed.join(F.broadcast(factors), group_col)
+        .withColumn(
+            "_copies",
+            F.col("_epochs")
+            + F.when(split_bucket(F.col(key), salt=salt) < F.col("_rem_bound"),
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+        # sequence(1, 0) would DESCEND in Spark — gate before exploding
+        .filter(F.col("_copies") >= 1)
+    )
+    return (
+        gated.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies")))
+        )
+        .drop("_epochs", "_rem_bound", "_copies")
+    )
+
+
 def stratified_sample(df: DataFrame, rates: dict[str, float], group_col: str,
                       key: str, default_rate: float = 0.0,
                       salt: str = "stratified") -> DataFrame:

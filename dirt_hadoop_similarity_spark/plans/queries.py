@@ -97,6 +97,7 @@ _PRIORITY = [
     "join_salted_skew",
     "skew_profile",
     "sequence_packing",
+    "mixture_resample",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -130,6 +131,7 @@ _DEFERRED = [
     "union_label",
     "pivot_orderstatus",
     "window_tumbling",
+    "global_scalar",
 ]
 
 

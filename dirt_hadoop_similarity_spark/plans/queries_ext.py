@@ -1577,6 +1577,68 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+_MIX_PARTS = {"en": 5, "zh": 2, "es": 2, "de": 1}  # fr unlisted -> dropped
+_MIX_REPEAT = 2
+_MIX_S = sum(_MIX_PARTS.values())
+
+_MIX_BUCKET = ("CAST(('0x' || substr(md5('mixture|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+               "AS UBIGINT)::BIGINT % 10000")
+
+
+def _mixture_sql() -> str:
+    case = " ".join(
+        f"WHEN lang = '{g}' THEN CAST({p} AS BIGINT)"
+        for g, p in _MIX_PARTS.items()
+    )
+    langs = ", ".join(f"'{g}'" for g in _MIX_PARTS)
+    s = _MIX_S
+    return f"""
+WITH listed AS (
+  SELECT doc_id, lang, CASE {case} END AS parts
+  FROM documents WHERE lang IN ({langs})
+),
+counts AS (
+  SELECT lang, parts, CAST(count(*) AS BIGINT) AS n
+  FROM listed GROUP BY lang, parts
+),
+budget AS (SELECT min((n * {_MIX_REPEAT} * {s}) // parts) AS b FROM counts),
+factors AS (
+  SELECT lang,
+         (parts * b) // ({s} * n) AS epochs,
+         ((parts * b) - ((parts * b) // ({s} * n)) * {s} * n) * 10000 // ({s} * n)
+           AS rem_bound
+  FROM counts CROSS JOIN budget
+),
+gated AS (
+  SELECT l.doc_id, l.lang,
+         f.epochs + (CASE WHEN {_MIX_BUCKET} < f.rem_bound THEN 1 ELSE 0 END)
+           AS copies
+  FROM listed l JOIN factors f USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+FROM gated WHERE copies >= 1
+"""
+
+
+@register(
+    "mixture_resample",
+    _mixture_sql(),
+    "Target-mixture resampling with epoch upsampling (the pretraining "
+    "mix builder): per-lang integer weights 5/2/2/1 with <=2 epochs per "
+    "group; the scarcest group binds the total budget, derived entirely "
+    "in-plan with bigint div arithmetic (count pass -> 1-row min -> "
+    "k-row broadcast factors), fractional last epochs gated by the md5 "
+    "sample bucket.",
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.mixture_resample(
+        docs, _MIX_PARTS, "lang", "doc_id", max_repeat=_MIX_REPEAT
+    )
+
+
 # ---------------------------------------------------------------------------
 # eval-set decontamination + BPE pair counting
 # ---------------------------------------------------------------------------

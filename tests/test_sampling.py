@@ -89,3 +89,61 @@ def test_stratified_rates_and_subset(docs):
                  kept.filter("source = 'src1'").select("doc_id").collect()}
     tight_ids = {r["doc_id"] for r in tighter.select("doc_id").collect()}
     assert tight_ids <= loose_ids
+
+
+def test_mixture_hits_target_proportions(docs):
+    parts = {"en": 5, "zh": 2, "es": 2, "de": 1}
+    out = sampling.mixture_resample(docs, parts, "lang", "doc_id", max_repeat=2)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(parts)               # unlisted langs dropped
+    total = sum(counts.values())
+    s = sum(parts.values())
+    for g, p in parts.items():
+        # fractional epochs are hash-gated, so each group lands within
+        # hash noise of its target share (500 docs -> loose bound)
+        assert abs(counts[g] / total - p / s) < 0.05, (g, counts)
+
+
+def test_mixture_epoch_bound_and_budget(docs):
+    parts = {"en": 5, "zh": 2, "es": 2, "de": 1}
+    out = sampling.mixture_resample(docs, parts, "lang", "doc_id", max_repeat=2)
+    assert out.agg(F.max("epoch")).first()[0] <= 2
+    # the binding (scarcest-vs-weight) group is consumed at exactly
+    # max_repeat epochs, all other groups strictly below that budget
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s = sum(parts.values())
+    caps = {g: full[g] * 2 * s // p for g, p in parts.items()}
+    binding = min(caps, key=caps.get)
+    assert counts[binding] == full[binding] * 2
+
+
+def test_mixture_downsample_only_no_duplicates(docs):
+    out = sampling.mixture_resample(
+        docs, {"en": 1, "zh": 1}, "lang", "doc_id", max_repeat=1)
+    assert out.count() == out.select("doc_id").distinct().count()
+    assert out.agg(F.max("epoch")).first()[0] == 1
+
+
+def test_mixture_stable_under_repartition(docs):
+    parts = {"en": 3, "fr": 1}
+    a = sampling.mixture_resample(docs, parts, "lang", "doc_id", max_repeat=2)
+    b = sampling.mixture_resample(
+        docs.repartition(11, "source"), parts, "lang", "doc_id", max_repeat=2)
+    rows = lambda df: sorted((r["doc_id"], r["epoch"]) for r in
+                             df.select("doc_id", "epoch").collect())
+    assert rows(a) == rows(b)
+
+
+def test_mixture_validation(docs):
+    with pytest.raises(ValueError):
+        sampling.mixture_resample(docs, {}, "lang", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.mixture_resample(docs, {"en": 0}, "lang", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.mixture_resample(docs, {"en": 1.5}, "lang", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.mixture_resample(docs, {"en": 1}, "lang", "doc_id", max_repeat=0)
