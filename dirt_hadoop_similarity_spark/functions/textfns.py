@@ -233,3 +233,35 @@ def repetition_metrics(docs, text_col: str = "text",
          | ((top_word_frac >= top_word_max) & (F.col("top_w") >= 2))
          ).alias("is_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 interpret identically
+# (no lookahead/backrefs), so the DuckDB oracle runs the SAME pattern.
+# Ordered: redaction applies top-down, and earlier replacements must not
+# leave text a later pattern could re-match (emails carry dots but the
+# [EMAIL] token has none, etc.).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}",
+    "ipv4": r"\b\d{1,3}(\.\d{1,3}){3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Non-overlapping match count per PII type — all `regexp_count`,
+    one codegen'd projection, no shuffle."""
+    return {t: F.regexp_count(text, F.lit(p)) for t, p in PII_PATTERNS.items()}
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII span with its `[TYPE]` token.  A chain of
+    `regexp_replace` stays a single narrow projection, so redaction at
+    100 TB is a map-only pass fused into whatever scan feeds it."""
+    out = text
+    for t, p in PII_PATTERNS.items():
+        out = F.regexp_replace(out, p, f"[{t.upper()}]")
+    return out

@@ -343,3 +343,24 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         )
         .drop("_bucket", "_tokens_before_bucket")
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, key: str,
+                text_col: str = "text") -> DataFrame:
+    """Snapshot delta for dataset versioning: which documents were
+    added / removed / changed / unchanged between two corpus versions.
+
+    Change detection is by content digest, not text comparison — each
+    side collapses to (key, md5) before the join, so at 100 TB the
+    full-outer join shuffles 16-byte digests co-partitioned on the key,
+    never document payloads.  Output: (key, status).
+    """
+    o = old.select(F.col(key), F.md5(F.col(text_col)).alias("_old_h"))
+    n = new.select(F.col(key), F.md5(F.col(text_col)).alias("_new_h"))
+    status = (
+        F.when(F.col("_old_h").isNull(), F.lit("added"))
+        .when(F.col("_new_h").isNull(), F.lit("removed"))
+        .when(F.col("_old_h") != F.col("_new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, key, "full_outer").select(key, status.alias("status"))

@@ -98,6 +98,8 @@ _PRIORITY = [
     "skew_profile",
     "sequence_packing",
     "mixture_resample",
+    "pii_redact",
+    "corpus_diff",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -132,6 +134,8 @@ _DEFERRED = [
     "pivot_orderstatus",
     "window_tumbling",
     "global_scalar",
+    "join_broadcast_part",
+    "semi_join_orders",
 ]
 
 

@@ -1639,6 +1639,119 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII injection: the synthetic corpus is digit/@-free word salad, so the
+# query plants deterministic doc_id-derived spans in ~1/5, 1/7, 1/11 of
+# docs — detection is fully controlled and zero-count rows prove the
+# patterns don't fire on clean text.
+_PII_INJECT_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+                THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com'
+              WHEN doc_id % 7 = 0
+                THEN text || ' call +1 555-310-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              WHEN doc_id % 11 = 0
+                THEN text || ' from host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              ELSE text END AS t
+  FROM documents
+"""
+
+
+def _pii_sql() -> str:
+    from dirt_hadoop_similarity_spark.functions.textfns import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_{t}"
+        for t, p in PII_PATTERNS.items()
+    )
+    redacted = "t"
+    for t, p in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{p}', '[{t.upper()}]', 'g')"
+    return f"""
+WITH injected AS ({_PII_INJECT_SQL})
+SELECT doc_id,
+       {counts},
+       md5({redacted}) AS redacted_md5
+FROM injected
+"""
+
+
+@register(
+    "pii_redact",
+    _pii_sql(),
+    "PII detection + redaction (emails / phones / IPv4): regexp_count "
+    "per type and a chained regexp_replace — one codegen'd narrow "
+    "projection, map-only at any scale.  Patterns are Java-regex/RE2 "
+    "common-subset so the oracle runs them verbatim; redacted text is "
+    "md5-compared, so the oracle checks the exact redacted bytes.",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = (
+        F.when(did % 5 == 0,
+               F.concat(F.col("text"), F.lit(" reach me at user"),
+                        did.cast("string"), F.lit("@mail.example.com")))
+        .when(did % 7 == 0,
+              F.concat(F.col("text"), F.lit(" call +1 555-310-"),
+                       F.lpad((did % 10000).cast("string"), 4, "0")))
+        .when(did % 11 == 0,
+              F.concat(F.col("text"), F.lit(" from host 10."),
+                       (did % 256).cast("string"), F.lit(".0."),
+                       ((did * 7) % 256).cast("string")))
+        .otherwise(F.col("text"))
+    )
+    base = docs.select("doc_id", injected.alias("t"))
+    counts = textfns.pii_counts(F.col("t"))
+    return base.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{t}") for t, c in counts.items()],
+        F.md5(textfns.pii_redact(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+_CORPUS_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 0
+),
+neu AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+"""
+
+
+@register(
+    "corpus_diff",
+    _CORPUS_DIFF_SQL,
+    "Dataset-version delta: added/removed/changed/unchanged per doc "
+    "between two corpus snapshots (simulated by doc_id mod drops and a "
+    "' v2' edit).  Each side collapses to (key, md5) BEFORE the "
+    "full-outer join, so only 16-byte digests shuffle at 100 TB.",
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    old = docs.filter(did % 13 != 0)
+    new = docs.filter(did % 11 != 0).withColumn(
+        "text",
+        F.when(did % 17 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return curation.corpus_diff(old, new, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # eval-set decontamination + BPE pair counting
 # ---------------------------------------------------------------------------

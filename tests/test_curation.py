@@ -159,3 +159,15 @@ def test_pack_sequences_offsets_exact_and_bucket_windowed(spark):
     lines = packed._jdf.queryExecution().optimizedPlan().toString().splitlines()
     unpart = [l for l in lines if "Window [" in l and l.count("], [") == 1]
     assert len(unpart) == 1 and "_bucket_tokens" in unpart[0], unpart
+
+
+def test_corpus_diff_statuses(spark):
+    from dirt_hadoop_similarity_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

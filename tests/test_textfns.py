@@ -96,3 +96,30 @@ def test_repetition_metrics_hand_computed(spark):
     expected_h = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
     assert r3.word_entropy == pytest.approx(expected_h, abs=1e-6)
     assert r3.is_repetitive
+
+
+def test_pii_counts_and_redact(spark):
+    rows = [
+        (1, "mail alice.b-1@sub.example.org and bob@x.io today"),
+        (2, "call +1 555-310-0042 or +44 203-555-1234 now"),
+        (3, "host 10.1.0.255 gateway 192.168.0.1"),
+        (4, "clean text with no personal data at all"),
+        (5, "mixed alice@example.com at 10.0.0.1 call +1 555-310-0042"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    counts = textfns.pii_counts(F.col("t"))
+    out = {r["id"]: r for r in df.select(
+        "id",
+        *[c.alias(f"n_{t}") for t, c in counts.items()],
+        textfns.pii_redact(F.col("t")).alias("red"),
+    ).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 0, 0)
+    assert out[1].red == "mail [EMAIL] and [EMAIL] today"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 2, 0)
+    assert out[2].red == "call [PHONE] or [PHONE] now"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 2)
+    assert out[3].red == "host [IPV4] gateway [IPV4]"
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (0, 0, 0)
+    assert out[4].red == rows[3][1]  # redaction is a no-op on clean text
+    assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (1, 1, 1)
+    assert out[5].red == "mixed [EMAIL] at [IPV4] call [PHONE]"
