@@ -162,3 +162,34 @@ def stratified_sample(df: DataFrame, rates: dict[str, float], group_col: str,
             F.col(group_col) == g, F.lit(int(round(r * GRANULARITY)))
         ).otherwise(bound)
     return df.filter(split_bucket(F.col(key), salt=salt) < bound)
+
+
+def shard_assignments(df: DataFrame, key: str, num_shards: int,
+                      salt: str = "shard") -> DataFrame:
+    """Deterministic training-shard layout: every row gets a ``shard``
+    in [0, num_shards) and a 1-based ``pos`` within its shard — a
+    reproducible global permutation (the "shuffled" epoch order) with
+    no corpus-wide sort.
+
+    Shard membership is the usual (salt, key) hash — repartition-proof
+    and balanced to within multinomial noise.  Within-shard order is a
+    SECOND independent hash (salt ``{salt}|order``), key-tiebroken, so
+    order inside a shard is unrelated to shard membership.  The only
+    wide op is a per-shard window: the window partitions ARE the
+    shards, so ``num_shards`` must scale with the corpus (file-sized
+    shards — e.g. ~1e5 shards at 100 TB keeps each window partition
+    ~1 GB; never ask 8 shards of a petabyte).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import Window
+
+    shard = hash60(F.concat(F.lit(f"{salt}|"), F.col(key).cast("string"))) % num_shards
+    order = hash60(F.concat(F.lit(f"{salt}|order|"), F.col(key).cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("_ord"), F.col(key))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("_ord", order)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_ord")
+    )

@@ -100,6 +100,7 @@ _PRIORITY = [
     "mixture_resample",
     "pii_redact",
     "corpus_diff",
+    "training_shards",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -136,6 +137,7 @@ _DEFERRED = [
     "global_scalar",
     "join_broadcast_part",
     "semi_join_orders",
+    "anti_join_customers",
 ]
 
 

@@ -1752,6 +1752,41 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_diff(old, new, "doc_id")
 
 
+_SHARDS_N = 8
+
+_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS UBIGINT)::BIGINT % {_SHARDS_N} AS shard,
+         CAST(('0x' || substr(md5('shard|order|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS UBIGINT)::BIGINT AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT)
+         AS pos
+FROM h
+"""
+
+
+@register(
+    "training_shards",
+    _SHARDS_SQL,
+    "Deterministic training-shard layout: hash-bucketed shard "
+    "membership plus an independent second hash for within-shard order "
+    "— a reproducible global 'shuffle' with no corpus-wide sort.  The "
+    "only wide op is the per-shard row_number window; shards are the "
+    "window partitions, so shard count scales with the corpus "
+    "(file-sized shards at 100 TB).",
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return sampling.shard_assignments(docs, "doc_id", _SHARDS_N)
+
+
 # ---------------------------------------------------------------------------
 # eval-set decontamination + BPE pair counting
 # ---------------------------------------------------------------------------

@@ -66,3 +66,22 @@ def checkpoint_parquet(df: DataFrame, path: str,
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def write_shards(df: DataFrame, path: str, key: str, num_shards: int,
+                 salt: str = "shard", mode: str = "overwrite") -> None:
+    """Materialize the deterministic shard layout of
+    ``sampling.shard_assignments``: one parquet directory per shard
+    (``shard=<n>/``), rows stored in shard order.  repartition on the
+    shard column co-locates each shard in one task, and the
+    within-partition sort is shard-local — no global sort at any scale."""
+    from dirt_hadoop_similarity_spark.operators.sampling import shard_assignments
+
+    out = shard_assignments(df, key, num_shards, salt=salt)
+    (
+        out.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -147,3 +147,47 @@ def test_mixture_validation(docs):
         sampling.mixture_resample(docs, {"en": 1.5}, "lang", "doc_id")
     with pytest.raises(ValueError):
         sampling.mixture_resample(docs, {"en": 1}, "lang", "doc_id", max_repeat=0)
+
+
+def test_shard_assignments_layout(docs):
+    out = sampling.shard_assignments(docs.select("doc_id"), "doc_id", 4)
+    n = docs.count()
+    per = {r["shard"]: r["n"] for r in
+           out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert sum(per.values()) == n
+    assert set(per) <= set(range(4))
+    # balanced to within multinomial noise (500 docs over 4 shards)
+    assert all(0.5 * n / 4 < c < 1.5 * n / 4 for c in per.values())
+    # pos is a contiguous 1..len permutation inside every shard
+    for shard, c in per.items():
+        ps = sorted(r["pos"] for r in out.filter(F.col("shard") == shard)
+                    .select("pos").collect())
+        assert ps == list(range(1, c + 1))
+
+
+def test_shard_assignments_stable_and_order_decorrelated(docs):
+    a = sampling.shard_assignments(docs.select("doc_id"), "doc_id", 4)
+    b = sampling.shard_assignments(
+        docs.select("doc_id").repartition(9), "doc_id", 4)
+    rows = lambda df: sorted(map(tuple, df.select("doc_id", "shard", "pos").collect()))
+    assert rows(a) == rows(b)
+    # within-shard order must not follow doc_id order (independent hash)
+    first = a.filter("shard = 0").orderBy("pos").select("doc_id").collect()
+    ids = [r["doc_id"] for r in first]
+    assert ids != sorted(ids)
+
+
+def test_write_shards_roundtrip(docs, spark, tmp_path):
+    from dirt_hadoop_similarity_spark.sources.sinks import write_shards
+
+    path = str(tmp_path / "shards")
+    write_shards(docs.select("doc_id"), path, "doc_id", 4)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(r["shard"] for r in back.select("shard").distinct().collect()) \
+        == set(range(4))
+    expect = sampling.shard_assignments(docs.select("doc_id"), "doc_id", 4)
+    rows = lambda df: sorted(
+        (r["doc_id"], int(r["shard"]), r["pos"])
+        for r in df.select("doc_id", "shard", "pos").collect())
+    assert rows(back) == rows(expect)
