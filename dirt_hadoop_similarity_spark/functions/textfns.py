@@ -265,3 +265,45 @@ def pii_redact(text: Column) -> Column:
     for t, p in PII_PATTERNS.items():
         out = F.regexp_replace(out, p, f"[{t.upper()}]")
     return out
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering (linear classifier)
+# ---------------------------------------------------------------------------
+
+# Plan-time weights standing in for a trained fasttext/LR quality model
+# (the CCNet-style "model filter" stage).  The contract is the operator
+# shape — a broadcast-free linear scorer fused into the scan projection —
+# not these particular values; swap in trained weights for production.
+QUALITY_CLF = {
+    "bias": -1.2,
+    "len_score": 1.6,     # least(n_tokens/100, 1)
+    "stop_ratio": 2.2,
+    "punct_ratio": -3.0,
+    "mean_word_len": 0.8,  # mean_word_len / 10
+}
+
+
+def classifier_logit_from(toks: Column, ltoks: Column, text: Column,
+                          weights: dict[str, float] | None = None) -> Column:
+    """Linear quality-model logit.  Deliberately NO sigmoid: +, *, /
+    are correctly-rounded IEEE ops so the logit is bit-identical on any
+    engine, while exp() differs between libms — monotone, so thresholds
+    translate directly (sigmoid(0) = 0.5 <-> logit 0)."""
+    w = QUALITY_CLF if weights is None else weights
+    n_tok = F.size(toks).cast("double")
+    return (
+        F.lit(w["bias"])
+        + w["len_score"] * F.least(n_tok / 100.0, F.lit(1.0))
+        + w["stop_ratio"] * stopword_ratio_from(ltoks)
+        + w["punct_ratio"] * punct_ratio(text)
+        + w["mean_word_len"] * (mean_word_length_from(toks) / 10.0)
+    )
+
+
+def classifier_keep(text: Column, threshold: float = 0.0,
+                    weights: dict[str, float] | None = None) -> Column:
+    """Keep decision of the quality model at a logit threshold."""
+    t = tokens(text)
+    return classifier_logit_from(t, tokens(F.lower(text)), text,
+                                 weights) > threshold

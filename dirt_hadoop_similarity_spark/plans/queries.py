@@ -101,6 +101,7 @@ _PRIORITY = [
     "pii_redact",
     "corpus_diff",
     "training_shards",
+    "quality_classifier",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -138,6 +139,7 @@ _DEFERRED = [
     "join_broadcast_part",
     "semi_join_orders",
     "anti_join_customers",
+    "left_join_coalesce",
 ]
 
 

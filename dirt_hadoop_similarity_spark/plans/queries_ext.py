@@ -1752,6 +1752,73 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_diff(old, new, "doc_id")
 
 
+def _clf_sql() -> str:
+    from dirt_hadoop_similarity_spark.functions.textfns import QUALITY_CLF as W
+
+    # feature fragments identical to _TEXT_QUALITY_SQL (already verified
+    # bit-exact vs the Spark expressions); the logit mirrors the Python
+    # operand order exactly — +,*,/ are correctly-rounded IEEE, so no
+    # rounding slack is needed on the threshold comparison.
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(ltoks) > 0
+              THEN CAST(len(list_filter(ltoks, w -> list_contains([{_STOP_LIST}], w))) AS DOUBLE)
+                   / len(ltoks) ELSE 0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) ELSE 0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+              ELSE 0 END AS mean_word_len
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         {W["bias"]} + {W["len_score"]} * least(n_tokens / 100.0, 1.0)
+                     + {W["stop_ratio"]} * stop_ratio
+                     + {W["punct_ratio"]} * punct_ratio
+                     + {W["mean_word_len"]} * (mean_word_len / 10.0) AS logit
+  FROM m
+)
+SELECT doc_id, round(logit, 6) AS logit, logit > 0.0 AS keep
+FROM scored
+"""
+
+
+@register(
+    "quality_classifier",
+    _clf_sql(),
+    "Model-based quality filtering (the CCNet/fasttext-style stage): a "
+    "linear scorer over the native text features, fused into the scan "
+    "projection — map-only at any scale.  Emits the logit, not the "
+    "sigmoid: +,*,/ are bit-portable IEEE where exp() is not, and the "
+    "monotone link means thresholds translate (logit 0 = p 0.5).",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = docs.select(
+        "doc_id", t.alias("text"),
+        textfns.tokens(t).alias("toks"),
+        textfns.tokens(F.lower(t)).alias("ltoks"),
+    )
+    logit = textfns.classifier_logit_from(
+        F.col("toks"), F.col("ltoks"), F.col("text"))
+    return base.select(
+        "doc_id",
+        F.round(logit, 6).alias("logit"),
+        (logit > 0.0).alias("keep"),
+    )
+
+
 _SHARDS_N = 8
 
 _SHARDS_SQL = f"""

@@ -123,3 +123,24 @@ def test_pii_counts_and_redact(spark):
     assert out[4].red == rows[3][1]  # redaction is a no-op on clean text
     assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (1, 1, 1)
     assert out[5].red == "mixed [EMAIL] at [IPV4] call [PHONE]"
+
+
+def test_classifier_logit_hand_computed(spark):
+    # "the cat sat" -> toks 3, stop hits {the} 1/3, punct 0, mwl 9/3=3
+    t = "the cat sat"
+    w = textfns.QUALITY_CLF
+    expected = (w["bias"] + w["len_score"] * (3 / 100.0)
+                + w["stop_ratio"] * (1 / 3) + w["punct_ratio"] * 0.0
+                + w["mean_word_len"] * (3.0 / 10.0))
+    df = spark.createDataFrame([(t,)], ["text"])
+    got = df.select(
+        textfns.classifier_logit_from(
+            textfns.tokens(F.col("text")),
+            textfns.tokens(F.lower(F.col("text"))),
+            F.col("text")).alias("v")).first().v
+    assert got == pytest.approx(expected, abs=1e-12)
+    # keep flips with the threshold around the known logit
+    assert df.select(textfns.classifier_keep(
+        F.col("text"), threshold=got - 0.1).alias("k")).first().k
+    assert not df.select(textfns.classifier_keep(
+        F.col("text"), threshold=got + 0.1).alias("k")).first().k
