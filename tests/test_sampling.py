@@ -191,3 +191,63 @@ def test_write_shards_roundtrip(docs, spark, tmp_path):
         (r["doc_id"], int(r["shard"]), r["pos"])
         for r in df.select("doc_id", "shard", "pos").collect())
     assert rows(back) == rows(expect)
+
+
+# --- property test: mixture_resample vs a pure-Python brute-force oracle ---
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _bucket(salt: str, key) -> int:
+    h = int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16)
+    return h % sampling.GRANULARITY
+
+
+def _expected_mixture(rows, parts, max_repeat):
+    """Reference semantics, computed row-at-a-time in Python."""
+    s = sum(parts.values())
+    groups: dict[str, list] = {}
+    for k, g in rows:
+        if g in parts:
+            groups.setdefault(g, []).append(k)
+    if not groups:
+        return {}
+    budget = min(len(ks) * max_repeat * s // parts[g]
+                 for g, ks in groups.items())
+    out = {}
+    for g, ks in groups.items():
+        n = len(ks)
+        need = parts[g] * budget
+        e = need // (s * n)
+        rem_bound = (need - e * s * n) * sampling.GRANULARITY // (s * n)
+        for k in ks:
+            copies = e + (1 if _bucket("mixture", k) < rem_bound else 0)
+            if copies >= 1:
+                out[(k, g)] = copies
+    return out
+
+
+@st.composite
+def _mixture_cases(draw):
+    groups = [f"g{i}" for i in range(draw(st.integers(2, 4)))]
+    parts = {g: draw(st.integers(1, 7)) for g in groups}
+    max_repeat = draw(st.integers(1, 3))
+    n_rows = draw(st.integers(1, 40))
+    rows = [(k, draw(st.sampled_from(groups + ["other"])))
+            for k in range(n_rows)]
+    return rows, parts, max_repeat
+
+
+@settings(max_examples=8, deadline=None)
+@given(_mixture_cases())
+def test_mixture_matches_bruteforce(spark, case):
+    rows, parts, max_repeat = case
+    df = spark.createDataFrame(rows, ["k", "g"])
+    got: dict[tuple, int] = {}
+    out = sampling.mixture_resample(df, parts, "g", "k", max_repeat=max_repeat)
+    for r in out.groupBy("k", "g").agg(F.count("*").alias("c")).collect():
+        got[(r["k"], r["g"])] = r["c"]
+    assert got == _expected_mixture(rows, parts, max_repeat)
