@@ -364,3 +364,23 @@ def corpus_diff(old: DataFrame, new: DataFrame, key: str,
         .otherwise(F.lit("unchanged"))
     )
     return o.join(n, key, "full_outer").select(key, status.alias("status"))
+
+
+def redact_and_score(docs: DataFrame, threshold: float = 0.0,
+                     text_col: str = "text") -> DataFrame:
+    """Stateless ingest transform: PII-redact the text, then attach the
+    quality-model logit and keep decision (scored over the REDACTED
+    text — the corpus stores what was scored).  No state, no window, so
+    it runs identically on a static or streaming DataFrame; pair it
+    with `quality_gate` on the landing stream and leave the stateful
+    passes (dedup, budget) to downstream batch.
+    """
+    red = textfns.pii_redact(F.col(text_col))
+    out = docs.withColumn(text_col, red)
+    t = F.col(text_col)
+    logit = textfns.classifier_logit_from(
+        textfns.tokens(t), textfns.tokens(F.lower(t)), t)
+    return (
+        out.withColumn("clf_logit", logit)
+        .withColumn("clf_keep", logit > threshold)
+    )

@@ -120,3 +120,26 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_redaction_gate_smoke(
+    spark: SparkSession, sf_dir: str,
+    query_name: str = "redaction_gate_smoke",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """PII redaction + model scoring as an append-mode stream into a
+    memory sink; returns the materialized redacted/scored rows."""
+    scored = curation.redact_and_score(
+        stream_documents(spark, sf_dir), threshold=threshold
+    )
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

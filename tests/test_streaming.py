@@ -227,3 +227,23 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expect
     assert len(got) < new_docs.count()  # the index really dropped dups
+
+
+def test_stream_redaction_gate_equals_batch(spark, sf_dir):
+    """PII redaction + classifier scoring are stateless, so the stream
+    must produce byte-identical redacted text and logits to batch."""
+    from dirt_hadoop_similarity_spark.operators import curation
+    from dirt_hadoop_similarity_spark.streaming import corpus
+
+    streamed = corpus.run_redaction_gate_smoke(
+        spark, sf_dir, query_name="redact_eq_batch")
+    batch = curation.redact_and_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    cols = ["doc_id", "text", "clf_logit", "clf_keep"]
+    s = {r["doc_id"]: (r["text"], r["clf_logit"], r["clf_keep"])
+         for r in streamed.select(*cols).collect()}
+    b = {r["doc_id"]: (r["text"], r["clf_logit"], r["clf_keep"])
+         for r in batch.select(*cols).collect()}
+    assert s == b
+    assert len(s) > 0
+    assert any(v[2] for v in s.values()) and not all(v[2] for v in s.values())
