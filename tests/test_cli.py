@@ -103,3 +103,28 @@ def test_cli_plot_flag_degrades_without_matplotlib(spark, tmp_path, capsys):
         # hook must degrade: CSV points still written, no crash
         assert not (out / "precision_recall_curve.png").exists()
         assert glob.glob(str(out / "pr_curve.csv" / "part-*"))
+
+
+def test_curate_cli_end_to_end(spark, sf_dir, tmp_path):
+    from dirt_hadoop_similarity_spark.curate import main as curate_main
+
+    out = tmp_path / "curated"
+    rc = curate_main([
+        sf_dir, "--out", str(out),
+        "--mixture", "en=5,es=2,de=2", "--shards", "4",
+    ])
+    assert rc == 0
+
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["after_model_filter"] < summary["input_rows"]
+    assert summary["after_funnel"] <= summary["after_model_filter"]
+    assert summary["final_rows"] > 0
+    assert set(summary["composition"]) <= {"en", "es", "de"}
+    assert sum(summary["composition"].values()) == summary["final_rows"]
+
+    back = spark.read.parquet(str(out / "shards"))
+    assert back.count() == summary["final_rows"]
+    assert set(r["shard"] for r in back.select("shard").distinct().collect()) \
+        <= set(range(4))
+    # redaction + epoch identity survived the writer
+    assert back.filter("sample_id IS NULL").count() == 0
