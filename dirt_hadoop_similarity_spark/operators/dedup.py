@@ -437,3 +437,49 @@ def simhash_near_duplicates(docs: DataFrame, bits: int = 16,
     return pairs.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def threshold_sweep(pairs: DataFrame, num_hashes: int = 8,
+                    id_col: str = "id_b") -> DataFrame:
+    """Operating curve for the near-dup threshold: for every cut
+    "at least k of ``num_hashes`` minhashes agree", how many candidate
+    pairs survive and how many documents would be dropped (a doc drops
+    at cut k if its BEST pair clears k).  The decision tool for picking
+    ``near_dup_min_est_jaccard`` before a full run.
+
+    est_jaccard values are m/num_hashes with num_hashes a power of two
+    — dyadic, so ``round(est * num_hashes)`` recovers the integer m
+    exactly.  Everything after the (already-bounded) pair relation is
+    two ≤num_hashes-row bucket aggregates and a num_hashes-row spine
+    join: the sweep itself adds NO per-threshold corpus or pair
+    re-scans at any scale.
+    """
+    agree = F.round(F.col("est_jaccard") * num_hashes).cast("long")
+    ag = pairs.select(F.col(id_col), agree.alias("m"))
+    pair_b = ag.groupBy("m").agg(F.count(F.lit(1)).alias("n_pairs"))
+    doc_b = (
+        ag.groupBy(id_col).agg(F.max("m").alias("m"))
+        .groupBy("m").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    spine = pairs.sparkSession.range(1, num_hashes + 1).select(
+        F.col("id").alias("k"))
+    ps = (
+        spine.join(pair_b, pair_b["m"] >= spine["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"))
+    )
+    ds = (
+        spine.join(doc_b, doc_b["m"] >= spine["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+             .alias("n_docs_dropped"))
+    )
+    return (
+        ps.join(ds, "k")
+        .select(
+            F.col("k").alias("threshold_hashes"),
+            F.round(F.col("k") / num_hashes, 6).alias("min_est_jaccard"),
+            "n_pairs",
+            "n_docs_dropped",
+        )
+    )

@@ -102,6 +102,7 @@ _PRIORITY = [
     "corpus_diff",
     "training_shards",
     "quality_classifier",
+    "dedup_threshold_sweep",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -140,6 +141,7 @@ _DEFERRED = [
     "semi_join_orders",
     "anti_join_customers",
     "left_join_coalesce",
+    "self_join_lineitem",
 ]
 
 

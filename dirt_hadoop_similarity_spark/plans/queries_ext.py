@@ -1577,6 +1577,47 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+_SWEEP_SQL = f"""
+WITH pairs AS ({_MINHASH_LSH_SQL}),
+ag AS (
+  SELECT id_b, CAST(round(est_jaccard * 8) AS BIGINT) AS m FROM pairs
+),
+pair_b AS (SELECT m, CAST(count(*) AS BIGINT) AS n_pairs FROM ag GROUP BY m),
+doc_b AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n_docs
+  FROM (SELECT id_b, max(m) AS m FROM ag GROUP BY id_b) GROUP BY m
+),
+spine AS (SELECT CAST(unnest(generate_series(1, 8)) AS BIGINT) AS k),
+ps AS (
+  SELECT s.k, CAST(COALESCE(sum(p.n_pairs), 0) AS BIGINT) AS n_pairs
+  FROM spine s LEFT JOIN pair_b p ON p.m >= s.k GROUP BY s.k
+),
+ds AS (
+  SELECT s.k, CAST(COALESCE(sum(d.n_docs), 0) AS BIGINT) AS n_docs_dropped
+  FROM spine s LEFT JOIN doc_b d ON d.m >= s.k GROUP BY s.k
+)
+SELECT ps.k AS threshold_hashes,
+       round(ps.k / 8.0, 6) AS min_est_jaccard,
+       ps.n_pairs, ds.n_docs_dropped
+FROM ps JOIN ds ON ds.k = ps.k
+"""
+
+
+@register(
+    "dedup_threshold_sweep",
+    _SWEEP_SQL,
+    "Near-dup threshold operating curve: pairs surviving and docs "
+    "dropped at every 'k of 8 minhashes agree' cut — the decision tool "
+    "for near_dup_min_est_jaccard.  The sweep is two <=8-row bucket "
+    "aggregates plus an 8-row spine join over the bounded pair "
+    "relation; no per-threshold re-scan of anything corpus-sized.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs)
+    return dedup.threshold_sweep(pairs)
+
+
 _MIX_PARTS = {"en": 5, "zh": 2, "es": 2, "de": 1}  # fr unlisted -> dropped
 _MIX_REPEAT = 2
 _MIX_S = sum(_MIX_PARTS.values())

@@ -86,3 +86,22 @@ def test_band_layout_guard(spark):
         dedup.incremental_near_duplicates(
             sigs, df, num_hashes=8, bands=3, rows_per_band=2
         )
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_near_duplicates(docs)
+    sweep = {r["threshold_hashes"]: r for r in
+             dedup.threshold_sweep(pairs).collect()}
+    assert set(sweep) == set(range(1, 9))
+    # both curves are non-increasing in the threshold
+    for k in range(1, 8):
+        assert sweep[k]["n_pairs"] >= sweep[k + 1]["n_pairs"]
+        assert sweep[k]["n_docs_dropped"] >= sweep[k + 1]["n_docs_dropped"]
+    # spot-check the k=4 cut against direct filtering (est >= 0.5)
+    direct_pairs = pairs.filter("est_jaccard >= 0.5").count()
+    direct_docs = (pairs.filter("est_jaccard >= 0.5")
+                   .select("id_b").distinct().count())
+    assert sweep[4]["n_pairs"] == direct_pairs
+    assert sweep[4]["n_docs_dropped"] == direct_docs
+    assert sweep[1]["n_pairs"] == pairs.count()
