@@ -17,6 +17,7 @@ that keeps candidate volumes bounded (see operators/curation.py):
 
 Outputs under --out:
     shards/            parquet, one ``shard=<n>/`` directory per shard
+    packing/           (with --pack N) sample_id -> bin_id/token_offset
     summary.json       per-stage row counts + final per-lang composition
 """
 
@@ -59,6 +60,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="max epochs per group for mixture upsampling")
     p.add_argument("--shards", type=int, default=8,
                    help="training shard count (scale with corpus size)")
+    p.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
+                   help="also emit concat-and-chunk packing assignments "
+                        "(packing/ parquet: sample_id, bin_id, token_offset)")
     p.add_argument("--master", default=None, help="Spark master override")
     return p
 
@@ -111,6 +115,18 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     write_shards(final, os.path.join(args.out, "shards"),
                  "sample_id", args.shards)
+    if args.pack:
+        from dirt_hadoop_similarity_spark.functions import textfns
+
+        packed = curation.pack_sequences(
+            final.withColumn(
+                "n_tokens", textfns.token_count(F.col("text")).cast("long")),
+            seq_len=args.pack, id_col="sample_id",
+        )
+        packed.select("sample_id", "bin_id", "token_offset").write.mode(
+            "overwrite").parquet(os.path.join(args.out, "packing"))
+        summary["packed_bins"] = packed.agg(
+            (F.max("bin_id") + 1).cast("long").alias("b")).first()["b"]
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
     print(json.dumps(summary, sort_keys=True))

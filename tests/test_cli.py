@@ -112,6 +112,7 @@ def test_curate_cli_end_to_end(spark, sf_dir, tmp_path):
     rc = curate_main([
         sf_dir, "--out", str(out),
         "--mixture", "en=5,es=2,de=2", "--shards", "4",
+        "--pack", "256",
     ])
     assert rc == 0
 
@@ -128,3 +129,10 @@ def test_curate_cli_end_to_end(spark, sf_dir, tmp_path):
         <= set(range(4))
     # redaction + epoch identity survived the writer
     assert back.filter("sample_id IS NULL").count() == 0
+
+    packing = spark.read.parquet(str(out / "packing"))
+    assert packing.count() == summary["final_rows"]
+    assert summary["packed_bins"] >= 1
+    # offsets are unique sample positions; bins are dense from 0
+    assert packing.select("sample_id").distinct().count() == packing.count()
+    assert packing.agg({"bin_id": "min"}).first()[0] == 0
