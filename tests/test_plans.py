@@ -101,3 +101,29 @@ def test_pr_scan_window_input_is_gold_bounded(spark):
     plan = scan._jdf.queryExecution().optimizedPlan().toString()
     w_pos = plan.index("Window")
     assert "Join" in plan[w_pos:], plan
+
+
+def test_mixture_factors_broadcast_corpus_never_smj(spark, sf_dir):
+    """mixture_resample's corpus side must join the k-row factor table
+    by broadcast — a SortMergeJoin here would shuffle the corpus to
+    meet a handful of rows."""
+    df = QUERIES["mixture_resample"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_training_shards_single_exchange(spark, sf_dir):
+    """The shard layout's only wide op is the per-shard window: exactly
+    one keyed exchange, no joins."""
+    df = QUERIES["training_shards"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pii_and_classifier_are_map_only(spark, sf_dir):
+    for name in ("pii_redact", "quality_classifier"):
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
