@@ -88,6 +88,11 @@ def mixture_resample(df: DataFrame, parts: dict[str, int], group_col: str,
     fractional last epoch is the same (salt, key) hash bucket as
     :func:`deterministic_sample`: repartition-proof, and raising a
     group's weight only ever ADDS epochs for a given key.
+
+    A listed group with NO rows in ``df`` cannot constrain the budget
+    (the min runs over present groups only) and contributes nothing —
+    the realized mixture renormalizes over the present groups (pytest:
+    the brute-force property test draws such cases).
     """
     if not parts:
         raise ValueError("parts must be non-empty")
