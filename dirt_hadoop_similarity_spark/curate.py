@@ -86,9 +86,12 @@ def main(argv=None) -> int:
     admitted = scored.filter("clf_keep").drop("clf_logit", "clf_keep")
     summary["after_model_filter"] = admitted.count()
 
+    langs = tuple(l.strip() for l in args.langs.split(",") if l.strip())
+    if not langs:
+        raise SystemExit("--langs must name at least one language")
     curated = curation.curate(
         admitted,
-        langs=tuple(l for l in args.langs.split(",") if l),
+        langs=langs,
         budget_fraction=args.budget_fraction,
     )
     summary["after_funnel"] = curated.count()

@@ -136,3 +136,23 @@ def test_curate_cli_end_to_end(spark, sf_dir, tmp_path):
     # offsets are unique sample positions; bins are dense from 0
     assert packing.select("sample_id").distinct().count() == packing.count()
     assert packing.agg({"bin_id": "min"}).first()[0] == 0
+
+
+def test_curate_cli_defaults_no_mixture(spark, sf_dir, tmp_path):
+    """The no-mixture branch: every kept doc appears exactly once at
+    epoch 1, and bad --langs fails fast."""
+    import pytest as _pytest
+
+    from dirt_hadoop_similarity_spark.curate import main as curate_main
+
+    out = tmp_path / "plain"
+    rc = curate_main([sf_dir, "--out", str(out), "--shards", "2"])
+    assert rc == 0
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["final_rows"] == summary["after_funnel"]
+    back = spark.read.parquet(str(out / "shards"))
+    assert back.filter("epoch <> 1").count() == 0
+    assert back.select("doc_id").distinct().count() == back.count()
+
+    with _pytest.raises(SystemExit):
+        curate_main([sf_dir, "--out", str(out), "--langs", " , "])
