@@ -103,6 +103,7 @@ _PRIORITY = [
     "training_shards",
     "quality_classifier",
     "dedup_threshold_sweep",
+    "ann_recall_eval",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -142,6 +143,7 @@ _DEFERRED = [
     "anti_join_customers",
     "left_join_coalesce",
     "self_join_lineitem",
+    "topk_per_group",
 ]
 
 

@@ -284,6 +284,54 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_RECALL_SQL = f"""
+WITH exact_r AS ({_ANN_SQL}),
+approx_r AS ({_ANN_LSH_SQL}),
+hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact_r e
+  JOIN approx_r a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+qs AS (SELECT DISTINCT query_id FROM exact_r)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+@register(
+    "ann_recall_eval",
+    _ANN_RECALL_SQL,
+    "Index-quality evaluation: per-query recall@5 of the sign-LSH "
+    "index against the exact brute-force top-5 — the acceptance check "
+    "run before trusting an ANN index at scale.  Pure composition of "
+    "the two verified top-k plans; the comparison join is k-rows-per-"
+    "query on both sides.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, _ANN_QUERY_IDS, k=5)
+    approx = similarity.lsh_bucket_topk(emb, _ANN_QUERY_IDS, k=5, bits=8)
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    spine = exact.select("query_id").distinct()
+    return (
+        spine.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6)
+            .alias("recall_at_5"),
+        )
+    )
+
+
 # Signed-random-projection variant: the SAME int16 plane constants are
 # embedded in both the Spark plan and the oracle SQL (derived once via
 # similarity.random_hyperplanes), so bucketing is bit-exact cross-engine.
