@@ -127,3 +127,25 @@ def test_pii_and_classifier_are_map_only(spark, sf_dir):
         plan = _plan(QUERIES[name].fn(spark, sf_dir))
         assert "Exchange" not in plan, (name, plan)
         assert "Join" not in plan, (name, plan)
+
+
+def test_corpus_diff_shuffles_digests_not_payloads(spark, sf_dir):
+    """corpus_diff's full-outer join must see only (key, md5) — if a
+    refactor lets document text reach the join, 100 TB of payload
+    shuffles instead of 16-byte digests.  The md5 Project sits BELOW the
+    Exchange, so the check is on each Exchange's Input row, not on the
+    plan text (where `md5(text#..)` legitimately appears further down)."""
+    df = QUERIES["corpus_diff"].fn(spark, sf_dir)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    exchanges = [
+        b for b in formatted.split("\n\n") if b.lstrip().startswith("(")
+        and ") Exchange" in b.split("\n", 1)[0]
+    ]
+    assert exchanges, formatted
+    for block in exchanges:
+        input_line = next(
+            ln for ln in block.splitlines() if ln.startswith("Input")
+        )
+        assert "text#" not in input_line, block
