@@ -384,3 +384,46 @@ def redact_and_score(docs: DataFrame, threshold: float = 0.0,
         out.withColumn("clf_logit", logit)
         .withColumn("clf_keep", logit > threshold)
     )
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-length chunking stage that feeds embedding models and
+    retrieval indexes (stride < max_tokens keeps ``max_tokens − stride``
+    tokens of overlap so no boundary-spanning passage is lost; stride =
+    max_tokens is disjoint chunking).
+
+    Map-only: tokenize once, generate the window starts with
+    ``sequence``, explode — the chunking fuses into whatever scan feeds
+    it, no shuffle at any corpus size (contrast ``pack_sequences``,
+    which needs global order: chunking is per-document, packing is
+    cross-document).  Documents with no tokens produce no chunks.
+
+    Output: (doc_id, chunk_id, start_tok, n_tokens, chunk_hash) — the
+    digest stands in for chunk text so downstream joins move 16-byte
+    keys; re-derive the text by re-slicing at (start_tok, n_tokens).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens], got {stride}")
+    base = docs.select(
+        F.col(id_col), textfns.tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 1)
+    chunks = base.select(
+        F.col(id_col),
+        F.col("t"),
+        F.posexplode(
+            F.expr(f"sequence(0, size(t) - 1, {stride})")
+        ).alias("chunk_id", "start_tok"),
+    )
+    piece = F.expr(f"slice(t, start_tok + 1, {max_tokens})")
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )

@@ -483,3 +483,68 @@ def threshold_sweep(pairs: DataFrame, num_hashes: int = 8,
             "n_docs_dropped",
         )
     )
+
+
+def duplicate_spans(docs: DataFrame, k: int = 5, min_occurrences: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication localized to spans — the token-gram
+    rendering of suffix-array dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 §4.1):
+    find every maximal run of tokens whose k-grams all occur at least
+    ``min_occurrences`` times in the corpus (within-doc repeats count),
+    so callers can TRIM duplicated passages instead of dropping whole
+    documents.
+
+    Plan: one explode pass emits (doc, position, md5(k-gram)); a
+    digest-keyed count finds grams over the floor (partial-agg, so the
+    shuffle is distinct-gram mass); an equi-join back marks duplicated
+    positions; and a per-document gaps-and-islands window (position −
+    row_number) merges consecutive positions into maximal spans.  Only
+    16-byte digests ever shuffle — never gram text — and the window is
+    keyed by document, never global.  Hot grams (boilerplate) skew the
+    count groupBy; cap them upstream with ``textfns`` boilerplate
+    filtering or salt the digest if a corpus is pathological.
+
+    Output: (doc_id, span_start, span_end, n_grams) — token positions,
+    0-based inclusive; span_end − span_start + 1 = n_grams + k − 1
+    duplicated tokens.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2, got {min_occurrences}")
+    from pyspark.sql import Window
+
+    from dirt_hadoop_similarity_spark.functions.textfns import tokens
+
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= k)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}),"
+                f" i -> md5(array_join(slice(t, i + 1, {k}), ' ')))"
+            )
+        ).alias("pos", "g"),
+    )
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_occurrences)
+        .select("g")
+    )
+    dup_pos = grams.join(hot, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        dup_pos.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .drop("isl")
+    )

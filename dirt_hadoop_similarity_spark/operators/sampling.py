@@ -198,3 +198,85 @@ def shard_assignments(df: DataFrame, key: str, num_shards: int,
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_ord")
     )
+
+
+def dsir_weights(docs: DataFrame, is_target: Column, buckets: int = 64,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its hashed-unigram features are under a small TARGET
+    distribution (e.g. curated/wiki-like text) than under the raw
+    corpus, then select high-weight documents.
+
+    Both distributions are bag-of-hashed-tokens with add-1 smoothing
+    over ``buckets`` feature buckets; a document's log importance
+    weight is sum over its tokens of log(p_target / p_raw).  The
+    per-bucket log-ratio is quantized to integer micro-nats BEFORE the
+    per-document sum, so the sum is exact integer arithmetic —
+    order-independent across partitionings and engines (same trick as
+    similarity.quantized_cosine), which is what lets a DuckDB oracle
+    value-check it.  ``weight_micro`` > 0 reads "more target-like than
+    raw"; feed it to a threshold filter or to ``stratified_sample``
+    for the paper's resampling step.
+
+    Scale: ONE tokenize+explode pass, immediately compressed by a
+    (doc, bucket) count — map-side combined, so what shuffles is the
+    per-doc distinct-bucket mass (≤ ``buckets`` rows per doc), never
+    the raw token stream.  Bucket stats reduce from that compressed
+    relation; totals close over a 1-row broadcast crossJoin; the
+    ``buckets``-row log-ratio table broadcasts back; and the weight is
+    a per-doc sum of count × ratio.  Empty-token documents get weight
+    0 via the final left join (log-ratio of nothing).
+
+    Output: (doc_id, n_tokens, weight_micro).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    from dirt_hadoop_similarity_spark.functions.textfns import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("is_tgt"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).withColumn("b", hash60(F.concat(F.lit("dsir|"), F.col("w"))) % buckets)
+    # is_tgt is constant per doc, so grouping by it adds no groups.
+    # dcounts feeds three consumers (stats, totals, the weight sum) and
+    # Spark's exchange reuse does not unify them across AQE stages —
+    # cache at the cut so tokenize+explode runs ONCE (same pattern as
+    # mi.py's triples cache; ~64 rows/doc, spill-safe MEMORY_AND_DISK)
+    dcounts = toks.groupBy(id_col, "is_tgt", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+
+    stats = dcounts.groupBy("b").agg(
+        F.sum("c").alias("raw_c"),
+        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(0)).alias("tgt_c"),
+    ).cache()  # `buckets` rows; read twice (log-ratio table + totals)
+    totals = stats.agg(
+        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
+    )
+    log_ratio = F.log(
+        ((F.col("tgt_c") + 1.0) / (F.col("tgt_n") + float(buckets)))
+        / ((F.col("raw_c") + 1.0) / (F.col("raw_n") + float(buckets)))
+    )
+    lr = stats.crossJoin(F.broadcast(totals)).select(
+        "b", F.round(log_ratio * 1_000_000).cast("long").alias("lr_micro")
+    )
+
+    doc_w = (
+        dcounts.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("weight_micro"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(doc_w, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("weight_micro", F.lit(0)).cast("long").alias("weight_micro"),
+        )
+    )

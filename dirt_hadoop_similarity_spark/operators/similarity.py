@@ -396,6 +396,78 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.7,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then inside each cluster keep
+    one representative from every group of semantically-near vectors and
+    mark the rest as semantic duplicates.
+
+    Deterministic rendering: the "cluster" is the sign-LSH cell (the
+    same axis-plane family as :func:`lsh_bucket_topk`; swap in IVF cells
+    from :func:`kmeans_centroids` for trained clustering), and a vector
+    is DROPPED iff a lower-id vector in its cell has cosine ≥
+    ``threshold``.  Lowest id wins — the paper keeps an arbitrary member
+    per ε-ball; pinning it to the id order makes reruns (and the oracle)
+    agree.  Single-pass by construction: a vector is compared against
+    ALL lower ids in its cell, not only surviving ones — the chained
+    variant (A~B~C with A≁C keeps A and C) is
+    ``dedup.cluster_keepers`` over connected components.
+
+    Scale: candidate generation is the cell equi-join of
+    :func:`embedding_near_duplicates` — pair volume is bounded by real
+    semantic density per cell, never all-pairs.  The keep decision is a
+    per-id min-aggregate plus a left join back to the corpus: keyed
+    shuffles of (id, id, cos) rows only, no vector payloads.
+
+    Output: (vec_id, cell, kept, dup_of, cos); dup_of/cos are NULL for
+    kept vectors, else the keeper id and the cosine to it.
+    """
+    with_cell = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("cell")
+    )
+    a = with_cell.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = with_cell.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    matches = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            "id_a",
+            quantized_cosine(F.col("va"), F.col("vb")).alias("pcos"),
+        )
+        .filter(F.col("pcos") >= threshold)
+        .groupBy("id_b")
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            # cosine to the keeper: id_a is unique per group, so min_by
+            # is deterministic (and portable — DuckDB has the same agg)
+            F.expr("min_by(pcos, id_a)").alias("cos"),
+        )
+    )
+    return (
+        with_cell.join(
+            matches, with_cell[id_col] == matches["id_b"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("dup_of").isNull().alias("kept"),
+            F.col("dup_of"),
+            F.col("cos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # product quantization (PQ): compressed codes + asymmetric distance search
 # ---------------------------------------------------------------------------

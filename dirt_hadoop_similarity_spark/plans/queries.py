@@ -104,6 +104,11 @@ _PRIORITY = [
     "quality_classifier",
     "dedup_threshold_sweep",
     "ann_recall_eval",
+    # new in round 3, session 3 — never driver-sampled
+    "semantic_dedup",
+    "dsir_importance",
+    "duplicate_spans",
+    "doc_chunking",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -131,6 +136,10 @@ _DEFERRED = [
     "decontaminate",
     "bpe_pair_counts",
     # r02-green, code-unchanged, deferred for the round-3 rotation
+    "asof_join_events",
+    "range_join_events",
+    "json_props_extract",
+    "rollup_returnflag",
     "least_greatest_pairs",
     "window_cumsum",
     "mi_expression",

@@ -2033,3 +2033,184 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: semantic dedup, DSIR selection, span dedup, chunking
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_TAU = 0.2
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH buckets AS ({_LSH_BUCKET_SQL}),
+cv AS (
+  SELECT e.vec_id, b.bucket, i,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) e
+  JOIN buckets b ON b.vec_id = e.vec_id
+),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM cv a JOIN cv b
+    ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b, pcos FROM (
+    SELECT d.id_a, d.id_b,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS pcos
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+  ) WHERE pcos >= {_SEMANTIC_TAU}
+),
+matches AS (
+  SELECT id_b, CAST(min(id_a) AS BIGINT) AS dup_of, min_by(pcos, id_a) AS cos
+  FROM pairs GROUP BY id_b
+)
+SELECT b.vec_id, b.bucket AS cell, m.dup_of IS NULL AS kept, m.dup_of, m.cos
+FROM buckets b LEFT JOIN matches m ON m.id_b = b.vec_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    _SEMANTIC_DEDUP_SQL,
+    "SemDeDup-style per-vector keep/drop: sign-LSH cells stand in for "
+    "k-means clusters, and inside each cell every vector with a "
+    "lower-id cosine-neighbor above the threshold is dropped in favor "
+    "of that keeper.  Cell equi-join candidates only — never all-pairs.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=_SEMANTIC_TAU
+    )
+
+
+_DSIR_BUCKETS = 64
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, is_tgt,
+         CAST(('0x' || substr(md5('dsir|' || w), 1, 15)) AS UBIGINT)::BIGINT
+           % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, (lang = 'en') AS is_tgt,
+               unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+        FROM documents)
+),
+stats AS (
+  SELECT b, count(*) AS raw_c,
+         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_c
+  FROM tok GROUP BY b
+),
+tot AS (SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM stats),
+lr AS (
+  SELECT b,
+         CAST(round(ln(((tgt_c + 1.0) / (tgt_n + {_DSIR_BUCKETS}.0))
+                       / ((raw_c + 1.0) / (raw_n + {_DSIR_BUCKETS}.0)))
+                    * 1000000) AS BIGINT) AS lr_micro
+  FROM stats, tot
+),
+docw AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lr_micro) AS BIGINT) AS weight_micro
+  FROM tok JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(w.weight_micro, 0) AS BIGINT) AS weight_micro
+FROM documents d LEFT JOIN docw w ON w.doc_id = d.doc_id
+"""
+
+
+@register(
+    "dsir_importance",
+    _DSIR_SQL,
+    "DSIR-style data selection: per-document hashed-unigram importance "
+    "weight log(p_target/p_raw), target = lang='en' docs.  Per-bucket "
+    "log-ratios are quantized to integer micro-nats before the "
+    "per-document sum, so the weight is exact integer arithmetic — "
+    "order-independent and value-checkable.",
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.dsir_weights(
+        docs, F.col("lang") == "en", buckets=_DSIR_BUCKETS
+    )
+
+
+_SPAN_K = 5
+
+_DUP_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + {_SPAN_K} - 1), ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_SPAN_K} + 1)) AS i
+        FROM base WHERE len(t) >= {_SPAN_K})
+),
+hot AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM g JOIN hot USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM dup
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, isl
+"""
+
+
+@register(
+    "duplicate_spans",
+    _DUP_SPANS_SQL,
+    "Exact-substring duplication localized to token spans (suffix-array "
+    "dedup at k-gram resolution): maximal runs whose 5-grams occur at "
+    "least twice in the corpus, via digest-keyed gram counts and a "
+    "per-document gaps-and-islands merge.",
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_spans(load(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+_CHUNK_MAX, _CHUNK_STRIDE = 64, 48
+
+_CHUNK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST((s // {_CHUNK_STRIDE}) AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(len(list_slice(t, s + 1, s + {_CHUNK_MAX})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(t, s + 1, s + {_CHUNK_MAX}), ' ')) AS chunk_hash
+FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {_CHUNK_STRIDE})) AS s
+      FROM base WHERE len(t) >= 1)
+"""
+
+
+@register(
+    "doc_chunking",
+    _CHUNK_SQL,
+    "Overlapping token-window chunking (64-token windows, stride 48) "
+    "for embedding/retrieval pipelines — map-only, fuses into the scan.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import curation
+
+    return curation.chunk_documents(
+        load(spark, sf_dir, "documents"),
+        max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE,
+    )

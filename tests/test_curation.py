@@ -171,3 +171,48 @@ def test_corpus_diff_statuses(spark):
     out = {r["doc_id"]: r["status"]
            for r in corpus_diff(old, new, "doc_id").collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+class TestChunkDocuments:
+    def test_stride_windows_cover_all_tokens(self, spark):
+        import hashlib
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        out = sorted(
+            curation.chunk_documents(docs, max_tokens=4, stride=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [(r["chunk_id"], r["start_tok"], r["n_tokens"]) for r in out] \
+            == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)]
+        # every token is covered; adjacent chunks overlap by max - stride
+        covered = set()
+        for r in out:
+            covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(10))
+        expect = hashlib.md5("t3 t4 t5 t6".encode()).hexdigest()
+        assert out[1]["chunk_hash"] == expect
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   ")], "doc_id long, text string"
+        )
+        assert curation.chunk_documents(docs).count() == 0
+
+    def test_disjoint_when_stride_equals_max(self, spark):
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(9)))],
+            "doc_id long, text string",
+        )
+        out = curation.chunk_documents(docs, max_tokens=3, stride=3).collect()
+        assert sorted(r["n_tokens"] for r in out) == [3, 3, 3]
+        starts = sorted(r["start_tok"] for r in out)
+        assert starts == [0, 3, 6]
+
+    def test_stride_validation(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="stride"):
+            curation.chunk_documents(docs, max_tokens=4, stride=5)
+        with pytest.raises(ValueError, match="max_tokens"):
+            curation.chunk_documents(docs, max_tokens=0)

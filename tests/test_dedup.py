@@ -105,3 +105,42 @@ def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
     assert sweep[4]["n_pairs"] == direct_pairs
     assert sweep[4]["n_docs_dropped"] == direct_docs
     assert sweep[1]["n_pairs"] == pairs.count()
+
+
+class TestDuplicateSpans:
+    def test_cross_doc_shared_passage_merges_to_one_span(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "x y a b c d e f q")],
+            "doc_id long, text string",
+        )
+        rows = {(r["doc_id"]): r for r in
+                dedup.duplicate_spans(docs, k=3).collect()}
+        # shared passage "a b c d e f": 4 duplicated 3-grams per doc,
+        # merged into ONE maximal span each
+        assert rows[1]["span_start"] == 0 and rows[1]["span_end"] == 5
+        assert rows[2]["span_start"] == 2 and rows[2]["span_end"] == 7
+        assert rows[1]["n_grams"] == rows[2]["n_grams"] == 4
+        assert len(rows) == 2
+
+    def test_within_doc_repetition_found_and_gaps_split_spans(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "p q r s p q r s")], "doc_id long, text string"
+        )
+        spans = sorted(
+            (r["span_start"], r["span_end"])
+            for r in dedup.duplicate_spans(docs, k=3).collect()
+        )
+        # "p q r" and "q r s" repeat (positions 0,1 and 4,5); "r s p" /
+        # "s p q" occur once -> the gap at 2..3 splits two spans
+        assert spans == [(0, 3), (4, 7)]
+
+    def test_no_duplication_no_rows_and_validation(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "all tokens here are distinct words")],
+            "doc_id long, text string",
+        )
+        assert dedup.duplicate_spans(docs, k=3).count() == 0
+        with pytest.raises(ValueError, match="k must"):
+            dedup.duplicate_spans(docs, k=0)
+        with pytest.raises(ValueError, match="min_occurrences"):
+            dedup.duplicate_spans(docs, min_occurrences=1)

@@ -251,3 +251,48 @@ def test_mixture_matches_bruteforce(spark, case):
     for r in out.groupBy("k", "g").agg(F.count("*").alias("c")).collect():
         got[(r["k"], r["g"])] = r["c"]
     assert got == _expected_mixture(rows, parts, max_repeat)
+
+
+class TestDsirWeights:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+    def test_target_like_docs_score_higher(self, spark):
+        # token mass must dwarf the bucket count or add-1 smoothing
+        # flattens both distributions (true of DSIR itself; real corpora
+        # are always in that regime) — hence the x200 repetition
+        rows = (
+            [(i, "alpha beta " * 200, True) for i in range(5)]
+            + [(i + 10, "gamma delta " * 200, False) for i in range(5)]
+            + [(100, "alpha beta", False), (101, "gamma delta", False)]
+        )
+        out = sampling.dsir_weights(
+            self._docs(spark, rows), F.col("tgt"), buckets=4096
+        )
+        w = {r["doc_id"]: r["weight_micro"] for r in out.collect()}
+        # doc 100 is made of target-distribution tokens, 101 of raw-only
+        assert w[100] > 0 > w[101]
+
+    def test_empty_doc_total_and_zero_weight(self, spark):
+        rows = [(0, "alpha", True), (1, "", False)]
+        out = sampling.dsir_weights(self._docs(spark, rows), F.col("tgt"))
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert set(got) == {0, 1}  # total over input docs
+        assert got[1]["n_tokens"] == 0 and got[1]["weight_micro"] == 0
+
+    def test_weight_stable_under_repartition(self, spark):
+        rows = [(i, f"tok{i % 7} alpha tok{i % 3}", i % 2 == 0)
+                for i in range(40)]
+        docs = self._docs(spark, rows)
+        a = {r["doc_id"]: r["weight_micro"]
+             for r in sampling.dsir_weights(docs, F.col("tgt")).collect()}
+        b = {r["doc_id"]: r["weight_micro"]
+             for r in sampling.dsir_weights(
+                 docs.repartition(11), F.col("tgt")).collect()}
+        assert a == b  # integer micro-nat sum: order-independent
+
+    def test_bucket_validation(self, spark):
+        with pytest.raises(ValueError, match="buckets"):
+            sampling.dsir_weights(
+                self._docs(spark, [(0, "x", True)]), F.col("tgt"), buckets=0
+            )

@@ -287,3 +287,40 @@ def test_pq_trained_codebooks_not_worse(spark, sf_dir):
     assert total_d2(trained_cb) <= total_d2(seed_cb)
     out = similarity.pq_adc_topk(emb, list(range(5)), k=5, codebooks=trained_cb)
     assert out.count() == 25
+
+
+class TestSemanticDedup:
+    def test_keep_drop_by_cell_and_threshold(self, spark):
+        # a, b share direction (cos 1) in the all-positive cell; d is in
+        # the same cell but dissimilar; c sits in another cell entirely
+        rows = [
+            (0, [1.0] * 8),
+            (1, [2.0] * 8),
+            (2, [1.0, -1.0] * 4),
+            (3, [0.01] * 7 + [1.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in
+               similarity.semantic_dedup(emb, threshold=0.8).collect()}
+        assert out[0]["kept"] and out[0]["dup_of"] is None
+        assert not out[1]["kept"] and out[1]["dup_of"] == 0
+        assert out[1]["cos"] == pytest.approx(1.0)
+        assert out[2]["kept"]  # different cell, never compared
+        assert out[3]["kept"]  # same cell, cos ~0.38 < 0.8
+
+    def test_single_pass_chain_semantics(self, spark):
+        # angles 0/40/80 deg: a~b and b~c above tau, a~c below.  The
+        # documented single-pass rule drops c against the already-dropped
+        # b (compared to ALL lower ids, not only survivors).
+        import math
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [math.cos(math.radians(40)), math.sin(math.radians(40))]),
+            (2, [math.cos(math.radians(80)), math.sin(math.radians(80))]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in
+               similarity.semantic_dedup(emb, threshold=0.7, bits=1).collect()}
+        assert out[0]["kept"]
+        assert not out[1]["kept"] and out[1]["dup_of"] == 0
+        assert not out[2]["kept"] and out[2]["dup_of"] == 1
