@@ -149,3 +149,32 @@ def test_corpus_diff_shuffles_digests_not_payloads(spark, sf_dir):
             ln for ln in block.splitlines() if ln.startswith("Input")
         )
         assert "text#" not in input_line, block
+
+
+def test_doc_chunking_is_map_only(spark, sf_dir):
+    """Chunking must fuse into the scan: no Exchange at any corpus size."""
+    plan = _plan(QUERIES["doc_chunking"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_duplicate_spans_shuffles_digests_not_text(spark, sf_dir):
+    """The gram relation must carry md5 digests, never gram text or the
+    token array — every Exchange Input is (doc_id, pos, digest)-shaped."""
+    import re
+
+    df = QUERIES["duplicate_spans"].fn(spark, sf_dir)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    exchanges = [
+        b for b in formatted.split("\n\n") if b.lstrip().startswith("(")
+        and ") Exchange" in b.split("\n", 1)[0]
+    ]
+    assert exchanges, formatted
+    for block in exchanges:
+        input_line = next(
+            ln for ln in block.splitlines() if ln.startswith("Input")
+        )
+        assert "text#" not in input_line, block
+        assert not re.search(r"[\[, ]t#\d", input_line), block
