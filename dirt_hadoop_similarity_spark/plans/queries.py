@@ -109,6 +109,7 @@ _PRIORITY = [
     "dsir_importance",
     "duplicate_spans",
     "doc_chunking",
+    "lm_quality",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -140,6 +141,7 @@ _DEFERRED = [
     "range_join_events",
     "json_props_extract",
     "rollup_returnflag",
+    "sessionize",
     "least_greatest_pairs",
     "window_cumsum",
     "mi_expression",

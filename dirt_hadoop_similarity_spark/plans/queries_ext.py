@@ -2214,3 +2214,71 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE,
     )
+
+
+_LM_THR = -3_420_000  # micro-nats mean log-prob; ~25th pct at sf0.01
+
+_LM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS is_tgt,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+),
+doc_bi AS (
+  SELECT doc_id, is_tgt, v, w, count(*) AS c
+  FROM (
+    SELECT doc_id, is_tgt, t[i] AS v, t[i + 1] AS w
+    FROM (SELECT doc_id, is_tgt, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM base WHERE len(t) >= 2)
+  ) GROUP BY doc_id, is_tgt, v, w
+),
+tgt_uni AS (
+  SELECT u, count(*) AS cu
+  FROM (SELECT unnest(t) AS u FROM base WHERE is_tgt) GROUP BY u
+),
+tgt_bi AS (SELECT v, w, sum(c) AS cb FROM doc_bi WHERE is_tgt GROUP BY v, w),
+scal AS (SELECT sum(cu) AS n_tok, count(*) + 1 AS vsize FROM tgt_uni),
+types AS (SELECT DISTINCT v, w FROM doc_bi),
+lp AS (
+  SELECT ty.v, ty.w,
+         CAST(round(ln(
+             0.5 * ((coalesce(tb.cb, 0) + 1.0)
+                    / (coalesce(uv.cu, 0) + s.vsize))
+           + 0.5 * ((coalesce(uw.cu, 0) + 1.0) / (s.n_tok + s.vsize))
+         ) * 1000000) AS BIGINT) AS lp_micro
+  FROM types ty
+  LEFT JOIN tgt_bi tb ON tb.v = ty.v AND tb.w = ty.w
+  LEFT JOIN tgt_uni uv ON uv.u = ty.v
+  LEFT JOIN tgt_uni uw ON uw.u = ty.w
+  CROSS JOIN scal s
+),
+scored AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_transitions,
+         CAST(sum(c * lp_micro) AS BIGINT) AS lp_micro_sum
+  FROM doc_bi JOIN lp USING (v, w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_transitions, 0) AS BIGINT) AS n_transitions,
+       CAST(coalesce(s.lp_micro_sum, 0) AS BIGINT) AS lp_micro_sum,
+       (coalesce(s.n_transitions, 0) > 0
+        AND coalesce(s.lp_micro_sum, 0)
+            >= {_LM_THR} * coalesce(s.n_transitions, 0)) AS keep
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+@register(
+    "lm_quality",
+    _LM_SQL,
+    "CCNet-style LM quality filter: interpolated bigram LM trained on "
+    "the lang='en' subset, every document scored by total transition "
+    "log-prob in integer micro-nats (exact across engines); keep = "
+    "mean log-prob over the threshold, decided as an integer compare.",
+)
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import lm
+
+    docs = load(spark, sf_dir, "documents")
+    return lm.bigram_lm_scores(
+        docs, F.col("lang") == "en", mean_lp_min_micro=_LM_THR
+    )

@@ -1,0 +1,68 @@
+"""Bigram LM quality scoring: model semantics the oracle can't express
+(the oracle checks arithmetic equality; these check the MODEL is right).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.operators.lm import bigram_lm_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+
+def test_in_domain_text_scores_higher(spark):
+    # target distribution: "the cat sat" patterns; doc 100 repeats them,
+    # doc 101 is out-of-domain gibberish of the same length
+    rows = (
+        [(i, "the cat sat on the mat " * 10, True) for i in range(5)]
+        + [(100, "the cat sat on the mat", False),
+           (101, "zq xv qp wk zq mv plf", False)]
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_lm_scores(_docs(spark, rows), F.col("tgt")).collect()}
+    mean_100 = out[100]["lp_micro_sum"] / out[100]["n_transitions"]
+    mean_101 = out[101]["lp_micro_sum"] / out[101]["n_transitions"]
+    assert mean_100 > mean_101
+
+
+def test_seen_bigram_beats_unseen_with_seen_unigrams(spark):
+    # "cat sat" is a trained transition; "sat cat" never occurs — the
+    # bigram term must distinguish them even though unigrams are shared
+    rows = [(0, "cat sat cat sat cat sat", True),
+            (100, "cat sat", False), (101, "sat cat", False)]
+    out = {r["doc_id"]: r for r in
+           bigram_lm_scores(_docs(spark, rows), F.col("tgt")).collect()}
+    assert out[100]["lp_micro_sum"] > out[101]["lp_micro_sum"]
+
+
+def test_short_docs_are_total_and_not_kept(spark):
+    rows = [(0, "a b a b", True), (1, "single", False), (2, "", False)]
+    out = {r["doc_id"]: r for r in
+           bigram_lm_scores(_docs(spark, rows), F.col("tgt")).collect()}
+    assert set(out) == {0, 1, 2}
+    for d in (1, 2):
+        assert out[d]["n_transitions"] == 0
+        assert out[d]["lp_micro_sum"] == 0
+        assert out[d]["keep"] is False
+
+
+def test_score_stable_under_repartition(spark):
+    rows = [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3} w{i % 11}", i % 2 == 0)
+            for i in range(40)]
+    docs = _docs(spark, rows)
+    a = {r["doc_id"]: r["lp_micro_sum"]
+         for r in bigram_lm_scores(docs, F.col("tgt")).collect()}
+    b = {r["doc_id"]: r["lp_micro_sum"]
+         for r in bigram_lm_scores(
+             docs.repartition(13), F.col("tgt")).collect()}
+    assert a == b  # integer micro-nat sums: order-independent
+
+
+def test_alpha_validation(spark):
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_lm_scores(_docs(spark, [(0, "a b", True)]),
+                         F.col("tgt"), alpha=1.5)
