@@ -4,15 +4,17 @@ trusted target text (there: Wikipedia via KenLM; here: an in-corpus
 target subset via bigram counts), score every document by its per-token
 log-probability, and filter or tier the corpus on that score.
 
-Spark-first shape: the LM "model" is a DataFrame of distinct bigram
-types with integer micro-nat log-probs, built from two explode+groupBy
-passes over the target subset (vocab-bounded, map-side combined).
-Scoring is an equi-join of per-document bigram counts against that
-table — never a per-token UDF, never a broadcast of a corpus-vocab
-model.  All log-probs are quantized to integer micro-nats BEFORE the
-per-document sum (the quantized_cosine trick), so scores are exact
-integer arithmetic: order-independent across partitionings and engines,
-value-checkable by the DuckDB oracle.
+Spark-first shape: the LM "model" is a pair of count DataFrames
+(unigrams, bigrams) — trainable offline, persistable as parquet, and
+joinable; scoring computes integer micro-nat log-probs once per
+distinct bigram TYPE of the scored batch (vocab-bounded) and equi-joins
+them to per-document bigram counts — never a per-token UDF, never a
+broadcast of a corpus-vocab model.  Quantizing before the per-document
+sum (the quantized_cosine trick) makes scores exact integer arithmetic:
+order-independent across partitionings and engines, value-checkable by
+the DuckDB oracle.  Because a document's score depends only on (model,
+document), scoring is micro-batch independent — the streaming runner in
+``streaming/corpus.py`` reuses :func:`score_documents` verbatim.
 """
 
 from __future__ import annotations
@@ -24,16 +26,49 @@ from dirt_hadoop_similarity_spark.functions.textfns import tokens
 
 MICRO = 1_000_000
 
+_BIGRAMS = (
+    "transform(sequence(0, size(t) - 2),"
+    " i -> struct(t[i] AS v, t[i + 1] AS w))"
+)
 
-def bigram_lm_scores(docs: DataFrame, is_target: Column,
-                     alpha: float = 0.5,
-                     mean_lp_min_micro: int = -8_000_000,
-                     text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """Score every document under an add-1-smoothed interpolated bigram
-    LM trained on the ``is_target`` subset.
 
-    Model, over lowercase whitespace tokens:
+def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("t")
+    )
+
+
+def train_bigram_lm(target_docs: DataFrame,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Train the LM: returns ``(unigrams, bigrams)`` count tables —
+    ``(u, cu)`` and ``(v, w, cb)`` over lowercase whitespace tokens.
+    This pair IS the persistable model (two parquet writes);
+    :func:`score_documents` recovers the scalars (token count, vocab
+    size) from the unigram table, so nothing else needs saving."""
+    base = _tokenized(target_docs, text_col, id_col)
+    uni = (
+        base.select(F.explode("t").alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bi = (
+        base.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(_BIGRAMS)).alias("p"))
+        .select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    return uni, bi
+
+
+def score_documents(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                    alpha: float = 0.5,
+                    mean_lp_min_micro: int = -8_000_000,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Score documents under a trained add-1-smoothed interpolated
+    bigram LM:
 
         p(w | v) = alpha * (c_bi(v,w) + 1) / (c_uni(v) + V)
                  + (1-alpha) * (c_uni(w) + 1) / (N + V)
@@ -50,55 +85,34 @@ def bigram_lm_scores(docs: DataFrame, is_target: Column,
     Documents with < 2 tokens have no transitions: score 0, keep false.
 
     Scale: log-probs are computed once per DISTINCT bigram type of the
-    scored corpus (vocab-bounded, not corpus-bounded) and cached; the
+    scored batch (vocab-bounded, not corpus-bounded) and cached; the
     corpus-sized relations only ever shuffle (doc_id, v, w, count)
     rows.  The scalar (N, V) closes over a 1-row broadcast crossJoin.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0,1], got {alpha}")
 
-    base = docs.select(
-        F.col(id_col),
-        is_target.alias("is_tgt"),
-        tokens(F.lower(F.col(text_col))).alias("t"),
-    )
-    bi = F.expr(
-        "transform(sequence(0, size(t) - 2),"
-        " i -> struct(t[i] AS v, t[i + 1] AS w))"
-    )
     doc_bi = (
-        base.filter(F.size("t") >= 2)
-        .select(F.col(id_col), "is_tgt", F.explode(bi).alias("p"))
-        .select(F.col(id_col), "is_tgt", F.col("p.v").alias("v"),
+        _tokenized(docs, text_col, id_col)
+        .filter(F.size("t") >= 2)
+        .select(F.col(id_col), F.explode(F.expr(_BIGRAMS)).alias("p"))
+        .select(F.col(id_col), F.col("p.v").alias("v"),
                 F.col("p.w").alias("w"))
-        .groupBy(id_col, "is_tgt", "v", "w")
+        .groupBy(id_col, "v", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-    ).cache()  # feeds LM training AND scoring — one explode pass
+    ).cache()  # feeds the type list AND the per-doc sum — one pass
 
-    tgt_uni = (
-        base.filter("is_tgt")
-        .select(F.explode("t").alias("u"))
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    ).cache()
-    tgt_bi = (
-        doc_bi.filter("is_tgt")
-        .groupBy("v", "w")
-        .agg(F.sum("c").alias("cb"))
-    )
-    scal = tgt_uni.agg(
+    scal = uni.agg(
         F.sum("cu").alias("n_tok"),
         (F.count(F.lit(1)) + 1).alias("vsize"),
     )
-
-    # log-prob per distinct bigram TYPE of the scored corpus
     types = doc_bi.select("v", "w").distinct()
     lp = (
-        types.join(tgt_bi, ["v", "w"], "left")
-        .join(tgt_uni.select(F.col("u").alias("v"),
-                             F.col("cu").alias("cv")), "v", "left")
-        .join(tgt_uni.select(F.col("u").alias("w"),
-                             F.col("cu").alias("cw")), "w", "left")
+        types.join(bi, ["v", "w"], "left")
+        .join(uni.select(F.col("u").alias("v"),
+                         F.col("cu").alias("cv")), "v", "left")
+        .join(uni.select(F.col("u").alias("w"),
+                         F.col("cu").alias("cw")), "w", "left")
         .crossJoin(F.broadcast(scal))
         .select(
             "v", "w",
@@ -137,4 +151,24 @@ def bigram_lm_scores(docs: DataFrame, is_target: Column,
                    * F.coalesce("n_transitions", F.lit(0)))
             ).alias("keep"),
         )
+    )
+
+
+def bigram_lm_scores(docs: DataFrame, is_target: Column,
+                     alpha: float = 0.5,
+                     mean_lp_min_micro: int = -8_000_000,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Train-and-score in one call: the LM is trained on the
+    ``is_target`` subset of ``docs`` and every document is scored under
+    it (see :func:`score_documents` for the model and output contract).
+    For the train-offline / score-at-ingest split, call
+    :func:`train_bigram_lm` + :func:`score_documents` directly."""
+    uni, bi = train_bigram_lm(
+        docs.filter(is_target), text_col=text_col, id_col=id_col
+    )
+    return score_documents(
+        docs, uni.cache(), bi,
+        alpha=alpha, mean_lp_min_micro=mean_lp_min_micro,
+        text_col=text_col, id_col=id_col,
     )

@@ -143,3 +143,54 @@ def run_redaction_gate_smoke(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_lm_score_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    uni_path: str,
+    bi_path: str,
+    out_path: str,
+    checkpoint: str,
+    alpha: float = 0.5,
+    mean_lp_min_micro: int = -8_000_000,
+    query_name: str = "lm_score",
+) -> None:
+    """LM quality scoring AT INGEST: every micro-batch is scored against
+    the PERSISTED bigram LM (``operators/lm.train_bigram_lm`` count
+    tables written as parquet at ``uni_path`` / ``bi_path``) and lands
+    in ``out_path`` with its (n_transitions, lp_micro_sum, keep) verdict
+    attached — the train-offline / score-at-ingest split of the CCNet
+    recipe.
+
+    ``foreachBatch`` because scoring aggregates per document (the
+    bigram-count groupBy), which Structured Streaming would treat as
+    unbounded state; per batch it is a bounded batch plan.  The model
+    stays FIXED for the run, and a document's score depends only on
+    (model, document) — every micro-batch's decision is independent, so
+    stream output == ``lm.score_documents`` on the same documents
+    regardless of batch splits (asserted in test_streaming), and
+    re-delivery is harmless for the same reason as the dedup stream.
+    Retraining is a nightly batch job that rewrites the count tables —
+    model read-modify-write stays OUT of the hot ingest path.
+    """
+    from dirt_hadoop_similarity_spark.operators import lm
+
+    uni = spark.read.parquet(uni_path).cache()
+    bi = spark.read.parquet(bi_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        scored = lm.score_documents(
+            batch_df, uni, bi,
+            alpha=alpha, mean_lp_min_micro=mean_lp_min_micro,
+        )
+        batch_df.join(scored, "doc_id").write.mode("append").parquet(out_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()

@@ -247,3 +247,59 @@ def test_stream_redaction_gate_equals_batch(spark, sf_dir):
     assert s == b
     assert len(s) > 0
     assert any(v[2] for v in s.values()) and not all(v[2] for v in s.values())
+
+
+def test_lm_score_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Score-at-ingest against a persisted LM: the foreachBatch stream
+    must produce exactly the batch scorer's integer verdicts for every
+    doc, regardless of micro-batch splits (2 files -> 2 batches)."""
+    from dirt_hadoop_similarity_spark.operators import lm
+    from dirt_hadoop_similarity_spark.streaming import corpus as sco
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    incoming = docs.filter(F.col("doc_id") >= 250)
+
+    uni, bi = lm.train_bigram_lm(target)
+    uni_path, bi_path = str(tmp_path / "lm_uni"), str(tmp_path / "lm_bi")
+    uni.write.parquet(uni_path)
+    bi.write.parquet(bi_path)
+
+    landing = tmp_path / "landing"
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(landing / "f0")
+    )
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(landing / "f1")
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(sco.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(landing))
+    )
+
+    out_path = str(tmp_path / "scored")
+    thr = -3_420_000
+    sco.run_lm_score_stream(
+        spark, stream, uni_path, bi_path, out_path,
+        str(tmp_path / "ckpt"), mean_lp_min_micro=thr,
+        query_name="lm_score_test",
+    )
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["lp_micro_sum"], r["keep"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+    expect = {
+        r["doc_id"]: (r["n_transitions"], r["lp_micro_sum"], r["keep"])
+        for r in lm.score_documents(
+            incoming, spark.read.parquet(uni_path),
+            spark.read.parquet(bi_path), mean_lp_min_micro=thr,
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) == incoming.count()
+    keeps = [v[2] for v in got.values()]
+    assert any(keeps) and not all(keeps)  # threshold actually splits
