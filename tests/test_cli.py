@@ -8,6 +8,8 @@ gold positive → optimal threshold gives P = R = F1 = 1.0.
 import glob
 import json
 
+import pytest
+
 from dirt_hadoop_similarity_spark.__main__ import main as cli_main
 
 CORPUS = [
@@ -156,3 +158,45 @@ def test_curate_cli_defaults_no_mixture(spark, sf_dir, tmp_path):
 
     with _pytest.raises(SystemExit):
         curate_main([sf_dir, "--out", str(out), "--langs", " , "])
+
+
+def test_curate_cli_lm_dsir_and_chunks(spark, sf_dir, tmp_path):
+    """The optional LM / DSIR filter stages tighten the funnel input
+    monotonically, and --chunk emits a readable chunk table keyed by
+    the post-mixture sample identity."""
+    from dirt_hadoop_similarity_spark.curate import main as curate_main
+
+    out = tmp_path / "curated_lm"
+    rc = curate_main([
+        sf_dir, "--out", str(out), "--shards", "2",
+        "--lm-threshold", "-3420000",
+        "--dsir-min-weight", "-1000000",
+        "--chunk", "32:24",
+    ])
+    assert rc == 0
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["after_lm_filter"] <= summary["after_model_filter"]
+    assert summary["after_dsir_filter"] <= summary["after_lm_filter"]
+    assert summary["after_lm_filter"] > 0  # threshold didn't nuke the corpus
+    assert summary["after_funnel"] <= summary["after_dsir_filter"]
+    assert summary["final_rows"] > 0
+
+    chunks = spark.read.parquet(str(out / "chunks"))
+    assert chunks.count() == summary["chunks"] > 0
+    # every surviving sample has at least one chunk, none has unknown ids
+    back = spark.read.parquet(str(out / "shards"))
+    missing = back.join(chunks.select("sample_id").distinct(),
+                        "sample_id", "left_anti").count()
+    assert missing == 0
+    orphans = chunks.select("sample_id").distinct().join(
+        back.select("sample_id"), "sample_id", "left_anti").count()
+    assert orphans == 0
+    assert chunks.filter("n_tokens > 32").count() == 0
+
+
+def test_curate_cli_bad_chunk_spec(sf_dir, tmp_path):
+    from dirt_hadoop_similarity_spark.curate import main as curate_main
+
+    with pytest.raises(SystemExit):
+        curate_main([sf_dir, "--out", str(tmp_path / "x"),
+                     "--chunk", "64:ab"])
