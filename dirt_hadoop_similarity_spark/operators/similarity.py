@@ -396,6 +396,39 @@ def embedding_near_duplicates(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    skip: int = 2,
+    take: int = 10,
+    max_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the neighbors ranked just BELOW the top (rank in (skip, skip+take])
+    with cosine at most ``max_cos`` — similar enough to be informative
+    negatives, but past the top ranks and the near-dup ceiling where
+    "negatives" are usually unlabeled positives (the standard
+    denoised-mining recipe, e.g. Qu et al. 2021, RocketQA §4.2).
+
+    Ranks come from the full cosine ordering (the :func:`cosine_topk`
+    plan: query side broadcast, one corpus pass, per-query window);
+    the ``max_cos`` cut is applied after ranking, so a filtered-out
+    near-dup still occupies its rank — mining never promotes deeper
+    neighbors into the skipped band.  Same output shape as
+    :func:`cosine_topk`.
+    """
+    if skip < 0 or take < 1:
+        raise ValueError(f"need skip >= 0 and take >= 1, got {skip}, {take}")
+    ranked = cosine_topk(
+        embeddings, query_ids, k=skip + take, id_col=id_col, vec_col=vec_col
+    )
+    return ranked.filter(
+        (F.col("rank") > skip) & (F.col("cos") <= max_cos)
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.7,

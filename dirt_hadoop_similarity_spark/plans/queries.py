@@ -110,6 +110,7 @@ _PRIORITY = [
     "duplicate_spans",
     "doc_chunking",
     "lm_quality",
+    "ann_hard_negatives",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -142,6 +143,7 @@ _DEFERRED = [
     "json_props_extract",
     "rollup_returnflag",
     "sessionize",
+    "dedup_exact",
     "least_greatest_pairs",
     "window_cumsum",
     "mi_expression",

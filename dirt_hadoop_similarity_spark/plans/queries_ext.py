@@ -2282,3 +2282,61 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bigram_lm_scores(
         docs, F.col("lang") == "en", mean_lp_min_micro=_LM_THR
     )
+
+
+_HN_SKIP, _HN_TAKE, _HN_MAXCOS = 2, 10, 0.95
+
+_HARD_NEG_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))}))
+),
+cv AS (
+  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.q * c.c) AS BIGINT) AS dot
+  FROM qv q JOIN cv c ON c.i = q.i AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CASE WHEN sqrt(CAST(nq.n2 AS DOUBLE)) > 0
+                     AND sqrt(CAST(nc.n2 AS DOUBLE)) > 0
+                    THEN CAST(d.dot AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+                    ELSE 0 END, 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank > {_HN_SKIP} AND rank <= {_HN_SKIP + _HN_TAKE}
+  AND cos <= {_HN_MAXCOS}
+"""
+
+
+@register(
+    "ann_hard_negatives",
+    _HARD_NEG_SQL,
+    "Hard-negative mining: per query, neighbors ranked (2, 12] under a "
+    "0.95 near-dup cosine ceiling — the denoised contrastive-training "
+    "band; ranks come from the full ordering so the ceiling never "
+    "promotes deeper neighbors.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_negatives(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS,
+        skip=_HN_SKIP, take=_HN_TAKE, max_cos=_HN_MAXCOS,
+    )

@@ -324,3 +324,35 @@ class TestSemanticDedup:
         assert out[0]["kept"]
         assert not out[1]["kept"] and out[1]["dup_of"] == 0
         assert not out[2]["kept"] and out[2]["dup_of"] == 1
+
+
+class TestHardNegatives:
+    def test_ceiling_filters_without_promoting(self, spark):
+        import math
+
+        def v(deg):
+            return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+        # query 0; rank order by cosine: 1 (near-dup), 2, 3, 4
+        rows = [(0, v(0)), (1, v(0.1)), (2, v(30)), (3, v(50)), (4, v(70))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = similarity.hard_negatives(
+            emb, [0], skip=0, take=3, max_cos=0.95
+        ).collect()
+        got = {(r["neighbor_id"], r["rank"]) for r in out}
+        # rank 1 (cos ~1.0) removed by the ceiling; ranks 2-3 keep their
+        # ranks — vec 4 is NOT promoted into the window
+        assert got == {(2, 2), (3, 3)}
+
+    def test_skip_band(self, spark):
+        import math
+
+        def v(deg):
+            return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+        rows = [(i, v(i * 10.0)) for i in range(6)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = similarity.hard_negatives(emb, [0], skip=2, take=2, max_cos=1.0)
+        assert sorted(r["rank"] for r in out.collect()) == [3, 4]
+        with pytest.raises(ValueError, match="skip"):
+            similarity.hard_negatives(emb, [0], skip=-1)
