@@ -38,6 +38,10 @@ HEADLINE = [
     "curation_funnel",
     "dedup_components",
     "dedup_components_ls",
+    # session-3 additions: genuinely NEW cost classes (earlier rounds'
+    # totals compare like-for-like over the first 17 names)
+    "lm_quality",
+    "ann_ivfpq_topk",
 ]
 
 

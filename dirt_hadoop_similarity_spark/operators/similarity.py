@@ -396,6 +396,124 @@ def embedding_near_duplicates(
     )
 
 
+def _int_slices(vec: Column, m: int, dsub: int) -> Column:
+    """array<long>[m*dsub] → array of m int subvectors (no requantize)."""
+    return F.array(*[F.slice(vec, j * dsub + 1, dsub) for j in range(m)])
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed FAISS-style index
+    (Jegou et al. 2011 §IV, IVFADC): a coarse quantizer routes each
+    vector to a cell, PQ encodes the RESIDUAL (vector − its centroid),
+    and search probes ``nprobe`` cells scoring codes against a
+    per-(query, cell) residual lookup table.  Residuals concentrate the
+    energy PQ must quantize, so the same code budget is far more
+    accurate than PQ over raw vectors — this is the index shape that
+    actually ships at 100 TB scale: the persisted relation is
+    (id, cell, m codes), 25-50× smaller than raw vectors, partitionable
+    by cell so a probe prunes partitions.
+
+    All arithmetic is quantized-int: residual = quantize(x) −
+    quantize(centroid) is exact integer subtraction, sub-distances are
+    exact integer squared-L2, and ``adc_d2`` is their sum — bit-exact
+    across engines, so the DuckDB oracle checks distances, not counts.
+    Deterministic seeds (coarse: first ``n_centroids`` vectors; PQ: the
+    residuals of vectors [n_centroids, n_centroids+ksub) — offset past
+    the coarse seeds, whose own residuals are zero); swap in
+    :func:`kmeans_centroids` / :func:`pq_train_codebooks`-style trained
+    inputs at scale, the search path is identical.
+
+    Output: (query_id, neighbor_id, adc_d2, rank) — rank by ascending
+    approximate squared distance, only neighbors in probed cells.
+    """
+    cent = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = assign_cells(embeddings, cent, id_col, vec_col)
+
+    residual = F.zip_with(
+        _quantize(F.col(vec_col)), _quantize(F.col("cvec")),
+        lambda x, c: x - c,
+    )
+    rsubs = (
+        assigned.join(F.broadcast(cent), "cell")
+        .select(F.col(id_col), "cell", residual.alias("rvec"))
+        .select(
+            F.col(id_col), "cell",
+            F.posexplode(_int_slices(F.col("rvec"), m, dsub))
+            .alias("sub", "svec"),
+        )
+    )
+    rcb = rsubs.filter(
+        (F.col(id_col) >= n_centroids) & (F.col(id_col) < n_centroids + ksub)
+    ).select(
+        (F.col(id_col) - n_centroids).alias("code"),
+        "sub",
+        F.col("svec").alias("cbvec"),
+    )
+    wc = W.partitionBy(id_col, "sub").orderBy("d2", "code")
+    codes = (
+        rsubs.join(F.broadcast(rcb), "sub")
+        .withColumn("d2", _int_d2(F.col("svec"), F.col("cbvec")))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell", "sub", "code")
+    )
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q_scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qvec", "cell",
+        quantized_cosine(F.col("qvec"), F.col("cvec")).alias("ccos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    q_residual = F.zip_with(
+        _quantize(F.col("qvec")), _quantize(F.col("cvec")),
+        lambda x, c: x - c,
+    )
+    lut = (
+        probes.join(F.broadcast(cent), "cell")
+        .select("query_id", "cell", q_residual.alias("rvec"))
+        .select(
+            "query_id", "cell",
+            F.posexplode(_int_slices(F.col("rvec"), m, dsub))
+            .alias("sub", "qsvec"),
+        )
+        .join(F.broadcast(rcb), "sub")
+        .select(
+            "query_id", "cell", "sub", "code",
+            _int_d2(F.col("qsvec"), F.col("cbvec")).alias("d2"),
+        )
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hard_negatives(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -111,6 +111,7 @@ _PRIORITY = [
     "doc_chunking",
     "lm_quality",
     "ann_hard_negatives",
+    "ann_ivfpq_topk",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -144,6 +145,7 @@ _DEFERRED = [
     "rollup_returnflag",
     "sessionize",
     "dedup_exact",
+    "dedup_simhash",
     "least_greatest_pairs",
     "window_cumsum",
     "mi_expression",

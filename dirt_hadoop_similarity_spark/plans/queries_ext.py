@@ -2340,3 +2340,122 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS,
         skip=_HN_SKIP, take=_HN_TAKE, max_cos=_HN_MAXCOS,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed index (coarse cells + residual PQ codes, ADC)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_M, _IVFPQ_DSUB, _IVFPQ_KSUB = 8, 8, 16
+
+_ANN_IVFPQ_SQL = f"""
+WITH qall AS (
+  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+qcent AS (
+  SELECT vec_id AS cell, i, q FROM qall WHERE vec_id < {_IVF_N_CENT}
+),
+norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qall GROUP BY vec_id),
+vc_dots AS (
+  SELECT v.vec_id, c.cell, CAST(sum(v.q * c.q) AS BIGINT) AS dot
+  FROM qall v JOIN qcent c ON c.i = v.i
+  GROUP BY v.vec_id, c.cell
+),
+vc_cos AS (
+  SELECT d.vec_id, d.cell,
+         round(CASE WHEN nv.n2 > 0 AND nc.n2 > 0
+                    THEN CAST(d.dot AS DOUBLE)
+                         / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+                    ELSE 0 END, 6) AS ccos
+  FROM vc_dots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cell
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+    FROM vc_cos) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+    FROM vc_cos WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+res AS (
+  SELECT v.vec_id, a.cell, v.i, v.q - c.q AS r
+  FROM qall v
+  JOIN assigned a ON a.vec_id = v.vec_id
+  JOIN qcent c ON c.cell = a.cell AND c.i = v.i
+),
+rsub AS (SELECT vec_id, cell, (i - 1) // {_IVFPQ_DSUB} AS sub, i, r FROM res),
+rcb AS (
+  SELECT vec_id - {_IVF_N_CENT} AS code, sub, i, r AS c
+  FROM rsub
+  WHERE vec_id >= {_IVF_N_CENT} AND vec_id < {_IVF_N_CENT + _IVFPQ_KSUB}
+),
+vdist AS (
+  SELECT v.vec_id, v.cell, v.sub, c.code,
+         CAST(sum((v.r - c.c) * (v.r - c.c)) AS BIGINT) AS d2
+  FROM rsub v JOIN rcb c ON c.sub = v.sub AND c.i = v.i
+  GROUP BY v.vec_id, v.cell, v.sub, c.code
+),
+codes AS (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT vec_id, cell, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM vdist) WHERE rn = 1
+),
+qres AS (
+  SELECT p.query_id, p.cell, v.i, v.q - c.q AS r
+  FROM probes p
+  JOIN qall v ON v.vec_id = p.query_id
+  JOIN qcent c ON c.cell = p.cell AND c.i = v.i
+),
+qrsub AS (SELECT query_id, cell, (i - 1) // {_IVFPQ_DSUB} AS sub, i, r FROM qres),
+lut AS (
+  SELECT q.query_id, q.cell, q.sub, c.code,
+         CAST(sum((q.r - c.c) * (q.r - c.c)) AS BIGINT) AS d2
+  FROM qrsub q JOIN rcb c ON c.sub = q.sub AND c.i = q.i
+  GROUP BY q.query_id, q.cell, q.sub, c.code
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM codes c
+  JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+            AND l.query_id <> c.vec_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2, rank FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rank
+  FROM adc) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    _ANN_IVFPQ_SQL,
+    "IVF-PQ (IVFADC) approximate top-5: coarse cells route vectors, PQ "
+    "encodes the residual to the cell centroid, and search probes 2 "
+    "cells scoring codes against a per-(query, cell) residual lookup "
+    "table — exact-integer distances end to end.  PQ seeds offset past "
+    "the coarse seeds, whose own residuals are zero.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        k=5,
+        n_centroids=_IVF_N_CENT,
+        nprobe=_IVF_NPROBE,
+        m=_IVFPQ_M,
+        dsub=_IVFPQ_DSUB,
+        ksub=_IVFPQ_KSUB,
+    )

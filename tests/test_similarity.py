@@ -356,3 +356,36 @@ class TestHardNegatives:
         assert sorted(r["rank"] for r in out.collect()) == [3, 4]
         with pytest.raises(ValueError, match="skip"):
             similarity.hard_negatives(emb, [0], skip=-1)
+
+
+class TestIvfPq:
+    def test_exact_duplicate_ranks_first(self, spark):
+        # 16 coarse seeds + 16 PQ seeds + extras; vec 36 duplicates
+        # query 35 exactly, so its residual equals the query's residual
+        # and every subvector snaps to the query's own nearest codebook
+        # entry — the minimum achievable ADC distance => rank 1
+        import random
+        rng = random.Random(3)
+        vecs = {i: [rng.uniform(-1, 1) for _ in range(64)]
+                for i in range(40)}
+        vecs[36] = list(vecs[35])
+        emb = spark.createDataFrame(
+            list(vecs.items()), "vec_id long, embedding array<float>"
+        )
+        out = similarity.ivfpq_topk(emb, [35], k=3)
+        top = sorted(out.collect(), key=lambda r: r["rank"])
+        assert top and top[0]["neighbor_id"] == 36
+
+    def test_neighbors_only_from_probed_cells(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = similarity.ivfpq_topk(emb, [0, 1], k=5, nprobe=1)
+        cent = similarity.seed_centroids(emb)
+        assigned = similarity.assign_cells(emb, cent).select(
+            F.col("vec_id").alias("neighbor_id"), "cell")
+        got = out.join(assigned, "neighbor_id").select(
+            "query_id", "cell").distinct().collect()
+        # nprobe=1: all of a query's neighbors share ONE cell
+        per_query = {}
+        for r in got:
+            per_query.setdefault(r["query_id"], set()).add(r["cell"])
+        assert per_query and all(len(c) == 1 for c in per_query.values())
