@@ -389,3 +389,26 @@ class TestIvfPq:
         for r in got:
             per_query.setdefault(r["query_id"], set()).add(r["cell"])
         assert per_query and all(len(c) == 1 for c in per_query.values())
+
+
+class TestIvfPqRecall:
+    def test_recall_floors_and_training_lift(self, spark, sf_dir):
+        """Deterministic recall pins vs exact cosine top-5 (the data and
+        all seeds are fixed, so these are exact expectations, not
+        statistical floors): residual PQ must beat raw-vector PQ at
+        equal bits, and Lloyd's training must not hurt."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qids = list(range(10))
+        exact = similarity.cosine_topk(emb, qids, k=5)
+
+        def recall(approx):
+            return exact.join(
+                approx, ["query_id", "neighbor_id"], "left_semi"
+            ).count() / 50
+
+        seeded = recall(similarity.ivfpq_topk(emb, qids, k=5))
+        raw_pq = recall(similarity.pq_adc_topk(emb, qids, k=5))
+        trained = recall(similarity.ivfpq_topk(emb, qids, k=5, train_iters=3))
+        assert trained > raw_pq  # trained residual PQ beats raw at = bits
+        assert trained >= seeded  # Lloyd's refinement never hurts here
+        assert seeded >= 0.2
