@@ -280,3 +280,78 @@ def dsir_weights(docs: DataFrame, is_target: Column, buckets: int = 64,
             F.coalesce("weight_micro", F.lit(0)).cast("long").alias("weight_micro"),
         )
     )
+
+
+def budget_waterfill(per_group: DataFrame, budget: int,
+                     group_col: str = "source",
+                     tokens_col: str = "n_tokens") -> DataFrame:
+    """Water-filling token-budget allocation across groups: find the
+    level L such that sum_g min(tokens_g, L) = budget, give every group
+    min(tokens_g, L) — small sources keep everything, large sources are
+    capped at a COMMON level (the standard way to split a training
+    budget across sources without letting one crawl dominate; the
+    continuous version of what --mixture does with integer epochs).
+
+    Input is the per-group aggregate (group, tokens) — group count is
+    assumed small (sources/languages, not documents), so the ordering
+    window here is BOUNDED by construction; the corpus-sized groupBy
+    that produces the input is the caller's (one partial-agg pass).
+
+    The level has a closed form: with groups sorted ascending and
+    prefix sums P, cutting after j full groups gives
+    L = (budget - P_j) / (k - j); the valid j is the one where
+    t_j <= L < t_(j+1).  Everything is window arithmetic on k rows —
+    no iteration, no driver loop.  If budget >= total tokens, no cap
+    applies (keep_rate 1 everywhere).
+
+    Output: (group, n_tokens, allocation, keep_rate, capped) —
+    ``keep_rate`` feeds :func:`stratified_sample` as the per-group
+    rate for the actual down-sampling pass.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    g = per_group.select(
+        F.col(group_col), F.col(tokens_col).cast("long").alias("t")
+    )
+    w = Window.orderBy("t", group_col)
+    ranked = g.select(
+        group_col, "t",
+        F.row_number().over(w).alias("rn"),
+        F.sum("t").over(w).alias("p"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("t").alias("total")
+    )
+    # candidate level for each row rn: rn-1 groups full below it
+    lam = (F.lit(float(budget)) - (F.col("p") - F.col("t")).cast("double")) \
+        / (F.col("k") - F.col("rn") + 1).cast("double")
+    lw = Window.orderBy("rn")
+    level = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("total") > budget)  # else: no cap
+        .withColumn("lam", lam)
+        .withColumn("prev_t", F.coalesce(
+            F.lag("t").over(lw), F.lit(0)).cast("double"))
+        .filter((F.col("lam") < F.col("t"))
+                & (F.col("lam") >= F.col("prev_t")))
+        .agg(F.min("lam").alias("level"))
+    )
+    alloc = F.when(
+        F.col("level").isNull() | (F.col("t") <= F.col("level")),
+        F.col("t").cast("double"),
+    ).otherwise(F.col("level"))
+    return (
+        g.crossJoin(F.broadcast(level))
+        .select(
+            group_col,
+            F.col("t").alias(tokens_col),
+            F.round(alloc, 6).alias("allocation"),
+            F.round(
+                F.when(F.col("t") > 0, alloc / F.col("t")).otherwise(1.0), 6
+            ).alias("keep_rate"),
+            (F.col("level").isNotNull()
+             & (F.col("t").cast("double") > F.col("level"))).alias("capped"),
+        )
+    )
