@@ -81,15 +81,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # first driver rows pending since round 2
-    "cube_status_priority",
+    # red in round 3 (unix_micros vs TIMESTAMP_NTZ) — fixed in round 4
     "window_range_frame",
-    "window_sliding",
-    # code changed after last green driver row
-    "dirt_extract_counts",
+    # code changed in round 4: the events `ts` column now infers as
+    # TIMESTAMP_NTZ, so every query doing timestamp arithmetic moved to
+    # interval math / the ts_micros shim and must re-earn a driver row
+    "sessionize",
+    "asof_join_events",
+    "range_join_events",
+    # unchanged code but events-reading: input datatype changed this
+    # round (TIMESTAMP → TIMESTAMP_NTZ), so re-verify inside the window
+    "window_cumsum",
+    "window_tumbling",
+    "union_label",
+    "json_props_extract",
     # flagship composition: deliberate rows-only driver row
     "dirt_full_pipeline",
-    # new in round 3 — never driver-sampled
+    # round-3 first-timers: keep their first green row fresh this round
     "dedup_components_ls",
     "dedup_cluster_keepers",
     "text_repetition",
@@ -121,10 +129,12 @@ _PRIORITY = [
 _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # Rotation policy: entries whose last driver-green row is OLDEST stay in
 # the window; the deferred tail is drawn from the MOST recently checked
-# round.  Round 3: the r02-green simple queries below sit out so the six
-# entries last checked in r01 (q3_shipping_priority, dedup_distinct,
-# profile_approx, unpivot_orderstatus, percentile_exact, profile_columns)
-# rotate back inside the 50-entry window.
+# round.  Round 4: everything below is r02- or r03-green with unchanged
+# code AND unchanged input datatypes (none reads `events`, except
+# window_sliding / dirt_extract_counts / cube_status_priority which went
+# green in r03 against the new TIMESTAMP_NTZ data); the events-reading
+# entries whose input type changed this round rotated INTO the window
+# via _PRIORITY.
 _DEFERRED = [
     "text_quality",
     "text_langid",
@@ -138,20 +148,21 @@ _DEFERRED = [
     "stratified_sample",
     "decontaminate",
     "bpe_pair_counts",
-    # r02-green, code-unchanged, deferred for the round-3 rotation
-    "asof_join_events",
-    "range_join_events",
-    "json_props_extract",
+    # r03-green against the new NTZ events data, code-unchanged
+    "cube_status_priority",
+    "window_sliding",
+    "dirt_extract_counts",
+    # r03-green, code-unchanged, no events input
+    "q3_shipping_priority",
+    "dedup_distinct",
+    "unpivot_orderstatus",
+    "percentile_exact",
     "rollup_returnflag",
-    "sessionize",
     "dedup_exact",
     "dedup_simhash",
     "least_greatest_pairs",
-    "window_cumsum",
     "mi_expression",
-    "union_label",
     "pivot_orderstatus",
-    "window_tumbling",
     "global_scalar",
     "join_broadcast_part",
     "semi_join_orders",
@@ -739,9 +750,12 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
+    # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (the parquet `ts` column infers as NTZ under Spark 4) and is
+    # timezone-free, matching the oracle's naive `ts - lag(ts)` exactly.
     new_session = F.when(
         lag_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 1800 * 1_000_000),
+        | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     return (

@@ -10,6 +10,19 @@ from pyspark.sql import functions as F
 from dirt_hadoop_similarity_spark.plans.queries import load, register
 
 
+def ts_micros(c: F.Column) -> F.Column:
+    """Naive epoch microseconds for a TIMESTAMP or TIMESTAMP_NTZ column.
+
+    The parquet event timestamps infer as TIMESTAMP_NTZ under Spark 4,
+    which ``unix_micros`` rejects; casting through TIMESTAMP first makes
+    it total.  The cast interprets the naive value in the session
+    timezone, so only *differences* of this value are
+    timezone-independent — every caller below uses it solely inside
+    differences/orderings, where any fixed session-zone offset cancels.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 @register(
     "asof_join_events",
     """
@@ -51,7 +64,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             (
-                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_purchase_ts")))
+                (ts_micros(F.col("ts")) - ts_micros(F.col("last_purchase_ts")))
                 / 1_000_000
             )
             .cast("long")
@@ -89,10 +102,7 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             p,
             (F.col("p_user") == F.col("user_id"))
             & (F.col("pts") < F.col("ets"))
-            & (
-                F.unix_micros(F.col("pts"))
-                >= F.unix_micros(F.col("ets")) - 1800 * 1_000_000
-            ),
+            & (F.col("pts") >= F.col("ets") - F.expr("INTERVAL 30 MINUTES")),
         )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -458,7 +468,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(ts_micros(F.col("ts")))
         .rangeBetween(-600 * 1_000_000, 0)
     )
     return ev.select(
