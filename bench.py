@@ -42,6 +42,8 @@ HEADLINE = [
     # totals compare like-for-like over the first 17 names)
     "lm_quality",
     "ann_ivfpq_topk",
+    # round-4 addition: GEMM exact scorer (contrast with ann_cosine_topk)
+    "ann_gemm_topk",
 ]
 
 

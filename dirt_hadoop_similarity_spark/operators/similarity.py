@@ -96,6 +96,96 @@ def cosine_topk(
     )
 
 
+def cosine_topk_gemm(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k via blocked GEMM — same semantics
+    and bit-identical values to :func:`cosine_topk`, different physical
+    strategy: instead of exploding the dot product into per-element
+    ``zip_with``/``aggregate`` expressions, each Arrow batch of the
+    corpus is scored against the whole query panel with ONE int64
+    matrix multiply inside ``mapInPandas``.
+
+    Scale shape: the bounded query panel (SURVEY-S6 driver side-input,
+    like the reference's in-RAM margins — DirtDriver.java's broadcast
+    counterpart) ships once per task in the UDF closure; the corpus
+    streams through in Arrow batches with no shuffle; each task emits at
+    most |queries| × (k + ties) candidate rows, so the final rank window
+    sees tasks × |queries| × k rows, never the corpus.  This is the
+    preferred exact-scoring layout at 100 TB: compute stays in BLAS, the
+    only shuffle is over the tiny candidate set.
+
+    Bit-compatibility contract (what makes the shared oracle hash-match):
+      * quantization is HALF_UP away-from-zero on the double x*1e6 —
+        identical to ``F.round(...).cast("long")`` and DuckDB ``round``
+        (exact for |x*1e6| ≤ ~1e15 since d+0.5 is representable);
+      * dots/norms are exact int64; cosine is IEEE float64 in the same
+        operation order as :func:`quantized_cosine`, so the doubles are
+        bit-identical and the final Spark-side ``F.round(cos, 6)``
+        agrees with the oracle's;
+      * each batch keeps every candidate within 2.5e-6 of its k-th best
+        unrounded score, so no row that could win after 1e-6 rounding
+        (ties broken by neighbor_id) is dropped batch-locally.
+    """
+    import numpy as np
+
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+
+    def _quant_np(mat: "np.ndarray") -> "np.ndarray":
+        d = mat.astype(np.float64) * QUANT_SCALE
+        return (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
+
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = _quant_np(np.array([r[1] for r in q_rows], dtype=np.float64))
+    qnorm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    margin = 2.5e-6
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = _quant_np(np.array(list(pdf[vec_col]), dtype=np.float64))
+            dots = (Q @ C.T).astype(np.float64)
+            cnorm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            denom = qnorm[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            self_mask = qids[:, None] == ids[None, :]
+            cos_sel = np.where(self_mask, -np.inf, cos)
+            kk = min(k, cos_sel.shape[1])
+            kth = -np.partition(-cos_sel, kk - 1, axis=1)[:, kk - 1]
+            keep = (cos_sel >= (kth[:, None] - margin)) & ~self_mask
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "neighbor_id": ids[ci],
+                    "cos": cos[qi, ci],
+                }
+            )
+
+    candidates = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("cos", F.round(F.col("cos"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """Sign-LSH bucket id from the first ``bits`` coordinates.
 

@@ -120,6 +120,8 @@ _PRIORITY = [
     "lm_quality",
     "ann_hard_negatives",
     "ann_ivfpq_topk",
+    # new in round 4 — never driver-sampled
+    "ann_gemm_topk",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -153,6 +155,7 @@ _DEFERRED = [
     "window_sliding",
     "dirt_extract_counts",
     # r03-green, code-unchanged, no events input
+    "profile_columns",
     "q3_shipping_priority",
     "dedup_distinct",
     "unpivot_orderstatus",

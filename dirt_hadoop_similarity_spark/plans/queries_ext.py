@@ -218,6 +218,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_gemm_topk",
+    _ANN_SQL,
+    "Exact cosine top-5 via blocked int64 GEMM in mapInPandas — same "
+    "oracle as ann_cosine_topk, BLAS-side compute, candidate-only "
+    "shuffle (the 100 TB exact-scoring layout).",
+)
+def ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_gemm(
+        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
 _LSH_BUCKET_SQL = """
   SELECT vec_id,
          CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)

@@ -37,6 +37,27 @@ def test_cosine_topk_excludes_self(emb):
     assert all(r.neighbor_id != 0 for r in out)
 
 
+def test_gemm_topk_matches_zipwith_exact(emb, spark, sf_dir):
+    # tiny fixture: identical rows (query_id, neighbor_id, cos, rank)
+    a = sorted(map(tuple, similarity.cosine_topk(emb, [0, 3], k=4).collect()))
+    b = sorted(map(tuple, similarity.cosine_topk_gemm(emb, [0, 3], k=4).collect()))
+    assert a == b
+    # real embeddings table: bit-identical across 10 queries incl. ties
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, similarity.cosine_topk(e, list(range(10)), k=5).collect()))
+    b = sorted(map(tuple, similarity.cosine_topk_gemm(e, list(range(10)), k=5).collect()))
+    assert a == b
+
+
+def test_gemm_topk_excludes_self_even_in_lone_batch(spark):
+    # a 1-row corpus that IS the query: the batch's only candidate is
+    # itself; the -inf kth-threshold path must not leak it through
+    one = spark.createDataFrame(
+        [(7, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    ).repartition(1)
+    assert similarity.cosine_topk_gemm(one, [7], k=3).count() == 0
+
+
 def test_sign_bucket_groups_by_signs(emb):
     from pyspark.sql import functions as F
 
