@@ -17,14 +17,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts arrives as nanos-since-epoch (see session.py); convert
-    to a microsecond timestamp for watermarking."""
+    """Normalize the event-time column for watermarking.
+
+    The current testdata stores ts as TIMESTAMP micros (naive → Spark
+    reads TIMESTAMP_NTZ) — this build's watermarks demand TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so cast; the session pins
+    UTC (session.py), making the cast value-preserving, and batch and
+    stream sides both pass through here so they stay consistent.
+    A bigint ts is the legacy TIMESTAMP(NANOS) read via nanosAsLong
+    (see session.py): truncate to micros, what DuckDB does with the
+    same file."""
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
