@@ -200,6 +200,45 @@ def shard_assignments(df: DataFrame, key: str, num_shards: int,
     )
 
 
+def reservoir_per_group(df: DataFrame, group_col: str, k: int, key: str,
+                        salt: str = "reservoir") -> DataFrame:
+    """Exactly min(k, |group|) rows per group, uniform and deterministic —
+    the distributed replacement for a per-group reservoir sample (build
+    "200 eval docs per source", "k shots per language") whose random
+    tape is the (salt, key) hash, so the same rows are drawn on any
+    cluster layout and re-runs are stable.
+
+    Scale shape (two-phase decomposable top-k, never one giant per-group
+    sort): phase 1 ranks within (group, input-partition) — partition
+    sizes bound every sort, a hot group never lands in one task — and
+    keeps k candidates per cell; phase 2 ranks the surviving
+    ≤ groups × partitions × k candidates globally per group.  Correct
+    under any partitioning: a row outside its cell's top-k by the global
+    (hash, key) order cannot be in the group's top-k.
+
+    Adds ``sample_rank`` (1-based position in the group's draw order —
+    a prefix property: the k=10 sample is the first 10 of the k=20
+    draw, so growing a budget only ever ADDS rows).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    order = hash60(F.concat(F.lit(f"{salt}|"), F.col(key).cast("string")))
+    staged = df.withColumn("_rsv", order).withColumn(
+        "_cell", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy(group_col, "_cell").orderBy("_rsv", key)
+    w_group = Window.partitionBy(group_col).orderBy("_rsv", key)
+    return (
+        staged.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .withColumn("sample_rank", F.row_number().over(w_group).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_rsv", "_cell", "_lr")
+    )
+
+
 def dsir_weights(docs: DataFrame, is_target: Column, buckets: int = 64,
                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.

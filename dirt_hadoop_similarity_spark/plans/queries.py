@@ -104,7 +104,6 @@ _PRIORITY = [
     "vocab_oov_rate",
     "join_salted_skew",
     "skew_profile",
-    "sequence_packing",
     "mixture_resample",
     "pii_redact",
     "corpus_diff",
@@ -122,6 +121,7 @@ _PRIORITY = [
     "ann_ivfpq_topk",
     # new in round 4 — never driver-sampled
     "ann_gemm_topk",
+    "reservoir_per_group",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -155,6 +155,7 @@ _DEFERRED = [
     "window_sliding",
     "dirt_extract_counts",
     # r03-green, code-unchanged, no events input
+    "sequence_packing",
     "profile_columns",
     "q3_shipping_priority",
     "dedup_distinct",

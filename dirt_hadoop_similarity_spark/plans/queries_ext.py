@@ -1440,6 +1440,40 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESERVOIR_K = 20
+
+_RESERVOIR_SQL = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         {_H60.format(expr="'reservoir|' || CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents
+)
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY hv, doc_id) AS BIGINT) AS sample_rank
+  FROM h
+) WHERE sample_rank <= {_RESERVOIR_K}
+"""
+
+
+@register(
+    "reservoir_per_group",
+    _RESERVOIR_SQL,
+    "Deterministic per-source reservoir: exactly min(k, |group|) "
+    "uniform rows per group drawn by hash order — two-phase "
+    "decomposable top-k (per-(group, partition) prune then candidate "
+    "rank), so no single task ever sorts a whole hot group.",
+)
+def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.reservoir_per_group(
+        docs, "source", k=_RESERVOIR_K, key="doc_id"
+    ).select("source", "doc_id", "sample_rank")
+
+
 # ---------------------------------------------------------------------------
 # boilerplate n-gram detection
 # ---------------------------------------------------------------------------

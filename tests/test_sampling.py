@@ -71,6 +71,34 @@ def test_validation(docs):
         sampling.deterministic_sample(docs, 1.5, "doc_id")
 
 
+def test_reservoir_exact_k_uniform_deterministic(docs):
+    out = sampling.reservoir_per_group(docs, "source", k=7, key="doc_id")
+    sizes = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    group_n = {r["source"]: r["n"] for r in
+               docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {g: min(7, n) for g, n in group_n.items()}
+    # ranks are a 1..k permutation per group
+    ranks = {(r["source"], r["sample_rank"]) for r in out.collect()}
+    assert len(ranks) == sum(sizes.values())
+    # partitioning-independence: same rows + ranks on a hostile layout
+    other = sampling.reservoir_per_group(
+        docs.repartition(17, "doc_id"), "source", k=7, key="doc_id"
+    )
+    a = sorted((r["source"], r["doc_id"], r["sample_rank"]) for r in out.collect())
+    b = sorted((r["source"], r["doc_id"], r["sample_rank"]) for r in other.collect())
+    assert a == b
+
+
+def test_reservoir_prefix_property(docs):
+    small = {(r["source"], r["doc_id"]) for r in
+             sampling.reservoir_per_group(docs, "source", k=5, key="doc_id").collect()}
+    big = {(r["source"], r["doc_id"]): r["sample_rank"] for r in
+           sampling.reservoir_per_group(docs, "source", k=11, key="doc_id").collect()}
+    # the k=5 draw is exactly the rank<=5 prefix of the k=11 draw
+    assert small == {kk for kk, rank in big.items() if rank <= 5}
+
+
 def test_stratified_rates_and_subset(docs):
     rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
     kept = sampling.stratified_sample(docs, rates, "source", "doc_id",
