@@ -107,7 +107,6 @@ _PRIORITY = [
     "mixture_resample",
     "pii_redact",
     "corpus_diff",
-    "training_shards",
     "quality_classifier",
     "dedup_threshold_sweep",
     "ann_recall_eval",
@@ -122,6 +121,7 @@ _PRIORITY = [
     # new in round 4 — never driver-sampled
     "ann_gemm_topk",
     "reservoir_per_group",
+    "bpe_train_merges",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -156,6 +156,7 @@ _DEFERRED = [
     "dirt_extract_counts",
     # r03-green, code-unchanged, no events input
     "sequence_packing",
+    "training_shards",
     "profile_columns",
     "q3_shipping_priority",
     "dedup_distinct",

@@ -1474,6 +1474,24 @@ def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "sample_rank")
 
 
+@register(
+    "bpe_train_merges",
+    None,  # iterative argmax+rewrite loop: not SQL-expressible; the
+    #        full merge-sequence parity vs a pure-Python reference
+    #        implementation is pinned in tests/test_bpe.py (SURVEY §5
+    #        contract for iterative operators)
+    "Distributed BPE tokenizer training (8 merges) on the word-"
+    "frequency table: per-iteration pair-count groupBy + 1-row argmax "
+    "collect (SURVEY-S6 scalar), merges applied via native "
+    "boundary-anchored regexp_replace — corpus touched once, no UDF.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.functions import bpe
+
+    merges = bpe.train(load(spark, sf_dir, "documents"), n_merges=8)
+    return bpe.merge_table(spark, merges)
+
+
 # ---------------------------------------------------------------------------
 # boilerplate n-gram detection
 # ---------------------------------------------------------------------------

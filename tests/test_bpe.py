@@ -1,0 +1,126 @@
+"""BPE trainer parity against a pure-Python reference implementation
+of the Sennrich et al. 2016 algorithm (the SURVEY-§5 contract for
+iterative operators with no SQL oracle)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.functions import bpe
+
+
+# --- reference implementation (word-frequency table, greedy merges) ---
+
+def _ref_word_freqs(texts):
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                wf[w] += 1
+    return {tuple(w): c for w, c in wf.items()}
+
+
+def _ref_pair_counts(vocab):
+    pc = Counter()
+    for syms, c in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += c
+    return pc
+
+
+def _ref_merge_word(syms, pair):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_train(texts, n_merges):
+    vocab = _ref_word_freqs(texts)
+    merges = []
+    for _ in range(n_merges):
+        pc = _ref_pair_counts(vocab)
+        pc = {p: n for p, n in pc.items() if n >= 2}
+        if not pc:
+            break
+        # max count, tie-broken by the SEP-joined pair string ascending
+        best = min(pc.items(), key=lambda kv: (-kv[1], bpe.SEP.join(kv[0])))
+        (left, right), freq = best
+        merges.append((left, right, freq))
+        vocab = {
+            _ref_merge_word(s, (left, right)): c for s, c in vocab.items()
+        }
+    return merges
+
+
+def _ref_encode(word, merges):
+    syms = tuple(word.lower())
+    for left, right, _ in merges:
+        syms = _ref_merge_word(syms, (left, right))
+    return list(syms)
+
+
+CORPUS = [
+    "the cat sat on the mat the cat ran",
+    "abab abab abab banana bandana",
+    "aaa aaaa aa the the the mat cat",
+    "low lower lowest newer newest wide wider widest",
+    "x.y x.y a$b a$b a$b (paren) (paren)",  # regex metachars as symbols
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def test_train_matches_reference_sequence(spark):
+    got = bpe.train(_docs(spark), n_merges=12)
+    want = _ref_train(CORPUS, 12)
+    assert got == want
+    assert len(got) == 12  # corpus is rich enough for all 12
+
+
+def test_train_early_stop_when_dry(spark):
+    docs = spark.createDataFrame([(0, "q w e r t y")], "doc_id long, text string")
+    # every word is 1 char: no adjacent pairs at all -> zero merges
+    assert bpe.train(docs, n_merges=5) == []
+
+
+def test_back_to_back_occurrences_all_merge(spark):
+    # "abab": after merging (a,b) BOTH occurrences must merge in one
+    # pass (the zero-width-boundary property the docstring pins)
+    docs = spark.createDataFrame(
+        [(0, "abab abab")], "doc_id long, text string"
+    )
+    merges = bpe.train(docs, n_merges=2)
+    assert merges == _ref_train(["abab abab"], 2)
+    # second merge must see 'ab' as a single symbol on both sides
+    assert merges[1][:2] == ("ab", "ab")
+
+
+def test_apply_merges_matches_reference_encoder(spark):
+    merges = _ref_train(CORPUS, 10)
+    df = _docs(spark).select(
+        "doc_id", bpe.apply_merges(F.col("text"), merges).alias("toks")
+    )
+    got = {r.doc_id: r.toks for r in df.collect()}
+    for i, t in enumerate(CORPUS):
+        want = [s for w in t.lower().split() if w for s in _ref_encode(w, merges)]
+        assert got[i] == want, f"doc {i}"
+
+
+def test_merge_table_shape(spark):
+    merges = bpe.train(_docs(spark), n_merges=3)
+    tbl = bpe.merge_table(spark, merges)
+    rows = tbl.orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert all(r.pair_freq >= 2 for r in rows)
