@@ -105,7 +105,6 @@ _PRIORITY = [
     "join_salted_skew",
     "skew_profile",
     "mixture_resample",
-    "pii_redact",
     "corpus_diff",
     "quality_classifier",
     "dedup_threshold_sweep",
@@ -122,6 +121,7 @@ _PRIORITY = [
     "ann_gemm_topk",
     "reservoir_per_group",
     "bpe_train_merges",
+    "set_ops_cohorts",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -157,6 +157,7 @@ _DEFERRED = [
     # r03-green, code-unchanged, no events input
     "sequence_packing",
     "training_shards",
+    "pii_redact",
     "profile_columns",
     "q3_shipping_priority",
     "dedup_distinct",

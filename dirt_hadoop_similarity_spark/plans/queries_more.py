@@ -449,6 +449,48 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops_cohorts",
+    """
+    WITH e AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) < 1998),
+         l AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) >= 1998)
+    SELECT 'retained' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+      FROM (SELECT * FROM e INTERSECT SELECT * FROM l)
+    UNION ALL
+    SELECT 'churned', CAST(count(*) AS BIGINT)
+      FROM (SELECT * FROM e EXCEPT SELECT * FROM l)
+    UNION ALL
+    SELECT 'new', CAST(count(*) AS BIGINT)
+      FROM (SELECT * FROM l EXCEPT SELECT * FROM e)
+    """,
+    "Native set operators (INTERSECT / EXCEPT): customer cohorts across "
+    "two order-date eras — retained, churned, new.  Spark compiles both "
+    "to distinct-aggregate + hash join keyed on the column set (partial "
+    "aggregation applies), so cohort math needs no hand-built "
+    "flag-union plan; year() keeps the date split timezone-free on "
+    "TIMESTAMP_NTZ inputs.",
+)
+def set_ops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    early = o.filter(F.year("o_orderdate") < 1998).select("o_custkey")
+    late = o.filter(F.year("o_orderdate") >= 1998).select("o_custkey")
+
+    def cohort(df: DataFrame, label: str) -> DataFrame:
+        # global count, not groupBy: an EMPTY cohort still emits its
+        # zero row, exactly like the oracle's scalar count(*)
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+
+    return (
+        cohort(early.intersect(late), "retained")
+        .unionByName(cohort(early.subtract(late), "churned"))
+        .unionByName(cohort(late.subtract(early), "new"))
+    )
+
+
+@register(
     "window_range_frame",
     """
     SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
