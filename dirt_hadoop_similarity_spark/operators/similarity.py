@@ -536,6 +536,43 @@ def ivfpq_topk(
 
     Output: (query_id, neighbor_id, adc_d2, rank) — rank by ascending
     approximate squared distance, only neighbors in probed cells.
+
+    This is the build+search COMPOSITION (what the oracle replays);
+    deployments call :func:`ivfpq_build` once, persist the triple, and
+    serve queries with :func:`ivfpq_search` — pytest pins that the
+    split-and-persisted path is row-identical to this function.
+    """
+    cent, rcb, codes = ivfpq_build(
+        embeddings, n_centroids=n_centroids, m=m, dsub=dsub, ksub=ksub,
+        train_iters=train_iters, id_col=id_col, vec_col=vec_col,
+    )
+    return ivfpq_search(
+        embeddings, cent, rcb, codes, query_ids, k=k, nprobe=nprobe,
+        m=m, dsub=dsub, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the persistable IVF-PQ index triple:
+
+      * ``centroids`` (cell, cvec) — the coarse quantizer, n_centroids rows;
+      * ``codebooks`` (code, sub, cbvec) — the residual PQ codebook,
+        ksub × m rows;
+      * ``codes`` (id, cell, sub, code) — the encoded corpus, m rows per
+        vector and 25-50× smaller than the raw vectors.
+
+    Write all three as parquet (codes partitioned/bucketed by ``cell``
+    so a probe prunes partitions); :func:`ivfpq_search` then serves any
+    number of query batches without touching raw corpus vectors.
     """
     cent = seed_centroids(embeddings, n_centroids, id_col, vec_col)
     assigned = assign_cells(embeddings, cent, id_col, vec_col)
@@ -577,7 +614,29 @@ def ivfpq_topk(
         .filter(F.col("rn") == 1)
         .select(id_col, "cell", "sub", "code")
     )
+    return cent, rcb, codes
 
+
+def ivfpq_search(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-PQ queries against a built (or parquet-loaded) index:
+    rank the coarse cells per query, build the per-(query, probed cell)
+    residual lookup table (nprobe × m × ksub rows, broadcast), and join
+    it against the code index — the only corpus-sized relation touched
+    is ``codes``, and only its probed cells.  ``embeddings`` is read
+    solely to fetch the query vectors (a bounded ``isin`` lookup)."""
+    cent, rcb = centroids, codebooks
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

@@ -49,6 +49,24 @@ def test_gemm_topk_matches_zipwith_exact(emb, spark, sf_dir):
     assert a == b
 
 
+def test_ivfpq_split_persisted_matches_composition(spark, sf_dir, tmp_path):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    want = sorted(map(tuple, similarity.ivfpq_topk(e, qids, k=5).collect()))
+    # build once, persist the triple, reload, search — the deployment path
+    cent, rcb, codes = similarity.ivfpq_build(e)
+    for name, df in (("cent", cent), ("rcb", rcb), ("codes", codes)):
+        df.write.parquet(f"{tmp_path}/{name}")
+    got = sorted(map(tuple, similarity.ivfpq_search(
+        e,
+        spark.read.parquet(f"{tmp_path}/cent"),
+        spark.read.parquet(f"{tmp_path}/rcb"),
+        spark.read.parquet(f"{tmp_path}/codes"),
+        qids, k=5,
+    ).collect()))
+    assert got == want
+
+
 def test_gemm_topk_excludes_self_even_in_lone_batch(spark):
     # a 1-row corpus that IS the query: the batch's only candidate is
     # itself; the -inf kth-threshold path must not leak it through
