@@ -50,6 +50,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # diagnostics hook (PERF.md): comma-separated subset, e.g. the r2-era
+    # 16-query list, to measure like-for-like without the suite-length
+    # effect.  Unset = the full headline list the driver records.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = subset.split(",") if subset else HEADLINE
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -66,7 +71,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -68,12 +68,20 @@ STAGES = (
 
 def annotate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
              min_quality: float = 0.35, langs: tuple[str, ...] = ("en",),
-             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+             text_col: str = "text", id_col: str = "doc_id",
+             cache_scored: bool = True) -> DataFrame:
     """Per-document survival flags for funnel stages 2-4.
 
     Returns (id, n_tokens, quality, predicted_lang, keep_exact,
     keep_near, keep_quality) — text is projected away once the flags are
     computed, so downstream aggregation never shuffles payloads.
+
+    ``cache_scored``: the scored relation (tokenize + quality HOFs +
+    md5-keeper window) feeds BOTH the near-dup drops branch (via its
+    exact-dedup survivors) and the final flag join — without a cut it
+    computes twice per evaluation.  Caching it here is the local-mode
+    rendering of the checkpoint a real 100 TB run takes anyway (the
+    exact-deduped survivors are a stage output, sinks.checkpoint_parquet).
     """
     t = F.col(text_col)
     keeper = Window.partitionBy(F.md5(t))
@@ -98,6 +106,8 @@ def annotate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
         textfns.lang_id_from(F.col("_ltoks")).alias("predicted_lang"),
         (F.col(id_col) == F.min(id_col).over(keeper)).alias("keep_exact"),
     )
+    if cache_scored:
+        scored = scored.cache()
 
     survivors = scored.filter(F.col("keep_exact"))
     drops = (

@@ -690,6 +690,7 @@ def hard_negatives(
     max_cos: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "gemm",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query,
     the neighbors ranked just BELOW the top (rank in (skip, skip+take])
@@ -698,16 +699,20 @@ def hard_negatives(
     "negatives" are usually unlabeled positives (the standard
     denoised-mining recipe, e.g. Qu et al. 2021, RocketQA §4.2).
 
-    Ranks come from the full cosine ordering (the :func:`cosine_topk`
-    plan: query side broadcast, one corpus pass, per-query window);
-    the ``max_cos`` cut is applied after ranking, so a filtered-out
-    near-dup still occupies its rank — mining never promotes deeper
-    neighbors into the skipped band.  Same output shape as
-    :func:`cosine_topk`.
+    Ranks come from the full cosine ordering; the ``max_cos`` cut is
+    applied after ranking, so a filtered-out near-dup still occupies its
+    rank — mining never promotes deeper neighbors into the skipped band.
+    Same output shape as :func:`cosine_topk`.
+
+    ``engine`` picks the exact scorer: ``"gemm"`` (default —
+    :func:`cosine_topk_gemm`, the BLAS-side 100 TB layout) or ``"hof"``
+    (:func:`cosine_topk`, the oracle-shaped higher-order-function plan;
+    bit-identical values, ~6× slower).
     """
     if skip < 0 or take < 1:
         raise ValueError(f"need skip >= 0 and take >= 1, got {skip}, {take}")
-    ranked = cosine_topk(
+    scorer = cosine_topk_gemm if engine == "gemm" else cosine_topk
+    ranked = scorer(
         embeddings, query_ids, k=skip + take, id_col=id_col, vec_col=vec_col
     )
     return ranked.filter(

@@ -326,7 +326,9 @@ FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    exact = similarity.cosine_topk(emb, _ANN_QUERY_IDS, k=5)
+    # exact side on the GEMM engine (bit-identical to cosine_topk, the
+    # hash-green ann_gemm_topk row proves it against the same oracle)
+    exact = similarity.cosine_topk_gemm(emb, _ANN_QUERY_IDS, k=5)
     approx = similarity.lsh_bucket_topk(emb, _ANN_QUERY_IDS, k=5, bits=8)
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
