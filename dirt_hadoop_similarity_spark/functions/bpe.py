@@ -83,7 +83,13 @@ def _adjacent_pairs(sym: Column) -> Column:
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The training relation: (word, c) corpus frequencies, lowercased
-    whitespace tokens.  The one corpus-sized pass."""
+    SPACE-separated tokens.  The one corpus-sized pass.
+
+    Tokenization contract: splits on the single space character (the
+    engine-wide ``textfns.tokens`` convention shared by every text
+    operator and its DuckDB oracle), NOT on general whitespace —
+    a text containing tabs/newlines keeps them inside tokens.
+    Normalize whitespace upstream if the corpus carries it."""
     from dirt_hadoop_similarity_spark.functions.textfns import tokens
 
     return (
@@ -130,6 +136,105 @@ def train(
                     _merge_replacement(left, right),
                 ),
             )
+        return merges
+    finally:
+        vocab.unpersist()
+
+
+def pick_non_interfering(
+    ranked_pairs: list[tuple[str, int]], want: int
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix filter for one batched-training round: walk the
+    (SEP-joined pair, count) candidates in rank order and keep up to
+    ``want`` picks whose symbol sets AND product strings are pairwise
+    disjoint — the commutation condition :func:`train_batched`'s
+    docstring derives.  Always returns at least one pick when the
+    input is non-empty (the round's top pair interferes with nothing
+    by construction)."""
+    blocked: set[str] = set()
+    picked: list[tuple[str, str, int]] = []
+    for p, n in ranked_pairs:
+        if len(picked) >= want:
+            break
+        left, right = p.split(SEP)
+        if {left, right, left + right} & blocked:
+            continue
+        blocked.update((left, right, left + right))
+        picked.append((left, right, n))
+    return picked
+
+
+def train_batched(
+    docs: DataFrame,
+    n_merges: int,
+    batch: int = 8,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Scale variant of :func:`train`: learn up to ``batch``
+    symbol-disjoint merges per Spark round instead of one.
+
+    :func:`train` is the exact sequential algorithm, but its job count
+    is O(n_merges) — fine for a demo, impractical at a 32k-vocab
+    training run (32k pair-count jobs + 32k 1-row collects).  This
+    variant cuts that to O(n_merges / batch): per round it takes the
+    top pairs by (count desc, pair asc) and greedily keeps those that
+    are pairwise NON-INTERFERING: a pick's symbols {l, r} AND its
+    product string l+r must be disjoint from every other pick's
+    {L, R, L+R}.  Non-interfering merges commute — applying one can
+    neither create nor destroy occurrences of another (destroying
+    needs a shared symbol; creating needs one pick's product to BE
+    another pick's symbol, e.g. (a,bc) then (abc,d)) — so applying
+    them within one round is order-independent and each behaves
+    exactly as if it were the round's single merge.  Interfering
+    pairs (e.g. (a,b) and (b,c), ambiguous on "a b c") are deferred
+    to a later round.
+
+    The trade-off, stated plainly: recorded frequencies are the counts
+    at the START of the round, and lower-ranked picks within a round
+    don't see the counts-shift a preceding merge would cause — so for
+    ``batch > 1`` the merge SEQUENCE can diverge from the sequential
+    algorithm's (this is the standard frequency-staleness relaxation
+    any batched BPE trainer makes).  ``batch=1`` reproduces
+    :func:`train` exactly (property-tested in tests/test_bpe.py).
+
+    Lineage note: each round stacks ``len(picked)`` regexp projections
+    on the cached vocab relation; checkpoint every ~100 rounds on long
+    runs (same guidance as :func:`train`).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    vocab = word_freqs(docs, text_col).select(
+        _sym_string(F.col("word")).alias("sym"), "c"
+    ).cache()
+    try:
+        merges: list[tuple[str, str, int]] = []
+        cur = vocab
+        while len(merges) < n_merges:
+            counts = (
+                cur.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "c")
+                .groupBy("p")
+                .agg(F.sum("c").alias("n"))
+                .filter(F.col("n") >= 2)
+            )
+            # over-fetch: symbol collisions among the top ranks defer
+            # some picks, so pull 4x the budget (still a bounded
+            # TakeOrdered, rows not corpus-sized)
+            want = min(batch, n_merges - len(merges))
+            top = counts.orderBy(F.desc("n"), F.asc("p")).limit(4 * want).collect()
+            if not top:
+                break
+            picked = pick_non_interfering(
+                [(r["p"], int(r["n"])) for r in top], want
+            )
+            merges.extend(picked)
+            col = F.col("sym")
+            for left, right, _ in picked:
+                col = F.regexp_replace(
+                    col, _merge_pattern(left, right), _merge_replacement(left, right)
+                )
+            cur = cur.withColumn("sym", col)
         return merges
     finally:
         vocab.unpersist()

@@ -219,9 +219,24 @@ def reservoir_per_group(df: DataFrame, group_col: str, k: int, key: str,
     Adds ``sample_rank`` (1-based position in the group's draw order —
     a prefix property: the k=10 sample is the first 10 of the k=20
     draw, so growing a budget only ever ADDS rows).
+
+    Contract: ``key`` must be unique WITHIN each group — it is the
+    random tape and the final tie-break, so duplicate keys would make
+    tied rows' ranks partition-order-dependent and silently break the
+    determinism and prefix properties.  Uniqueness is the caller's
+    responsibility (checking it would force an eager corpus pass
+    inside a lazy operator; a doc/vec/row id is the natural key).
+    The staging columns ``_rsv``/``_cell``/``_lr`` and the output
+    column ``sample_rank`` must not collide with input columns
+    (validated — collisions raise).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    reserved = {"_rsv", "_cell", "_lr", "sample_rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
     from pyspark.sql import Window
 
     order = hash60(F.concat(F.lit(f"{salt}|"), F.col(key).cast("string")))

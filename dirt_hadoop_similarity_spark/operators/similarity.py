@@ -140,8 +140,15 @@ def cosine_topk_gemm(
     )
 
     def _quant_np(mat: "np.ndarray") -> "np.ndarray":
+        # HALF_UP away-from-zero, matching F.round(...).cast("long") and
+        # DuckDB round EXACTLY: compare the (exactly-representable, for
+        # |d| < 2^52) fractional part against 0.5 instead of computing
+        # floor(|d| + 0.5), whose addition can round up at values like
+        # 0.49999999999999994 where the true fraction is below one half
         d = mat.astype(np.float64) * QUANT_SCALE
-        return (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
+        a = np.abs(d)
+        q = np.floor(a)
+        return (np.sign(d) * (q + (a - q >= 0.5))).astype(np.int64)
 
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = _quant_np(np.array([r[1] for r in q_rows], dtype=np.float64))

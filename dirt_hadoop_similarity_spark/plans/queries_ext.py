@@ -1476,16 +1476,76 @@ def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "sample_rank")
 
 
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Unroll the BPE merge loop into chained MATERIALIZED CTEs (same
+    technique as the IVFADC oracle): per stage, pair-count + argmax
+    (ties on pair ascending, matching the trainer), then the vocab
+    rewrite.  RE2 has no lookarounds, so the trainer's zero-width
+    boundary regex is rendered as pure literal replaces via separator
+    doubling: double every SEP, literal-replace ``SEP l SEP SEP r SEP``
+    → ``SEP lr SEP`` (consuming ONE sep from each shared boundary, so
+    back-to-back occurrences all merge, e.g. a|b|a|b → ab|ab), then
+    collapse double seps.  MATERIALIZED is required: the scalar
+    subqueries reference each stage several times and inlining would
+    re-expand the whole prefix exponentially (~6^stages parquet scans).
+    """
+    S = "chr(31)"
+    parts = [f"""WITH v0 AS MATERIALIZED (
+  SELECT {S} || regexp_replace(word, '(.)', '\\1' || {S}, 'g') AS sym, c
+  FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '')) AS word
+          FROM documents)
+    GROUP BY word
+  )
+)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(f"""pc{i} AS MATERIALIZED (
+  SELECT pr AS p, CAST(sum(c) AS BIGINT) AS n
+  FROM (
+    SELECT c, unnest(list_transform(generate_series(1, len(l) - 1),
+                                    j -> l[j] || {S} || l[j + 1])) AS pr
+    FROM (SELECT list_filter(string_split(sym, {S}), s -> s <> '') AS l, c
+          FROM {prev})
+  )
+  GROUP BY pr
+  HAVING sum(c) >= 2
+),
+m{i} AS MATERIALIZED (
+  SELECT string_split(p, {S})[1] AS ml, string_split(p, {S})[2] AS mr, n
+  FROM pc{i} ORDER BY n DESC, p ASC LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM m{i}) THEN sym ELSE
+    replace(
+      replace(
+        replace(sym, {S}, {S} || {S}),
+        {S} || (SELECT ml FROM m{i}) || {S} || {S} || (SELECT mr FROM m{i}) || {S},
+        {S} || (SELECT ml FROM m{i}) || (SELECT mr FROM m{i}) || {S}
+      ),
+      {S} || {S}, {S}
+    ) END AS sym, c
+  FROM {prev}
+)""")
+    finals = "\n  UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, ml AS \"left\", mr AS \"right\", "
+        f"n AS pair_freq FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM (\n  {finals}\n) ORDER BY rank"
+
+
 @register(
     "bpe_train_merges",
-    None,  # iterative argmax+rewrite loop: not SQL-expressible; the
-    #        full merge-sequence parity vs a pure-Python reference
-    #        implementation is pinned in tests/test_bpe.py (SURVEY §5
-    #        contract for iterative operators)
+    _bpe_oracle_sql(8),
     "Distributed BPE tokenizer training (8 merges) on the word-"
     "frequency table: per-iteration pair-count groupBy + 1-row argmax "
     "collect (SURVEY-S6 scalar), merges applied via native "
-    "boundary-anchored regexp_replace — corpus touched once, no UDF.",
+    "boundary-anchored regexp_replace — corpus touched once, no UDF.  "
+    "Oracle: the loop unrolled into 8 chained MATERIALIZED CTE stages "
+    "(argmax + separator-doubled literal-replace rewrite).",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dirt_hadoop_similarity_spark.functions import bpe

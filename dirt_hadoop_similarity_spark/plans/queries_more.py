@@ -18,8 +18,15 @@ def ts_micros(c: F.Column) -> F.Column:
     it total.  The cast interprets the naive value in the session
     timezone, so only *differences* of this value are
     timezone-independent — every caller below uses it solely inside
-    differences/orderings, where any fixed session-zone offset cancels.
+    differences/orderings, where any FIXED session-zone offset cancels.
+    A DST zone would break that cancellation for differences spanning a
+    transition, so the fixed-offset precondition is enforced here, at
+    plan-build time, rather than resting silently on session.py's UTC
+    default.
     """
+    from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
+
+    require_fixed_offset_tz()
     return F.unix_micros(c.cast("timestamp"))
 
 

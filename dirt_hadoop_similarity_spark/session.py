@@ -50,3 +50,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def require_fixed_offset_tz(spark: SparkSession | None = None) -> str:
+    """Assert the session timezone has a CONSTANT utc offset (UTC/GMT or
+    an explicit ±HH[:MM]) and return it.
+
+    Naive-timestamp shims (plans.queries_more.ts_micros, the NTZ cast in
+    streaming.events.normalize_event_ts) are only difference-/window-
+    safe when the zone offset never changes; a DST zone would shift
+    differences spanning a transition by the DST delta.  get_spark pins
+    UTC — this check turns that silent dependency into a loud one at
+    plan-build time for sessions built elsewhere."""
+    import re
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return "UTC"
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    fixed = tz in ("UTC", "GMT", "Z") or re.fullmatch(
+        r"(?:GMT|UTC)?[+-]\d{1,2}(?::\d{2})?", tz
+    )
+    if not fixed:
+        raise ValueError(
+            f"need a fixed-offset spark.sql.session.timeZone for naive-"
+            f"timestamp arithmetic, got {tz!r} — set 'UTC' (the "
+            f"session.get_spark default)"
+        )
+    return tz

@@ -34,6 +34,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     (see session.py): truncate to micros, what DuckDB does with the
     same file."""
     if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
+
+        # the NTZ→TIMESTAMP cast is only window-safe under a constant
+        # zone offset; fail loudly instead of resting on session.py
+        require_fixed_offset_tz()
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

@@ -16,7 +16,9 @@ from dirt_hadoop_similarity_spark.functions import bpe
 def _ref_word_freqs(texts):
     wf = Counter()
     for t in texts:
-        for w in t.lower().split():
+        # split on ' ' exactly, matching the engine-wide textfns.tokens
+        # contract (space-separated; tabs/newlines stay inside tokens)
+        for w in t.lower().split(" "):
             if w:
                 wf[w] += 1
     return {tuple(w): c for w, c in wf.items()}
@@ -58,6 +60,20 @@ def _ref_train(texts, n_merges):
             _ref_merge_word(s, (left, right)): c for s, c in vocab.items()
         }
     return merges
+
+
+def test_space_only_tokenization_contract(spark):
+    # tabs/newlines are NOT separators: 'a\tb' is ONE word (the
+    # documented word_freqs contract), so its pair ('a\t','b')... i.e.
+    # ('a','\t') etc. counts come from inside the token
+    docs = spark.createDataFrame(
+        [(0, "a\tb a\tb x y"), (1, "a\tb c d")], "doc_id long, text string"
+    )
+    got = bpe.train(docs, n_merges=1)
+    want = _ref_train(["a\tb a\tb x y", "a\tb c d"], 1)
+    assert got == want
+    # the merged pair involves the tab-joined token's chars
+    assert got and "\t" in (got[0][0] + got[0][1])
 
 
 def _ref_encode(word, merges):
@@ -116,6 +132,51 @@ def test_apply_merges_matches_reference_encoder(spark):
     for i, t in enumerate(CORPUS):
         want = [s for w in t.lower().split() if w for s in _ref_encode(w, merges)]
         assert got[i] == want, f"doc {i}"
+
+
+def test_train_batched_batch1_is_sequential(spark):
+    # batch=1 must reproduce the exact sequential algorithm: same
+    # pairs, same frequencies, same order
+    got = bpe.train_batched(_docs(spark), n_merges=10, batch=1)
+    assert got == _ref_train(CORPUS, 10)
+
+
+def test_train_batched_deterministic_and_complete(spark):
+    import pytest
+
+    merges = bpe.train_batched(_docs(spark), n_merges=12, batch=4)
+    assert len(merges) == 12
+    # determinism: same corpus -> same sequence
+    assert merges == bpe.train_batched(_docs(spark), n_merges=12, batch=4)
+    with pytest.raises(ValueError, match="batch"):
+        bpe.train_batched(_docs(spark), n_merges=2, batch=0)
+
+
+def test_pick_non_interfering_rules():
+    S = bpe.SEP
+
+    def pair(left, right, n):
+        return (f"{left}{S}{right}", n)
+
+    # shared symbol: (a,b) blocks (b,c)
+    got = bpe.pick_non_interfering([pair("a", "b", 9), pair("b", "c", 8)], 4)
+    assert [(left, right) for left, right, _ in got] == [("a", "b")]
+    # product interference: (a,bc) produces "abc" == (abc,d)'s left —
+    # applying (a,bc) first would CREATE new (abc,d) occurrences, so
+    # the batch must defer (abc,d)
+    got = bpe.pick_non_interfering([pair("a", "bc", 9), pair("abc", "d", 8)], 4)
+    assert [(left, right) for left, right, _ in got] == [("a", "bc")]
+    # reverse direction: (ab,c)'s product "abc" equals (abc,d)'s symbol
+    got = bpe.pick_non_interfering([pair("abc", "d", 9), pair("ab", "c", 8)], 4)
+    assert [(left, right) for left, right, _ in got] == [("abc", "d")]
+    # genuinely disjoint picks coexist, in rank order, capped at want
+    got = bpe.pick_non_interfering(
+        [pair("a", "b", 9), pair("c", "d", 8), pair("e", "f", 7)], 2
+    )
+    assert [(left, right) for left, right, _ in got] == [("a", "b"), ("c", "d")]
+    # the top pair always survives
+    assert bpe.pick_non_interfering([pair("x", "x", 5)], 1) == [("x", "x", 5)]
+    assert bpe.pick_non_interfering([], 3) == []
 
 
 def test_merge_table_shape(spark):

@@ -38,6 +38,27 @@ def both_dialects(spark, sf_dir, tmp_path_factory):
     return ntz_dir, tz_dir
 
 
+def test_fixed_offset_tz_guard(spark):
+    from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
+
+    assert require_fixed_offset_tz(spark) == "UTC"
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for ok in ("GMT", "UTC", "+05:30", "-08", "GMT+02:00"):
+            spark.conf.set("spark.sql.session.timeZone", ok)
+            assert require_fixed_offset_tz(spark) == ok
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="fixed-offset"):
+            require_fixed_offset_tz(spark)
+        # the shim itself enforces it at plan-build time
+        from dirt_hadoop_similarity_spark.plans.queries_more import ts_micros
+
+        with pytest.raises(ValueError, match="fixed-offset"):
+            ts_micros(F.lit("2024-01-01 00:00:00"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
 @pytest.mark.parametrize("name", EVENT_TS_QUERIES)
 def test_query_agrees_across_ts_dialects(spark, both_dialects, name):
     ntz_dir, tz_dir = both_dialects
