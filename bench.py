@@ -41,10 +41,35 @@ HEADLINE = [
     # session-3 additions: genuinely NEW cost classes (earlier rounds'
     # totals compare like-for-like over the first 17 names)
     "lm_quality",
-    "ann_ivfpq_topk",
+    # round-5: ann_ivfpq_topk's composed build+search timing split so
+    # the serving-path latency is visible (the persisted-index story:
+    # build once, serve queries against cached codes)
+    "ann_ivfpq_build",
+    "ann_ivfpq_search",
     # round-4 addition: GEMM exact scorer (contrast with ann_cosine_topk)
     "ann_gemm_topk",
 ]
+
+
+def _time_ivfpq_split(spark, sf_dir: str) -> dict[str, float]:
+    """Build the IVF-PQ index (materialized via cache), then serve the
+    standard query panel against it — the registered ann_ivfpq_topk
+    query composes both; deployments pay build once."""
+    from dirt_hadoop_similarity_spark.operators import similarity
+    from dirt_hadoop_similarity_spark.plans.queries_ext import _ANN_QUERY_IDS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.perf_counter()
+    cent, rcb, codes = similarity.ivfpq_build(emb)
+    cent, rcb, codes = cent.cache(), rcb.cache(), codes.cache()
+    cent.count(), rcb.count(), codes.count()
+    build = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    similarity.ivfpq_search(
+        emb, cent, rcb, codes, _ANN_QUERY_IDS, k=5, nprobe=2
+    ).count()
+    search = round(time.perf_counter() - t0, 3)
+    return {"ann_ivfpq_build": build, "ann_ivfpq_search": search}
 
 
 def main() -> None:
@@ -72,6 +97,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in headline:
+        if name == "ann_ivfpq_build":
+            timings.update(_time_ivfpq_split(spark, sf_dir))
+            continue
+        if name == "ann_ivfpq_search":
+            continue  # timed with the build entry
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -308,6 +308,147 @@ def dirt_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPE_EXACT_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'n' || chr(CAST(97 + doc_id % 7 AS INT)) AS x1,
+         chr(CAST(97 + doc_id % 5 AS INT)) || 'v' AS vb,
+         'm' || chr(CAST(97 + doc_id % 6 AS INT)) AS y1,
+         'n' || chr(CAST(97 + (doc_id + 3) % 7 AS INT)) AS x2,
+         CASE WHEN doc_id % 2 = 0 THEN 'of' ELSE 'in' END AS prep,
+         'm' || chr(CAST(97 + (doc_id + 2) % 6 AS INT)) AS y2,
+         CAST(1 + doc_id % 5 AS BIGINT) AS n1,
+         CAST(1 + doc_id % 3 AS BIGINT) AS n2
+  FROM documents
+),
+exts AS (
+  SELECT 'N:<nsubj:V:' || vb || ':>dobj:N' AS path, x1 AS x, y1 AS y, n1 AS n
+  FROM base
+  UNION ALL
+  SELECT 'N:<nsubj:V:' || vb || ':>prep:P:' || prep || ':>pobj:N', x2, y2, n2
+  FROM base
+),
+words AS (
+  SELECT path, 'X' AS slot, x AS word, n FROM exts
+  UNION ALL
+  SELECT path, 'Y' AS slot, y AS word, n FROM exts
+),
+triples AS (
+  SELECT path, slot, word, CAST(sum(n) AS BIGINT) AS n
+  FROM words GROUP BY path, slot, word
+),
+sw AS (SELECT slot, word, CAST(sum(n) AS BIGINT) AS sw_n FROM triples GROUP BY slot, word),
+ps AS (SELECT path, slot, CAST(sum(n) AS BIGINT) AS ps_n FROM triples GROUP BY path, slot),
+nn AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM triples),
+mi AS (
+  SELECT * FROM (
+    SELECT t.path, t.slot, t.word,
+           ln((CAST(t.n AS DOUBLE) * nn.n_total) / (CAST(ps.ps_n AS DOUBLE) * sw.sw_n)) AS mi
+    FROM triples t
+    JOIN sw ON sw.slot = t.slot AND sw.word = t.word
+    JOIN ps ON ps.path = t.path AND ps.slot = t.slot
+    CROSS JOIN nn
+  ) WHERE mi > 0.001
+),
+paths AS (SELECT DISTINCT path FROM triples),
+pairs AS (
+  SELECT a.path AS p1, b.path AS p2 FROM paths a JOIN paths b ON a.path < b.path
+),
+nums AS (
+  SELECT p.p1, p.p2,
+         SUM(CASE WHEN m1.slot = 'X' THEN m1.mi + m2.mi END) AS num_x,
+         SUM(CASE WHEN m1.slot = 'Y' THEN m1.mi + m2.mi END) AS num_y
+  FROM pairs p
+  JOIN mi m1 ON m1.path = p.p1
+  JOIN mi m2 ON m2.path = p.p2 AND m2.slot = m1.slot AND m2.word = m1.word
+  GROUP BY p.p1, p.p2
+),
+smi AS (SELECT path, slot, sum(mi) AS s FROM mi GROUP BY path, slot),
+piv AS (
+  SELECT path,
+         COALESCE(sum(CASE WHEN slot = 'X' THEN s END), 0) AS sx,
+         COALESCE(sum(CASE WHEN slot = 'Y' THEN s END), 0) AS sy
+  FROM smi GROUP BY path
+),
+emitted AS (
+  SELECT p1, p2 FROM pairs
+  WHERE p1 IN (SELECT DISTINCT path FROM mi) OR p2 IN (SELECT DISTINCT path FROM mi)
+)
+SELECT e.p1, e.p2,
+       round(sqrt(
+         (CASE WHEN COALESCE(d1.sx, 0) + COALESCE(d2.sx, 0) > 0
+               THEN COALESCE(n.num_x, 0) / (COALESCE(d1.sx, 0) + COALESCE(d2.sx, 0))
+               ELSE 0 END) *
+         (CASE WHEN COALESCE(d1.sy, 0) + COALESCE(d2.sy, 0) > 0
+               THEN COALESCE(n.num_y, 0) / (COALESCE(d1.sy, 0) + COALESCE(d2.sy, 0))
+               ELSE 0 END)), 6) AS score
+FROM emitted e
+LEFT JOIN nums n ON n.p1 = e.p1 AND n.p2 = e.p2
+LEFT JOIN piv d1 ON d1.path = e.p1
+LEFT JOIN piv d2 ON d2.path = e.p2
+"""
+
+
+@register(
+    "dirt_pipeline_exact",
+    _PIPE_EXACT_SQL,
+    "The full DIRT composition, VALUE-checked end to end: biarc lines "
+    "synthesized with 2-letter endpoint words (Porter FIXED POINTS, so "
+    "the oracle needs no stemmer) run through the REAL parse → "
+    "extraction-UDTF → MI → Lin-similarity DAG; the oracle replays the "
+    "whole computation — path strings included — in SQL.  Complements "
+    "the rows-only dirt_full_pipeline flagship (whose stemmer-active "
+    "vocabulary no oracle can reproduce; DirtDriver.java:394-396).",
+)
+def dirt_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import overlap
+    from dirt_hadoop_similarity_spark.operators import mi as mi_ops
+    from dirt_hadoop_similarity_spark.plans.pipeline import run_pipeline
+
+    d = F.col("doc_id")
+    base = load(spark, sf_dir, "documents").select(
+        d,
+        F.concat(F.lit("n"), F.expr("char(97 + doc_id % 7)")).alias("x1"),
+        F.concat(F.expr("char(97 + doc_id % 5)"), F.lit("v")).alias("vb"),
+        F.concat(F.lit("m"), F.expr("char(97 + doc_id % 6)")).alias("y1"),
+        F.concat(F.lit("n"), F.expr("char(97 + (doc_id + 3) % 7)")).alias("x2"),
+        F.when(d % 2 == 0, "of").otherwise("in").alias("prep"),
+        F.concat(F.lit("m"), F.expr("char(97 + (doc_id + 2) % 6)")).alias("y2"),
+        (1 + d % 5).alias("n1"),
+        (1 + d % 3).alias("n2"),
+    )
+    svo = base.select(
+        F.concat(
+            F.col("x1"), F.lit("/NNS/nsubj/2 "),
+            F.col("vb"), F.lit("/VBP/ROOT/0 "),
+            F.col("y1"), F.lit("/NN/dobj/2"),
+        ).alias("ngram"),
+        F.col("n1").alias("n"),
+    )
+    svpo = base.select(
+        F.concat(
+            F.col("x2"), F.lit("/NNS/nsubj/2 "),
+            F.col("vb"), F.lit("/VBP/ROOT/0 "),
+            F.col("prep"), F.lit("/IN/prep/2 "),
+            F.col("y2"), F.lit("/NN/pobj/3"),
+        ).alias("ngram"),
+        F.col("n2").alias("n"),
+    )
+    lines = svo.unionByName(svpo).select(
+        F.concat_ws("\t", F.lit("h"), "ngram", F.col("n").cast("string")).alias(
+            "value"
+        )
+    )
+    res = run_pipeline(spark, lines)
+    paths = res.triples.select("path").distinct()
+    a, b = paths.alias("a"), paths.alias("b")
+    pairs = a.join(b, F.col("a.path") < F.col("b.path")).select(
+        F.col("a.path").alias("p1"), F.col("b.path").alias("p2")
+    )
+    sims = overlap.similarities(res.mi, pairs, res.sum_mi)
+    return sims.select("p1", "p2", F.round("score", 6).alias("score"))
+
+
 @register(
     "dedup_distinct",
     """
