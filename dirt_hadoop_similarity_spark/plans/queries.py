@@ -81,23 +81,42 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # red in round 3 (unix_micros vs TIMESTAMP_NTZ) — fixed in round 4
-    "window_range_frame",
-    # code changed in round 4: the events `ts` column now infers as
-    # TIMESTAMP_NTZ, so every query doing timestamp arithmetic moved to
-    # interval math / the ts_micros shim and must re-earn a driver row
+    # new in round 5 — never driver-sampled: the value-checked full-DAG
+    # composition (Porter-fixed-point vocabulary)
+    "dirt_pipeline_exact",
+    # oracle added in round 5 (was rows-only): must earn its first
+    # hash-green row
+    "bpe_train_merges",
+    # code changed in round 5 and must re-earn a driver row:
+    "curation_funnel",       # annotate caches its scored relation
+    "ann_hard_negatives",    # exact scorer routed to cosine_topk_gemm
+    "ann_recall_eval",       # exact side routed to cosine_topk_gemm
+    "ann_gemm_topk",         # _quant_np exact-HALF_UP rewrite
+    "reservoir_per_group",   # reserved-column collision guard
+    "asof_join_events",      # ts_micros now asserts fixed-offset tz
+    "window_range_frame",    # ts_micros now asserts fixed-offset tz
+    # flagship composition: deliberate rows-only driver row
+    "dirt_full_pipeline",
+]
+
+# Rows-only-by-design queries that may sit past the window: engine-
+# specific sketch outputs cannot value-match any oracle; their accuracy
+# bounds are pytest-pinned (test_queries_misc) and they held a rows-only
+# driver row in a previous round.
+_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
+# Rotation policy: entries whose last driver-green row is OLDEST stay in
+# the window; the deferred tail is drawn from the MOST recently checked
+# round.  Round 5: everything below was hash-green in CORRECTNESS_r04
+# (the most recent check) with code unchanged since — the r02/r03-green
+# entries that sat in the round-4 tail rotate back INTO the window this
+# round.  Safety net for the tail remains tests/test_oracle_all.py.
+_DEFERRED = [
     "sessionize",
-    "asof_join_events",
     "range_join_events",
-    # unchanged code but events-reading: input datatype changed this
-    # round (TIMESTAMP → TIMESTAMP_NTZ), so re-verify inside the window
     "window_cumsum",
     "window_tumbling",
     "union_label",
     "json_props_extract",
-    # flagship composition: deliberate rows-only driver row
-    "dirt_full_pipeline",
-    # round-3 first-timers: keep their first green row fresh this round
     "dedup_components_ls",
     "dedup_cluster_keepers",
     "text_repetition",
@@ -108,74 +127,30 @@ _PRIORITY = [
     "corpus_diff",
     "quality_classifier",
     "dedup_threshold_sweep",
-    "ann_recall_eval",
-    # new in round 3, session 3 — never driver-sampled
     "semantic_dedup",
     "dsir_importance",
     "duplicate_spans",
     "doc_chunking",
     "lm_quality",
-    "ann_hard_negatives",
     "ann_ivfpq_topk",
-    # new in round 4 — never driver-sampled
-    "ann_gemm_topk",
-    "reservoir_per_group",
-    "bpe_train_merges",
     "set_ops_cohorts",
-]
-
-# Rows-only-by-design queries that may sit past the window: engine-
-# specific sketch outputs cannot value-match any oracle; their accuracy
-# bounds are pytest-pinned (test_queries_misc) and they held a rows-only
-# driver row in a previous round.
-_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
-# Rotation policy: entries whose last driver-green row is OLDEST stay in
-# the window; the deferred tail is drawn from the MOST recently checked
-# round.  Round 4: everything below is r02- or r03-green with unchanged
-# code AND unchanged input datatypes (none reads `events`, except
-# window_sliding / dirt_extract_counts / cube_status_priority which went
-# green in r03 against the new TIMESTAMP_NTZ data); the events-reading
-# entries whose input type changed this round rotated INTO the window
-# via _PRIORITY.
-_DEFERRED = [
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_token_budget",
-    "text_tfidf_top_terms",
-    "text_boilerplate",
-    "embedding_near_dups",
-    "dataset_split",
-    "stratified_sample",
-    "decontaminate",
-    "bpe_pair_counts",
-    # r03-green against the new NTZ events data, code-unchanged
-    "cube_status_priority",
-    "window_sliding",
-    "dirt_extract_counts",
-    # r03-green, code-unchanged, no events input
-    "sequence_packing",
-    "training_shards",
-    "pii_redact",
-    "profile_columns",
-    "q3_shipping_priority",
-    "dedup_distinct",
-    "unpivot_orderstatus",
-    "percentile_exact",
-    "rollup_returnflag",
-    "dedup_exact",
-    "dedup_simhash",
-    "least_greatest_pairs",
-    "mi_expression",
-    "pivot_orderstatus",
-    "global_scalar",
-    "join_broadcast_part",
-    "semi_join_orders",
-    "anti_join_customers",
-    "left_join_coalesce",
-    "self_join_lineitem",
-    "topk_per_group",
+    "dirt_mi",
+    "dirt_sim",
+    "q1_pricing_summary",
+    "join_orders_lineitem",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_rh_topk",
+    "ann_ivf_topk",
+    "media_metadata",
+    "media_frames",
+    "media_frames_text",
+    "media_features",
+    "dedup_components",
+    "dedup_incremental",
+    "ann_pq_topk",
 ]
 
 
