@@ -349,6 +349,130 @@ def assign_cells(
     )
 
 
+def assign_cells_gemm(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment via blocked GEMM — row-identical to
+    :func:`assign_cells`, different physical strategy: the (bounded,
+    SURVEY-S6) centroid panel is collected into the UDF closure and
+    each Arrow batch of the corpus scores against it with ONE int64
+    matmul, instead of a crossJoin expanding |corpus| × |centroids|
+    rows of interpreted ``zip_with``/``aggregate`` expressions.
+
+    At 100 TB this is the index-build layout: the corpus streams
+    through ``mapInPandas`` with NO shuffle and NO row blow-up (the
+    crossJoin plan materializes k rows per vector before the argmax
+    window; this emits exactly one), and compute stays in BLAS.
+
+    Bit-compatibility contract (same rigor as :func:`cosine_topk_gemm`):
+    quantization is the exact-HALF_UP `_quant_np` rule; dots/norms are
+    exact int64; the cosine double is formed in
+    :func:`quantized_cosine`'s operation order (dot / (sqrt(na) *
+    sqrt(nb)), 0.0 when either norm is 0); and the 6-dp round is
+    ``decimal``-exact BigDecimal HALF_UP — Spark's ``F.round(c, 6)``
+    to the bit — so the argmax (max ccos, ties to the LOWEST cell)
+    reproduces the window plan's tie structure exactly.
+    """
+    cells, CB = _collect_centroids(centroids)
+
+    out_schema = f"{id_col} long, {vec_col} array<float>, cell long"
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _gemm_quant_np(np.array(list(pdf[vec_col]), dtype=np.float64))
+            best = _assign_np(V, CB)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    vec_col: pdf[vec_col],
+                    "cell": cells[best],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def _collect_centroids(centroids: DataFrame):
+    """(cells int64 ascending, quantized centroid matrix in that order) —
+    the bounded SURVEY-S6 panel collect the GEMM paths ship in their
+    UDF closures."""
+    import numpy as np
+
+    c_rows = centroids.select("cell", "cvec").collect()
+    cells = np.array([r["cell"] for r in c_rows], dtype=np.int64)
+    order = np.argsort(cells, kind="stable")
+    cells = cells[order]
+    CB = _gemm_quant_np(
+        np.array([c_rows[i]["cvec"] for i in order], dtype=np.float64)
+    )
+    return cells, CB
+
+
+def _assign_np(V, CB):
+    """Column index of each row's max ROUNDED cosine against the
+    (cell-ascending) quantized centroid matrix — the exact semantics of
+    :func:`assign_cells`'s (desc ccos, asc cell) window: np.argmax takes
+    the FIRST max, and columns are sorted by cell ascending."""
+    import numpy as np
+
+    cbnorm = np.sqrt((CB * CB).sum(axis=1).astype(np.float64))
+    dots = (V @ CB.T).astype(np.float64)
+    vnorm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+    denom = vnorm[:, None] * cbnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom > 0, dots / denom, 0.0)
+    return np.argmax(_round6_np(cos), axis=1)
+
+
+def _gemm_quant_np(mat):
+    """Exact-HALF_UP quantization (see cosine_topk_gemm's contract)."""
+    import numpy as np
+
+    d = mat.astype(np.float64) * QUANT_SCALE
+    a = np.abs(d)
+    q = np.floor(a)
+    return (np.sign(d) * (q + (a - q >= 0.5))).astype(np.int64)
+
+
+def _round6_np(arr):
+    """Element-wise HALF_UP round to 6 decimals matching Spark's
+    ``F.round(col, 6)`` — which is ``BigDecimal.valueOf(double)``:
+    HALF_UP over the SHORTEST-round-trip decimal string
+    (Double.toString), NOT the exact binary expansion (e.g. the double
+    nearest 0.1234565 is 0.12345649999…, but Spark rounds its shortest
+    repr "0.1234565" up to 0.123457).  Python ``repr`` has the same
+    shortest-round-trip property, so Decimal(repr(x)) reproduces it.
+    (Residual caveat, same spirit as cosine_topk_gemm's margin: JDK
+    < 19 Double.toString can emit a longer-than-minimal string in rare
+    cases; a divergence needs those extra digits to straddle a .5
+    boundary at the 6th decimal — not observed across the full
+    embeddings table, and pytest pins known boundary values.)
+    Bounded inputs only (cosines: |x| ≤ 1) — a few tens of thousands of
+    Decimal quantizations per Arrow batch, negligible next to the GEMM.
+    """
+    import decimal
+    import numpy as np
+
+    exp = decimal.Decimal("1e-6")
+    flat = arr.ravel()
+    out = np.empty_like(flat)
+    for i, x in enumerate(flat):
+        out[i] = float(
+            decimal.Decimal(repr(float(x))).quantize(
+                exp, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+    return out.reshape(arr.shape)
+
+
 def seed_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -381,7 +505,7 @@ def kmeans_centroids(
     are the first k vectors by id, ties break on cell id."""
     cent = seed_centroids(embeddings, k, id_col, vec_col)
     for _ in range(iters):
-        assigned = assign_cells(embeddings, cent, id_col, vec_col)
+        assigned = assign_cells_gemm(embeddings, cent, id_col, vec_col)
         # Lloyd's update via posexplode + (cell, component) avg: partial
         # aggregation collapses each map partition to ≤ k×dim rows before
         # the shuffle — collect_list-of-vectors per cell would buffer
@@ -428,7 +552,9 @@ def ivf_topk(
     cent = centroids if centroids is not None else seed_centroids(
         embeddings, n_centroids, id_col, vec_col
     )
-    assigned = assign_cells(embeddings, cent, id_col, vec_col)
+    # corpus-side assignment on the GEMM engine (row-identical to the
+    # crossJoin+window plan; the corpus streams, no row blow-up)
+    assigned = assign_cells_gemm(embeddings, cent, id_col, vec_col)
 
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -582,27 +708,35 @@ def ivfpq_build(
     number of query batches without touching raw corpus vectors.
     """
     cent = seed_centroids(embeddings, n_centroids, id_col, vec_col)
-    assigned = assign_cells(embeddings, cent, id_col, vec_col)
 
-    residual = F.zip_with(
-        _quantize(F.col(vec_col)), _quantize(F.col("cvec")),
-        lambda x, c: x - c,
-    )
-    # cached: feeds the codebook seed, (optionally) Lloyd's, and the
-    # encode pass — without the cut the assign+residual subtree
-    # recomputes per consumer.  At deployment scale this relation IS
-    # the persisted index input, built once.
-    rsubs = (
-        assigned.join(F.broadcast(cent), "cell")
-        .select(F.col(id_col), "cell", residual.alias("rvec"))
-        .select(
-            F.col(id_col), "cell",
-            F.posexplode(_int_slices(F.col("rvec"), m, dsub))
-            .alias("sub", "svec"),
+    def _rsubs(rows_df: DataFrame) -> DataFrame:
+        """(id, cell, sub, svec): per-subspace exact-int residual slices
+        of the GEMM-assigned input (bit-identical to the former
+        crossJoin+window pipeline; see assign_cells_gemm)."""
+        residual = F.zip_with(
+            _quantize(F.col(vec_col)), _quantize(F.col("cvec")),
+            lambda x, c: x - c,
         )
-    ).cache()
-    rcb = rsubs.filter(
-        (F.col(id_col) >= n_centroids) & (F.col(id_col) < n_centroids + ksub)
+        return (
+            assign_cells_gemm(rows_df, cent, id_col, vec_col)
+            .join(F.broadcast(cent), "cell")
+            .select(F.col(id_col), "cell", residual.alias("rvec"))
+            .select(
+                F.col(id_col), "cell",
+                F.posexplode(_int_slices(F.col("rvec"), m, dsub))
+                .alias("sub", "svec"),
+            )
+        )
+
+    # codebook seed: residual slices of vectors [n_centroids,
+    # n_centroids+ksub) — a ksub-row relation, so seed (and Lloyd's
+    # below, whose per-round shuffle is m×ksub×dsub) never touch the
+    # corpus; the corpus is read ONCE, by the fused encode pass
+    rcb = _rsubs(
+        embeddings.filter(
+            (F.col(id_col) >= n_centroids)
+            & (F.col(id_col) < n_centroids + ksub)
+        )
     ).select(
         (F.col(id_col) - n_centroids).alias("code"),
         "sub",
@@ -610,16 +744,71 @@ def ivfpq_build(
     )
     if train_iters > 0:
         rcb = _lloyd_subspaces(
-            rsubs.select(id_col, "sub", "svec"), rcb, train_iters, id_col
+            _rsubs(embeddings).select(id_col, "sub", "svec").cache(),
+            rcb, train_iters, id_col,
         )
     rcb = rcb.select("code", "sub", F.col("cvec").alias("cbvec"))
-    wc = W.partitionBy(id_col, "sub").orderBy("d2", "code")
-    codes = (
-        rsubs.join(F.broadcast(rcb), "sub")
-        .withColumn("d2", _int_d2(F.col("svec"), F.col("cbvec")))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cell", "sub", "code")
+
+    # fused assign+residual+encode: ONE corpus pass, map-only (no
+    # shuffle at any scale — the index build's 100 TB shape).  All
+    # arithmetic past the assignment argmax is exact int64 (residual
+    # subtraction, squared-L2, argmin with lowest-code ties), so
+    # bit-compatibility needs no rounding contract at all here.
+    cells, CB = _collect_centroids(cent)
+    cb_rows = rcb.collect()  # m × ksub — bounded panel
+    import numpy as np
+
+    SUBS = sorted({r["sub"] for r in cb_rows})
+    CODES = {
+        s: np.array(
+            [r["code"] for r in sorted(
+                (r for r in cb_rows if r["sub"] == s), key=lambda r: r["code"]
+            )],
+            dtype=np.int64,
+        )
+        for s in SUBS
+    }
+    CBOOK = {
+        s: np.array(
+            [r["cbvec"] for r in sorted(
+                (r for r in cb_rows if r["sub"] == s), key=lambda r: r["code"]
+            )],
+            dtype=np.int64,
+        )
+        for s in SUBS
+    }
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = _gemm_quant_np(np.array(list(pdf[vec_col]), dtype=np.float64))
+            best = _assign_np(V, CB)
+            R = V - CB[best]  # exact int residuals
+            frames = []
+            for s in SUBS:
+                Rs = R[:, s * dsub:(s + 1) * dsub]
+                # exact int64 squared-L2 to every codebook entry
+                diff = Rs[:, None, :] - CBOOK[s][None, :, :]
+                d2 = (diff * diff).sum(axis=2)
+                pick = np.argmin(d2, axis=1)  # first min = lowest code
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "cell": cells[best],
+                            "sub": np.full(len(ids), s, dtype=np.int32),
+                            "code": CODES[s][pick],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    codes = embeddings.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, cell long, sub int, code long"
     )
     return cent, rcb, codes
 

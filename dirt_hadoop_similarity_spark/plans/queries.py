@@ -95,6 +95,8 @@ _PRIORITY = [
     "reservoir_per_group",   # reserved-column collision guard
     "asof_join_events",      # ts_micros now asserts fixed-offset tz
     "window_range_frame",    # ts_micros now asserts fixed-offset tz
+    "ann_ivf_topk",          # corpus assignment on the GEMM engine
+    "ann_ivfpq_topk",        # fused zero-shuffle GEMM index build
     # flagship composition: deliberate rows-only driver row
     "dirt_full_pipeline",
 ]
@@ -132,7 +134,6 @@ _DEFERRED = [
     "duplicate_spans",
     "doc_chunking",
     "lm_quality",
-    "ann_ivfpq_topk",
     "set_ops_cohorts",
     "dirt_mi",
     "dirt_sim",
@@ -143,7 +144,6 @@ _DEFERRED = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_rh_topk",
-    "ann_ivf_topk",
     "media_metadata",
     "media_frames",
     "media_frames_text",

@@ -49,6 +49,55 @@ def test_gemm_topk_matches_zipwith_exact(emb, spark, sf_dir):
     assert a == b
 
 
+def test_assign_cells_gemm_matches_crossjoin(emb, spark, sf_dir):
+    # tiny fixture incl. an exact-tie construction: vec 5 is equidistant
+    # from centroids 0 and 2 — the rounded-cosine argmax must take the
+    # LOWER cell, matching the window plan's (desc ccos, asc cell) order
+    rows = emb.collect() + [(5, [0.5, 0.5, 0.0, 0.0])]
+    e6 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.seed_centroids(e6, 3)
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.assign_cells(e6, cent).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.assign_cells_gemm(e6, cent).collect()
+    )
+    assert a == b
+    # real embeddings table: row-identical assignment for all 2000
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = similarity.seed_centroids(e, 16)
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.assign_cells(e, cent).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.assign_cells_gemm(e, cent).collect()
+    )
+    assert a == b
+    # the vector column passes through unchanged
+    cent6 = similarity.seed_centroids(e6, 3)
+    v = {r["vec_id"]: r["embedding"]
+         for r in similarity.assign_cells_gemm(e6, cent6).collect()}
+    want = {r["vec_id"]: r["embedding"] for r in e6.collect()}
+    assert v == want
+
+
+def test_round6_np_matches_spark_halfup(spark):
+    import numpy as np
+
+    vals = [0.1234565, -0.1234565, 0.9999995, -0.9999995, 0.49999999999999994e-6,
+            1.0, -1.0, 0.0, 0.1234564999999999, 2.5e-7]
+    got = similarity._round6_np(np.array(vals)).tolist()
+    rows = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    ).select("i", F.round("x", 6).alias("r")).collect()
+    want = [r["r"] for r in sorted(rows, key=lambda r: r["i"])]
+    assert got == want
+
+
 def test_ivfpq_split_persisted_matches_composition(spark, sf_dir, tmp_path):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = list(range(10))
