@@ -16,8 +16,10 @@ Portability note: every hash here derives from md5 (via conv of the
 leading 15 hex chars to a 60-bit integer) rather than Spark's xxhash64,
 so the DuckDB oracles can compute bit-identical signatures — the
 correctness gate then validates real signatures, not just row counts.
-md5 is more expensive than xxhash64; for production the seed-k family
-can swap to ``xxhash64(col, lit(k))`` without changing any shapes.
+The MinHash family computes only TWO md5 base hashes per shingle and
+derives the rest affinely (see ``minhash_signatures``); for production
+the base pair can swap to ``xxhash64(col, lit(seed))`` without changing
+any shapes.
 """
 
 from __future__ import annotations
@@ -95,18 +97,37 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
+HASH60_MASK = (1 << 60) - 1
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 8,
                        id_col: str = "doc_id") -> DataFrame:
     """(id, h0..h{k-1}) minhash signature columns.
 
-    One aggregation: min over k independent md5-seeded hash values —
-    shuffle is keyed on the doc id, signature width is constant.
+    Double hashing (Kirsch & Mitzenmacher 2006; the datasketch-style
+    affine family): only TWO md5-derived base hashes are computed per
+    shingle, and the k-th hash is ``(h1 + k·h2) mod 2^60`` — exact
+    int64 in both engines (max value 8·(2^60−1) < 2^63).  At 100 TB
+    the per-shingle hash work is THE map-side cost of MinHash; this
+    cuts it 4× for k=8 (and k/2× in general) with the standard
+    two-point-independence trade-off.  ``h0 == h1`` (the k=0 affine).
+
+    One aggregation: shuffle is keyed on the doc id, signature width
+    is constant.
     """
+    hashed = shingles.select(
+        F.col(id_col),
+        hash60(F.col("shingle"), seed=0).alias("_h1"),
+        hash60(F.col("shingle"), seed=1).alias("_h2"),
+    )
     aggs = [
-        F.min(hash60(F.col("shingle"), seed=k)).alias(f"h{k}")
+        F.min(
+            (F.col("_h1") + F.lit(k) * F.col("_h2"))
+            .bitwiseAND(F.lit(HASH60_MASK))
+        ).alias(f"h{k}")
         for k in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidates(signatures: DataFrame, bands: int = 4,

@@ -44,16 +44,23 @@ _SHINGLES_SQL = """
 _H60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
 
 
-def _minhash_sql(num_hashes: int = 8) -> str:
-    def seeded(k: int) -> str:
-        return _H60.format(expr=f"'{k}|' || shingle")
+_H60_MASK = (1 << 60) - 1
 
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    # double hashing, mirroring dedup.minhash_signatures: two md5 base
+    # hashes per shingle, h_k = (h1 + k*h2) & (2^60-1) exact in BIGINT
     cols = ",\n         ".join(
-        f"min({seeded(k)}) AS h{k}" for k in range(num_hashes)
+        f"min((_h1 + {k} * _h2) & {_H60_MASK}) AS h{k}"
+        for k in range(num_hashes)
     )
     return f"""
   SELECT doc_id, {cols}
-  FROM ({_SHINGLES_SQL}) GROUP BY doc_id
+  FROM (SELECT doc_id,
+               {_H60.format(expr="'0|' || shingle")} AS _h1,
+               {_H60.format(expr="'1|' || shingle")} AS _h2
+        FROM ({_SHINGLES_SQL}))
+  GROUP BY doc_id
 """
 
 
@@ -926,8 +933,7 @@ def _curation_sql() -> str:
         f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(8)
     )
     sig_cols = ",\n         ".join(
-        f"min({_H60.format(expr=f_expr)}) AS h{k}"
-        for k, f_expr in ((k, f"'{k}|' || shingle") for k in range(8))
+        f"min((_h1 + {k} * _h2) & {_H60_MASK}) AS h{k}" for k in range(8)
     )
     return f"""
 WITH scored AS (
@@ -957,7 +963,11 @@ sh AS (
 ),
 sig AS (
   SELECT doc_id, {sig_cols}
-  FROM sh GROUP BY doc_id
+  FROM (SELECT doc_id,
+               {_H60.format(expr="'0|' || shingle")} AS _h1,
+               {_H60.format(expr="'1|' || shingle")} AS _h2
+        FROM sh)
+  GROUP BY doc_id
 ),
 banded AS (
   SELECT doc_id, b.band,
