@@ -179,6 +179,43 @@ def test_pick_non_interfering_rules():
     assert bpe.pick_non_interfering([], 3) == []
 
 
+def test_pick_non_interfering_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.text(alphabet="ab", min_size=1, max_size=3)
+    pairs = st.lists(
+        st.tuples(sym, sym, st.integers(min_value=2, max_value=99)),
+        min_size=0, max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(pairs=pairs, want=st.integers(min_value=1, max_value=6))
+    def check(pairs, want):
+        ranked = [(f"{a}{bpe.SEP}{b}", n) for a, b, n in pairs]
+        picked = bpe.pick_non_interfering(ranked, want)
+        # bounded by want, non-empty iff input non-empty, top pair first
+        assert len(picked) <= want
+        if ranked:
+            top_l, top_r = ranked[0][0].split(bpe.SEP)
+            assert picked and picked[0][:2] == (top_l, top_r)
+        # pairwise non-interference: symbols and products all disjoint
+        seen: set[str] = set()
+        for left, right, _ in picked:
+            assert not ({left, right, left + right} & seen)
+            seen.update((left, right, left + right))
+        # greedy maximality: every skipped candidate (up to the point
+        # where want was reached) interferes with an earlier pick
+        if len(picked) < want:
+            for p, n in ranked:
+                left, right = p.split(bpe.SEP)
+                if (left, right, n) in picked:
+                    continue
+                assert {left, right, left + right} & seen
+
+    check()
+
+
 def test_merge_table_shape(spark):
     merges = bpe.train(_docs(spark), n_merges=3)
     tbl = bpe.merge_table(spark, merges)

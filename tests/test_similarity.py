@@ -98,6 +98,55 @@ def test_round6_np_matches_spark_halfup(spark):
     assert got == want
 
 
+def test_round6_np_fuzz_against_spark(spark):
+    # 20k pseudo-random doubles in [-1, 1] plus adversarial values right
+    # at 6-dp boundaries: the shortest-repr HALF_UP claim must hold for
+    # every one, or the GEMM assignment could diverge from the window
+    # plan on some corpus
+    import random
+
+    import numpy as np
+
+    rng = random.Random(20240813)
+    vals = [rng.uniform(-1, 1) for _ in range(20000)]
+    vals += [k * 5e-7 for k in range(-20, 21)]           # exact .5 boundaries
+    vals += [k * 5e-7 + 1e-16 for k in range(-20, 21)]   # just above
+    vals += [k * 5e-7 - 1e-16 for k in range(-20, 21)]   # just below
+    got = similarity._round6_np(np.array(vals)).tolist()
+    rows = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    ).select("i", F.round("x", 6).alias("r")).collect()
+    want = [r["r"] for r in sorted(rows, key=lambda r: r["i"])]
+    mismatches = [
+        (vals[i], g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_assign_cells_gemm_fuzz(spark):
+    # random float32 vectors including exact duplicates, a zero vector,
+    # and near-tie geometry — assignment must agree row-for-row with the
+    # crossJoin+window rendering
+    import random
+
+    rng = random.Random(5)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(300)]
+    rows.append((300, [0.0] * dim))          # zero vector -> cos 0 everywhere
+    rows.append((301, list(rows[7][1])))     # duplicate of a seed-range vector
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.seed_centroids(e, 8)
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.assign_cells(e, cent).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.assign_cells_gemm(e, cent).collect()
+    )
+    assert a == b
+
+
 def test_ivfpq_split_persisted_matches_composition(spark, sf_dir, tmp_path):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = list(range(10))
