@@ -67,9 +67,18 @@ def require_fixed_offset_tz(spark: SparkSession | None = None) -> str:
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         return "UTC"
-    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    # no default argument: RuntimeConfig.get(key, default) returns the
+    # DEFAULT whenever the key is unset, which would mask the real zone
+    # (unset resolves to the JVM zone id, e.g. 'Etc/UTC'); without one
+    # the engine resolves the effective value
+    tz = spark.conf.get("spark.sql.session.timeZone")
     fixed = tz in ("UTC", "GMT", "Z") or re.fullmatch(
-        r"(?:GMT|UTC)?[+-]\d{1,2}(?::\d{2})?", tz
+        # explicit offsets (+05:30, GMT+2) and the fixed-offset region
+        # ids (Etc/UTC, Etc/GMT, Etc/GMT±N — NOT DST-capable zones)
+        r"(?:GMT|UTC)[+-]\d{1,2}(?::\d{2})?"
+        r"|[+-]\d{1,2}(?::\d{2})?"
+        r"|Etc/(?:UTC|GMT(?:[+-]\d{1,2})?)",
+        tz,
     )
     if not fixed:
         raise ValueError(

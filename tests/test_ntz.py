@@ -44,12 +44,17 @@ def test_fixed_offset_tz_guard(spark):
     assert require_fixed_offset_tz(spark) == "UTC"
     orig = spark.conf.get("spark.sql.session.timeZone")
     try:
-        for ok in ("GMT", "UTC", "+05:30", "-08", "GMT+02:00"):
+        # 'Etc/UTC' is what a VANILLA session (the driver harness's)
+        # resolves from a UTC container — the guard must accept the
+        # fixed-offset Etc/ region ids, not just the literal 'UTC'
+        for ok in ("GMT", "UTC", "+05:30", "-08", "GMT+02:00",
+                   "Etc/UTC", "Etc/GMT-5"):
             spark.conf.set("spark.sql.session.timeZone", ok)
             assert require_fixed_offset_tz(spark) == ok
-        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        with pytest.raises(ValueError, match="fixed-offset"):
-            require_fixed_offset_tz(spark)
+        for bad in ("America/New_York", "Europe/Berlin"):
+            spark.conf.set("spark.sql.session.timeZone", bad)
+            with pytest.raises(ValueError, match="fixed-offset"):
+                require_fixed_offset_tz(spark)
         # the shim itself enforces it at plan-build time
         from dirt_hadoop_similarity_spark.plans.queries_more import ts_micros
 
