@@ -59,6 +59,16 @@ def run_pipeline(
         biarcs = parse_biarc_lines(corpus)
     parsed = with_tokens(biarcs)
 
+    # extraction is a pure map, so its parallelism equals the input's
+    # split count.  A tiny local corpus (one parquet/text split) would
+    # run the UDF serially on one core; rebalance up to the session's
+    # parallelism.  Real corpora have >= cores splits, making this a
+    # no-op — a guard, not a standing shuffle tax.
+    nparts = parsed.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    if nparts < target:
+        parsed = parsed.repartition(target)
+
     triples = counting.triples(facts(extractions(parsed)))
     if cache:
         triples = triples.cache()

@@ -238,7 +238,13 @@ def dirt_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ngram"),
         (1 + F.col("doc_id") % 7).alias("n"),
     )
-    ex = extractions(with_tokens(biarcs))
+    parsed = with_tokens(biarcs)
+    # single-split local input would run the extraction UDF serially —
+    # same rebalance guard as plans.pipeline.run_pipeline (no-op when
+    # the input already has >= cores splits)
+    if parsed.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        parsed = parsed.repartition(spark.sparkContext.defaultParallelism)
+    ex = extractions(parsed)
     return ex.agg(
         F.count(F.lit(1)).alias("n_extractions"),
         F.sum("n").alias("total_weight"),
