@@ -102,14 +102,15 @@ def main() -> None:
     # Disclosed in the output as "repeats".
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
-    for i in range(repeats):
-        if i:
-            # drop pass-(i-1)'s cached relations: each pass must pay its
-            # own cache population or the min would measure warm caches,
-            # not the plans (JVM/codegen warmth carries — that's the
-            # legitimate part of a warm measurement)
-            spark.catalog.clearCache()
+    for _ in range(repeats):
         for name in headline:
+            # each query is timed in isolation: it pays its own cache
+            # population (internal .cache() points count as its cost)
+            # and never reads — or fights for storage memory with — a
+            # predecessor's cached relations.  JVM/codegen warmth
+            # carries across passes; that's the legitimate part of a
+            # warm measurement.
+            spark.catalog.clearCache()
             if name == "ann_ivfpq_build":
                 for k, v in _time_ivfpq_split(spark, sf_dir).items():
                     timings[k] = min(timings.get(k, v), v)
