@@ -80,12 +80,24 @@ def main() -> None:
     # effect.  Unset = the full headline list the driver records.
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     headline = subset.split(",") if subset else HEADLINE
+    if "ann_ivfpq_search" in headline and "ann_ivfpq_build" not in headline:
+        # the split pair is timed together off the build entry
+        headline = ["ann_ivfpq_build" if n == "ann_ivfpq_search" else n
+                    for n in headline]
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
     from dirt_hadoop_similarity_spark.session import get_spark
     from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    known = set(QUERIES) | {"ann_ivfpq_build", "ann_ivfpq_search"}
+    unknown = [n for n in headline if n not in known]
+    if unknown:
+        sys.exit(
+            f"unknown bench queries: {unknown}; valid names are registry "
+            f"entries plus ann_ivfpq_build/ann_ivfpq_search"
+        )
 
     spark = get_spark(
         app_name="dhs-bench",

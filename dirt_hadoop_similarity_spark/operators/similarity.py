@@ -354,6 +354,7 @@ def assign_cells_gemm(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    panel=None,
 ) -> DataFrame:
     """IVF assignment via blocked GEMM — row-identical to
     :func:`assign_cells`, different physical strategy: the (bounded,
@@ -375,8 +376,12 @@ def assign_cells_gemm(
     ``decimal``-exact BigDecimal HALF_UP — Spark's ``F.round(c, 6)``
     to the bit — so the argmax (max ccos, ties to the LOWEST cell)
     reproduces the window plan's tie structure exactly.
+
+    ``panel``: optional precollected ``_collect_centroids`` result —
+    callers making several assignment passes against the same centroids
+    (ivfpq_build) collect the panel once instead of one job per call.
     """
-    cells, CB = _collect_centroids(centroids)
+    cells, CB = panel if panel is not None else _collect_centroids(centroids)
 
     out_schema = f"{id_col} long, {vec_col} array<float>, cell long"
 
@@ -708,6 +713,10 @@ def ivfpq_build(
     number of query batches without touching raw corpus vectors.
     """
     cent = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    # ONE panel collect serves every assignment pass below (seed rsubs,
+    # optional Lloyd rsubs, and the fused encode)
+    panel = _collect_centroids(cent)
+    cells, CB = panel
 
     def _rsubs(rows_df: DataFrame) -> DataFrame:
         """(id, cell, sub, svec): per-subspace exact-int residual slices
@@ -718,7 +727,7 @@ def ivfpq_build(
             lambda x, c: x - c,
         )
         return (
-            assign_cells_gemm(rows_df, cent, id_col, vec_col)
+            assign_cells_gemm(rows_df, cent, id_col, vec_col, panel=panel)
             .join(F.broadcast(cent), "cell")
             .select(F.col(id_col), "cell", residual.alias("rvec"))
             .select(
@@ -742,11 +751,10 @@ def ivfpq_build(
         "sub",
         F.col("svec").alias("cvec"),
     )
+    lloyd_rsubs = None
     if train_iters > 0:
-        rcb = _lloyd_subspaces(
-            _rsubs(embeddings).select(id_col, "sub", "svec").cache(),
-            rcb, train_iters, id_col,
-        )
+        lloyd_rsubs = _rsubs(embeddings).select(id_col, "sub", "svec").cache()
+        rcb = _lloyd_subspaces(lloyd_rsubs, rcb, train_iters, id_col)
     rcb = rcb.select("code", "sub", F.col("cvec").alias("cbvec"))
 
     # fused assign+residual+encode: ONE corpus pass, map-only (no
@@ -754,8 +762,12 @@ def ivfpq_build(
     # arithmetic past the assignment argmax is exact int64 (residual
     # subtraction, squared-L2, argmin with lowest-code ties), so
     # bit-compatibility needs no rounding contract at all here.
-    cells, CB = _collect_centroids(cent)
     cb_rows = rcb.collect()  # m × ksub — bounded panel
+    if lloyd_rsubs is not None:
+        # the collect above drained the training path — release the
+        # corpus-sized residual cache instead of pinning it for the
+        # session lifetime
+        lloyd_rsubs.unpersist()
     import numpy as np
 
     SUBS = sorted({r["sub"] for r in cb_rows})
@@ -907,6 +919,8 @@ def hard_negatives(
     """
     if skip < 0 or take < 1:
         raise ValueError(f"need skip >= 0 and take >= 1, got {skip}, {take}")
+    if engine not in ("gemm", "hof"):
+        raise ValueError(f"engine must be 'gemm' or 'hof', got {engine!r}")
     scorer = cosine_topk_gemm if engine == "gemm" else cosine_topk
     ranked = scorer(
         embeddings, query_ids, k=skip + take, id_col=id_col, vec_col=vec_col

@@ -28,6 +28,18 @@ from dirt_hadoop_similarity_spark.sources.biarcs import (
 )
 
 
+def rebalance_for_extraction(parsed: DataFrame, spark: SparkSession) -> DataFrame:
+    """The extraction UDF is a pure map, so its parallelism equals the
+    input's split count.  A tiny local corpus (one parquet/text split)
+    would run the UDF serially on one core; rebalance up to the
+    session's parallelism.  Real corpora have >= cores splits, making
+    this a no-op — a guard, not a standing shuffle tax."""
+    target = spark.sparkContext.defaultParallelism
+    if parsed.rdd.getNumPartitions() < target:
+        return parsed.repartition(target)
+    return parsed
+
+
 @dataclass
 class DirtResult:
     """Every intermediate of the pipeline, lazily defined."""
@@ -57,17 +69,7 @@ def run_pipeline(
         biarcs = read_biarc_lines(spark, corpus)
     else:
         biarcs = parse_biarc_lines(corpus)
-    parsed = with_tokens(biarcs)
-
-    # extraction is a pure map, so its parallelism equals the input's
-    # split count.  A tiny local corpus (one parquet/text split) would
-    # run the UDF serially on one core; rebalance up to the session's
-    # parallelism.  Real corpora have >= cores splits, making this a
-    # no-op — a guard, not a standing shuffle tax.
-    nparts = parsed.rdd.getNumPartitions()
-    target = spark.sparkContext.defaultParallelism
-    if nparts < target:
-        parsed = parsed.repartition(target)
+    parsed = rebalance_for_extraction(with_tokens(biarcs), spark)
 
     triples = counting.triples(facts(extractions(parsed)))
     if cache:

@@ -238,13 +238,11 @@ def dirt_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ngram"),
         (1 + F.col("doc_id") % 7).alias("n"),
     )
-    parsed = with_tokens(biarcs)
-    # single-split local input would run the extraction UDF serially —
-    # same rebalance guard as plans.pipeline.run_pipeline (no-op when
-    # the input already has >= cores splits)
-    if parsed.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        parsed = parsed.repartition(spark.sparkContext.defaultParallelism)
-    ex = extractions(parsed)
+    from dirt_hadoop_similarity_spark.plans.pipeline import (
+        rebalance_for_extraction,
+    )
+
+    ex = extractions(rebalance_for_extraction(with_tokens(biarcs), spark))
     return ex.agg(
         F.count(F.lit(1)).alias("n_extractions"),
         F.sum("n").alias("total_weight"),

@@ -73,10 +73,10 @@ def require_fixed_offset_tz(spark: SparkSession | None = None) -> str:
     # the engine resolves the effective value
     tz = spark.conf.get("spark.sql.session.timeZone")
     fixed = tz in ("UTC", "GMT", "Z") or re.fullmatch(
-        # explicit offsets (+05:30, GMT+2) and the fixed-offset region
-        # ids (Etc/UTC, Etc/GMT, Etc/GMT±N — NOT DST-capable zones)
-        r"(?:GMT|UTC)[+-]\d{1,2}(?::\d{2})?"
-        r"|[+-]\d{1,2}(?::\d{2})?"
+        # explicit offsets with or without a colon (+05:30, +0530, -08,
+        # GMT+2, UTC+05:30) and the fixed-offset region ids (Etc/UTC,
+        # Etc/GMT, Etc/GMT±N — NOT DST-capable zones)
+        r"(?:GMT|UTC)?[+-]\d{1,2}(?::?\d{2})?"
         r"|Etc/(?:UTC|GMT(?:[+-]\d{1,2})?)",
         tz,
     )
