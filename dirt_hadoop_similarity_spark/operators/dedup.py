@@ -383,6 +383,58 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.0,
     )
 
 
+def verified_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
+                             bands: int = 4, rows_per_band: int = 2,
+                             min_jaccard: float = 0.0,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """The composed 100 TB near-dup path: banded-LSH candidate pairs,
+    each verified with the EXACT shingle Jaccard — the two-stage recipe
+    every production dedup runs (sketch to find, exact to decide).
+
+    Scale shape: candidates come from the band equi-join (bounded by
+    real duplication, never all-pairs), and the exact verification
+    joins the candidate list against per-doc shingles ON THE DOC ID —
+    shuffle volume is |candidates| + |shingles of candidate docs|, not
+    the all-intersecting-pairs blowup :func:`jaccard_pairs` pays when
+    run standalone.  Output: (id_a, id_b, est_jaccard, n_common,
+    jaccard) for candidates with exact jaccard >= ``min_jaccard``.
+    """
+    cand = minhash_near_duplicates(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, text_col=text_col, id_col=id_col,
+    ).select("id_a", "id_b", "est_jaccard")
+
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        cand.join(common, ["id_a", "id_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a", "id_b", "est_jaccard",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -100,6 +100,7 @@ _PRIORITY = [
     # signature VALUES changed by the MinHash double-hashing rewrite —
     # every consumer of minhash_signatures must re-earn its row
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",     # new in round 5 — never driver-sampled
     "dedup_incremental",
     "dedup_components",
     "dedup_components_ls",

@@ -112,6 +112,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_VERIFIED_SQL = f"""
+WITH cand AS ({_MINHASH_LSH_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b, c.est_jaccard,
+       CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+       round(CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+             / (za.sz + zb.sz - COALESCE(m.n_common, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+"""
+
+
+@register(
+    "dedup_lsh_verified",
+    _LSH_VERIFIED_SQL,
+    "The composed production near-dup path: banded-LSH candidates, each "
+    "verified with the EXACT shingle Jaccard — sketch to find, exact to "
+    "decide.  Verification joins candidates against per-doc shingles on "
+    "the DOC id, so its shuffle is |candidates| + their shingles, never "
+    "the all-intersecting-pairs blowup of standalone jaccard_pairs.",
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.verified_near_duplicates(
+        load(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4,
+        rows_per_band=2,
+    )
+
+
 _JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),

@@ -67,6 +67,23 @@ def test_jaccard_exact_values(spark):
     assert out[0].jaccard == pytest.approx(0.5)
 
 
+def test_lsh_verified_matches_exact_jaccard_on_candidates(docs):
+    out = dedup.verified_near_duplicates(docs, n=3, num_hashes=8, bands=4,
+                                         rows_per_band=2)
+    rows = {(r.id_a, r.id_b): r for r in out.collect()}
+    # exact duplicates: jaccard exactly 1.0, n_common = shingle count
+    assert rows[(1, 2)].jaccard == 1.0
+    assert rows[(1, 5)].jaccard == 1.0
+    # every candidate's exact jaccard equals jaccard_pairs' number
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.jaccard_pairs(docs, n=3).collect()}
+    for pair, r in rows.items():
+        assert r.jaccard == pytest.approx(exact.get(pair, 0.0)), pair
+    # the min_jaccard cut drops weak candidates
+    strict = dedup.verified_near_duplicates(docs, min_jaccard=0.9)
+    assert all(r.jaccard >= 0.9 for r in strict.collect())
+
+
 def test_simhash_identical_and_disjoint(docs):
     fp = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
     assert fp[1] == fp[2] == fp[5]
