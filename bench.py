@@ -2,12 +2,20 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": <sec>, ...}, "sf": <scale factor>}
+   "queries": {"<name>": <sec>, ...}, "sf": ..., "repeats": N}
 
-Each query is timed to full materialization (count of the result) after a
-shared session warm-up; the suite spans the engine's major cost classes:
-the DIRT MI/similarity pipeline, heavy joins/aggs, windows, dedup
-(MinHash-LSH + exact Jaccard), ANN search, and text scoring.
+Methodology (PERF.md round 5): each query is timed to full
+materialization (count) IN ISOLATION — the cache is cleared before
+every timing so a query pays its own cache population and neither
+reuses nor fights a predecessor's cached relations — and the reported
+number is the per-query MINIMUM over $SPARK_GRAFT_BENCH_REPEATS passes
+(default 2), the standard estimator under this box's host-level
+noisy-neighbor variance (±30% on single runs of identical code).  The
+suite spans the engine's major cost classes: the DIRT MI/similarity
+pipeline, heavy joins/aggs, windows, dedup (MinHash-LSH + exact
+Jaccard), ANN search + the split IVF-PQ build/serve pair, and text
+scoring.  $SPARK_GRAFT_BENCH_QUERIES (comma-separated subset) supports
+like-for-like diagnostics.
 """
 
 from __future__ import annotations
