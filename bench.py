@@ -122,6 +122,7 @@ def main() -> None:
     # Disclosed in the output as "repeats".
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
+    t_loop = time.perf_counter()
     for _ in range(repeats):
         for name in headline:
             # each query is timed in isolation: it pays its own cache
@@ -146,12 +147,20 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # name kept for round-over-round continuity; since round
+                # 5 the value is the SUM OF PER-QUERY MINIMA over
+                # isolated passes, not one observed wall time —
+                # "methodology" + "repeats" disclose it, and
+                # "elapsed_seconds" is the real wall clock of the whole
+                # timing loop for anyone comparing apples to apples
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "repeats": repeats,
+                "methodology": "min_per_query_isolated_cache",
+                "elapsed_seconds": round(time.perf_counter() - t_loop, 3),
             }
         )
     )

@@ -400,12 +400,16 @@ def verified_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     run standalone.  Output: (id_a, id_b, est_jaccard, n_common,
     jaccard) for candidates with exact jaccard >= ``min_jaccard``.
     """
+    # both relations feed multiple plan sites below (cand: the spine and
+    # the common-count join; sh: two shingle sides + two size lookups) —
+    # cache so the band self-join runs once and the corpus tokenizes
+    # once, not four times (same reasoning as jaccard_pairs' cache)
     cand = minhash_near_duplicates(
         docs, n=n, num_hashes=num_hashes, bands=bands,
         rows_per_band=rows_per_band, text_col=text_col, id_col=id_col,
-    ).select("id_a", "id_b", "est_jaccard")
+    ).select("id_a", "id_b", "est_jaccard").cache()
 
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")

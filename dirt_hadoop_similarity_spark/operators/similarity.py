@@ -764,9 +764,16 @@ def ivfpq_build(
     # bit-compatibility needs no rounding contract at all here.
     cb_rows = rcb.collect()  # m × ksub — bounded panel
     if lloyd_rsubs is not None:
-        # the collect above drained the training path — release the
-        # corpus-sized residual cache instead of pinning it for the
-        # session lifetime
+        # sever the returned codebook's lineage from the training path:
+        # rebuilt from the collected rows, rcb no longer references the
+        # corpus-sized residual relation, so the cache can be released
+        # without downstream actions re-running train_iters corpus
+        # passes (the lazy Lloyd DF would otherwise recompute per
+        # consumer once unpersisted)
+        rcb = embeddings.sparkSession.createDataFrame(
+            [(r["code"], r["sub"], list(r["cbvec"])) for r in cb_rows],
+            "code long, sub int, cbvec array<long>",
+        )
         lloyd_rsubs.unpersist()
     import numpy as np
 

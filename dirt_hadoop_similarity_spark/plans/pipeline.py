@@ -33,7 +33,14 @@ def rebalance_for_extraction(parsed: DataFrame, spark: SparkSession) -> DataFram
     input's split count.  A tiny local corpus (one parquet/text split)
     would run the UDF serially on one core; rebalance up to the
     session's parallelism.  Real corpora have >= cores splits, making
-    this a no-op — a guard, not a standing shuffle tax."""
+    this a no-op — a guard, not a standing shuffle tax.
+
+    Caveat: the ``.rdd`` partition probe materializes upstream query
+    stages when the input's lineage contains a shuffle (AQE must run
+    them to know the partitioning) — for the in-repo callers the
+    lineage is a narrow scan/projection (no job), but callers feeding
+    a shuffle-bearing DataFrame through ``run_pipeline`` should
+    pre-partition it themselves and accept the probe's cost."""
     target = spark.sparkContext.defaultParallelism
     if parsed.rdd.getNumPartitions() < target:
         return parsed.repartition(target)

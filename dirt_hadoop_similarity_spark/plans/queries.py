@@ -120,10 +120,11 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 18 after the
-# MinHash double-hashing rotation, so five of the oldest-green mid
-# entries spill past the 50-row window this round).  Safety net for the
-# tail remains tests/test_oracle_all.py.
+# code-unchanged + oracle-backed; the priority set grew to 19 after the
+# MinHash double-hashing rotation + dedup_lsh_verified, so 19 priority
+# + 32 mid = 51 names precede this tail and the 51st, profile_approx,
+# sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
+# whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
 _DEFERRED = [
     "sessionize",
     "range_join_events",
