@@ -293,6 +293,24 @@ def test_kmeans_keeps_k_when_cell_empties(spark):
     assert all(len(r.cvec) == 4 for r in rows_out)
 
 
+def test_trained_ivfpq_codebook_lineage_is_severed(spark, sf_dir):
+    """The train_iters>0 codebook must NOT keep a lazy lineage into the
+    corpus-sized residual relation (which ivfpq_build unpersists before
+    returning): the returned rcb is rebuilt from collected rows, so its
+    plan is a local relation — every downstream action would otherwise
+    re-run the full training passes uncached."""
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent, rcb, codes = similarity.ivfpq_build(emb_df, train_iters=1)
+    plan = rcb._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" not in plan.lower()
+    assert rcb.count() == 8 * 16  # m × ksub rows survive the rebuild
+    # and the triple still serves searches end to end
+    out = similarity.ivfpq_search(
+        emb_df, cent, rcb, codes, [40, 41], k=3
+    ).collect()
+    assert {r["query_id"] for r in out} == {40, 41}
+
+
 def test_pq_codebook_keeps_full_shape(spark, sf_dir):
     """The trained PQ codebook must stay m × ksub even when codes empty
     during training (duplicate seeds make that likely)."""
