@@ -339,6 +339,62 @@ def minhash_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     )
 
 
+def split_contamination(docs: DataFrame, splits: dict, *,
+                        min_est: float = 0.5, n: int = 3,
+                        num_hashes: int = 8, bands: int = 4,
+                        rows_per_band: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        salt: str = "split") -> DataFrame:
+    """Cross-split near-duplicate leakage matrix — the "is my test set
+    contaminated by train?" audit every train/valid/test split needs
+    before evaluation numbers mean anything.
+
+    Composition of two verified primitives: the deterministic
+    hash-bucket split (``sampling.assign_split``, so the audited split
+    is bit-identical to the one the training pipeline ships) and the
+    MinHash/LSH near-dup chain (:func:`minhash_near_duplicates`).
+    Candidate pairs with estimated Jaccard ≥ ``min_est`` are joined to
+    the split of each member and counted per unordered split pair.
+
+    Output: (split_a, split_b, n_pairs, n_docs_b) with
+    split_a ≤ split_b lexically; ``n_docs_b`` counts distinct
+    greater-id members — the docs a min-id keeper policy would drop to
+    clear the leak.  The (train, train) row is intra-split duplication
+    (a dedup-quality signal); any (test, train) mass is evaluation
+    leakage.
+
+    Scale: candidates come from the band equi-join (never all-pairs);
+    the split relation is a corpus-sized but 2-column (id, split)
+    table equi-joined on the pair ids — at 100 TB the pair side is
+    bounded by real duplication, so AQE will broadcast it when small;
+    the output matrix is ≤ |splits|² rows.
+    """
+    # function-level import: sampling imports hash60 from this module
+    from dirt_hadoop_similarity_spark.operators.sampling import assign_split
+
+    pairs = minhash_near_duplicates(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, text_col=text_col, id_col=id_col,
+    ).filter(F.col("est_jaccard") >= min_est)
+    sp = assign_split(docs.select(id_col), id_col, splits, salt=salt)
+    pa = sp.select(F.col(id_col).alias("id_a"), F.col("split").alias("_sa"))
+    pb = sp.select(F.col(id_col).alias("id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+            "id_b",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_b"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact)
 # ---------------------------------------------------------------------------

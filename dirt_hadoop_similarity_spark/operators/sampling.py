@@ -254,6 +254,85 @@ def reservoir_per_group(df: DataFrame, group_col: str, k: int, key: str,
     )
 
 
+def cap_per_group(df: DataFrame, group_col: str, cap: int, order_cols,
+                  key: str, rank_name: str = "grp_rank") -> DataFrame:
+    """Ranked per-group cap: keep the ``cap`` BEST rows of each group
+    under the caller's ordering — the keeper-policy complement to
+    :func:`reservoir_per_group`'s uniform draw.  The canonical use is
+    the RefinedWeb/C4-style per-domain document cap ("no single domain
+    dominates the corpus"), ranked by a quality score so the cap keeps
+    each domain's best documents rather than a random subset.
+
+    ``order_cols`` is a list of Columns (may carry ``.desc()``); ``key``
+    must be unique within each group and is appended ascending as the
+    final tiebreak, so the ordering is total and the rank deterministic
+    on any cluster layout.  Adds ``rank_name`` (1-based; prefix
+    property: raising the cap only ever ADDS rows).
+
+    Scale: the same two-phase decomposable top-k as
+    :func:`reservoir_per_group` — phase 1 ranks within (group,
+    input-partition) so a hot group never serializes into one task and
+    every local sort is bounded by the partition size; phase 2 ranks
+    the surviving ≤ partitions × cap candidates per group.  A row
+    outside its cell's local top-``cap`` cannot be in the group's
+    top-``cap``, so the phases compose exactly.
+
+    Staging columns ``_cell``/``_lr`` and ``rank_name`` must not
+    collide with input columns (validated — collisions raise).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    reserved = {"_cell", "_lr", rank_name} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
+    from pyspark.sql import Window
+
+    order = list(order_cols) + [F.col(key).asc()]
+    staged = df.withColumn("_cell", F.spark_partition_id())
+    w_local = Window.partitionBy(group_col, "_cell").orderBy(*order)
+    w_group = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        staged.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= cap)
+        .withColumn(rank_name, F.row_number().over(w_group).cast("long"))
+        .filter(F.col(rank_name) <= cap)
+        .drop("_cell", "_lr")
+    )
+
+
+def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int = 4,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         salt: str = "balance") -> DataFrame:
+    """Cluster-balanced subsampling over an embedding table — the
+    topic-flattening stage of curated-pretraining recipes (DataComp-
+    style cluster balancing): assign every vector to a sign-LSH cell
+    (the same k-means-cluster stand-in contract as
+    ``similarity.semantic_dedup``) and draw a uniform deterministic
+    reservoir of ``cap`` vectors per cell, so over-represented topic
+    clusters are capped while rare clusters survive whole.
+
+    Output: (``id_col``, ``cell``, ``sample_rank``) — rank 1-based in
+    the cell's draw order, with :func:`reservoir_per_group`'s prefix
+    property (growing the per-cell budget only ever adds vectors).
+
+    Scale: cell assignment is a map-only expression over the first
+    ``bits`` coordinates (no payload shuffle); the cap is the two-phase
+    decomposable top-k, and only (id, cell, hash) rows ever shuffle —
+    never the vectors.  Swap the cell column for trained k-means /
+    IVF cells (``similarity.assign_cells``) without touching the
+    sampling shape.
+    """
+    # lazy import: sampling is imported by modules similarity depends on
+    from dirt_hadoop_similarity_spark.operators.similarity import sign_bucket
+
+    cells = vectors.select(
+        F.col(id_col), sign_bucket(F.col(vec_col), bits).alias("cell")
+    )
+    return reservoir_per_group(cells, "cell", cap, id_col, salt=salt)
+
+
 def dsir_weights(docs: DataFrame, is_target: Column, buckets: int = 64,
                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.

@@ -2634,3 +2634,124 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsub=_IVFPQ_DSUB,
         ksub=_IVFPQ_KSUB,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: per-source caps, cluster balancing, split contamination
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+
+_SOURCE_CAP_SQL = f"""
+WITH scored AS ({{clf}})
+SELECT doc_id, source, logit, src_rank FROM (
+  SELECT d.doc_id, d.source, s.logit,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY s.logit DESC, d.doc_id)
+              AS BIGINT) AS src_rank
+  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+) WHERE src_rank <= {_SOURCE_CAP}
+"""
+
+
+@register(
+    "source_cap_keepers",
+    None,  # oracle wired below (_clf_sql is defined mid-module)
+    "Per-source document cap ranked by the quality-classifier logit — "
+    "the RefinedWeb/C4 'no single domain dominates' policy, keeping "
+    "each source's BEST documents rather than a random subset.  The "
+    "cap is a two-phase decomposable top-k (sampling.cap_per_group): "
+    "no global sort, hot domains never serialize into one task.",
+)
+def source_cap_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    logit = textfns.classifier_logit_from(
+        textfns.tokens(t), textfns.tokens(F.lower(t)), t)
+    scored = docs.select(
+        "doc_id", "source", F.round(logit, 6).alias("logit"))
+    return sampling.cap_per_group(
+        scored, "source", _SOURCE_CAP,
+        [F.col("logit").desc()], "doc_id", rank_name="src_rank")
+
+
+QUERIES["source_cap_keepers"].oracle = _SOURCE_CAP_SQL.format(clf=_clf_sql())
+
+
+_BALANCE_CAP = 12
+_BALANCE_BITS = 4
+
+_BALANCE_SQL = f"""
+WITH cells AS (
+  SELECT vec_id,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT)
+           AS cell,
+         {_H60.format(expr="'balance|' || CAST(vec_id AS VARCHAR)")} AS hv
+  FROM embeddings
+)
+SELECT vec_id, cell, sample_rank FROM (
+  SELECT vec_id, cell,
+         CAST(row_number() OVER (PARTITION BY cell
+                                 ORDER BY hv, vec_id) AS BIGINT) AS sample_rank
+  FROM cells
+) WHERE sample_rank <= {_BALANCE_CAP}
+"""
+
+
+@register(
+    "cluster_balanced_sample",
+    _BALANCE_SQL,
+    "Cluster-balanced embedding subsample (DataComp-style topic "
+    "flattening): sign-LSH cells stand in for k-means clusters and "
+    "each cell is capped at a uniform deterministic reservoir — "
+    "over-represented topics shrink, rare topics survive whole.  Only "
+    "(id, cell, hash) rows shuffle; the vectors never move.",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    return sampling.cell_balanced_sample(
+        load(spark, sf_dir, "embeddings"),
+        cap=_BALANCE_CAP, bits=_BALANCE_BITS)
+
+
+_CONTAM_SQL = f"""
+WITH pairs AS ({_MINHASH_LSH_SQL}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 9000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(pa.split, pb.split) AS split_a,
+       greatest(pa.split, pb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_docs_b
+FROM pairs p
+JOIN sp pa ON pa.doc_id = p.id_a
+JOIN sp pb ON pb.doc_id = p.id_b
+WHERE p.est_jaccard >= 0.5
+GROUP BY least(pa.split, pb.split), greatest(pa.split, pb.split)
+"""
+
+
+@register(
+    "split_contamination",
+    _CONTAM_SQL,
+    "Cross-split near-duplicate leakage matrix: the deterministic "
+    "hash-bucket split x the MinHash/LSH near-dup chain, counting "
+    "est-Jaccard >= 0.5 pairs per unordered split pair.  (test, train) "
+    "mass is evaluation contamination; (train, train) is intra-split "
+    "duplication.  The audited split is bit-identical to the one "
+    "assign_split ships to training.",
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.split_contamination(
+        docs, {"train": 0.8, "valid": 0.1, "test": 0.1}, min_est=0.5)

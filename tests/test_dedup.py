@@ -161,3 +161,61 @@ class TestDuplicateSpans:
             dedup.duplicate_spans(docs, k=0)
         with pytest.raises(ValueError, match="min_occurrences"):
             dedup.duplicate_spans(docs, min_occurrences=1)
+
+
+class TestSplitContamination:
+    def test_matrix_counts_and_symmetry(self, spark):
+        # Known duplicate texts; force splits by choosing a one-split
+        # assignment so pair classes are predictable: with a single
+        # split every pair lands in (s, s).
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "completely different text about spark engines"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = dedup.split_contamination(docs, {"all": 1.0}).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert (row["split_a"], row["split_b"]) == ("all", "all")
+        assert row["n_pairs"] == 3      # (1,2) (1,3) (2,3)
+        assert row["n_docs_b"] == 2     # greater-id members: 2 and 3
+
+    def test_cross_split_pairs_classified(self, spark):
+        # Pin the split of each doc by probing assign_split first, then
+        # check the matrix classifies a known duplicate pair as
+        # cross-split when its members land in different splits.
+        from dirt_hadoop_similarity_spark.operators import sampling
+
+        dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+        ids = list(range(1, 41))
+        docs = spark.createDataFrame(
+            [(i, dup_text) for i in ids], ["doc_id", "text"])
+        splits = {"train": 0.5, "test": 0.5}
+        assigned = {
+            r["doc_id"]: r["split"]
+            for r in sampling.assign_split(
+                docs, "doc_id", splits).collect()
+        }
+        assert set(assigned.values()) == {"train", "test"}  # both present
+        from collections import Counter
+        expected = Counter()
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    pair = tuple(sorted((assigned[a], assigned[b])))
+                    expected[pair] += 1
+        got = {(r["split_a"], r["split_b"]): r["n_pairs"]
+               for r in dedup.split_contamination(docs, splits).collect()}
+        assert got == dict(expected)
+
+    def test_threshold_excludes_weak_pairs(self, spark):
+        rows = [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally unrelated words nothing shared here at all"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = dedup.split_contamination(docs, {"all": 1.0}, min_est=1.0)
+        assert [r["n_pairs"] for r in out.collect()] == [1]

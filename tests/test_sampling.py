@@ -324,3 +324,76 @@ class TestDsirWeights:
             sampling.dsir_weights(
                 self._docs(spark, [(0, "x", True)]), F.col("tgt"), buckets=0
             )
+
+
+class TestCapPerGroup:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["id", "grp", "score"])
+
+    def test_keeps_best_by_order(self, spark):
+        rows = [(i, "g", float(i % 5)) for i in range(10)]
+        out = sampling.cap_per_group(
+            self._df(spark, rows), "grp", 4, [F.col("score").desc()], "id"
+        ).collect()
+        # the four best scores are 4.0, 4.0, 3.0, 3.0; ties break by id asc
+        got = sorted((r["score"], r["id"]) for r in out)
+        assert got == [(3.0, 3), (3.0, 8), (4.0, 4), (4.0, 9)]
+        ranks = {r["id"]: r["grp_rank"] for r in out}
+        assert ranks[4] == 1 and ranks[9] == 2 and ranks[3] == 3 and ranks[8] == 4
+
+    def test_small_groups_survive_whole(self, spark):
+        rows = [(1, "small", 1.0), (2, "small", 2.0)] + [
+            (10 + i, "big", float(i)) for i in range(20)
+        ]
+        out = sampling.cap_per_group(
+            self._df(spark, rows), "grp", 5, [F.col("score").desc()], "id"
+        )
+        counts = {r["grp"]: r["n"] for r in
+                  out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"small": 2, "big": 5}
+
+    def test_prefix_property_and_repartition_stability(self, spark):
+        rows = [(i, f"g{i % 3}", float((i * 7) % 11)) for i in range(60)]
+        df = self._df(spark, rows)
+        k3 = {(r["grp"], r["id"]) for r in sampling.cap_per_group(
+            df, "grp", 3, [F.col("score").desc()], "id").collect()}
+        k7 = {(r["grp"], r["id"]) for r in sampling.cap_per_group(
+            df.repartition(13), "grp", 7, [F.col("score").desc()], "id").collect()}
+        assert k3 < k7  # cap=3 keepers are a strict prefix of cap=7's
+
+    def test_collision_guard_and_cap_validation(self, spark):
+        df = self._df(spark, [(1, "g", 1.0)]).withColumn("_lr", F.lit(1))
+        with pytest.raises(ValueError, match="collide"):
+            sampling.cap_per_group(df, "grp", 1, [F.col("score")], "id")
+        with pytest.raises(ValueError, match="cap"):
+            sampling.cap_per_group(
+                self._df(spark, [(1, "g", 1.0)]), "grp", 0, [F.col("score")], "id")
+
+
+class TestCellBalancedSample:
+    def test_caps_cells_and_is_deterministic(self, spark, sf_dir):
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = sampling.cell_balanced_sample(vecs, cap=12, bits=4)
+        rows = out.collect()
+        per_cell = {}
+        for r in rows:
+            per_cell.setdefault(r["cell"], []).append(r["sample_rank"])
+        assert all(len(v) <= 12 for v in per_cell.values())
+        # ranks are 1..n contiguous within each cell
+        assert all(sorted(v) == list(range(1, len(v) + 1))
+                   for v in per_cell.values())
+        again = sampling.cell_balanced_sample(
+            vecs.repartition(17), cap=12, bits=4)
+        assert {(r["vec_id"], r["cell"], r["sample_rank"]) for r in rows} == \
+               {(r["vec_id"], r["cell"], r["sample_rank"])
+                for r in again.collect()}
+
+    def test_rare_cells_survive_whole(self, spark):
+        # 2 vectors in one orthant, 30 in another -> rare cell uncut
+        rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(30)]
+        rows += [(100, [-1.0, -1.0, -1.0, -1.0]), (101, [-1.0, -1.0, -1.0, -1.0])]
+        vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = sampling.cell_balanced_sample(vecs, cap=5, bits=4)
+        counts = {r["cell"]: r["n"] for r in
+                  out.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        assert counts == {15: 5, 0: 2}
