@@ -117,6 +117,7 @@ _PRIORITY = [
     "source_cap_keepers",
     "cluster_balanced_sample",
     "split_contamination",
+    "source_budget_waterfill",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -129,18 +130,19 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 23 after the
+# code-unchanged + oracle-backed; the priority set grew to 24 after the
 # MinHash double-hashing rotation, dedup_lsh_verified, the extraction
-# rebalance, and the three new round-5 curation queries, so 23 priority
-# + 28 mid = 51 names precede this tail and the 51st, profile_approx,
+# rebalance, and the four new round-5 curation queries, so 24 priority
+# + 27 mid = 51 names precede this tail and the 51st, profile_approx,
 # sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
 # whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
 _DEFERRED = [
-    # moved here in round 5 to fund the window for the 4 new priority
+    # moved here in round 5 to fund the window for the 5 new priority
     # names above: r2-green, code-unchanged, oracle-backed
     "rollup_returnflag",
     "q3_shipping_priority",
     "dedup_distinct",
+    "bpe_pair_counts",
     "sessionize",
     "range_join_events",
     "window_cumsum",

@@ -2755,3 +2755,65 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup.split_contamination(
         docs, {"train": 0.8, "valid": 0.1, "test": 0.1}, min_est=0.5)
+
+
+_WATERFILL_BUDGET = 20_000
+
+_WATERFILL_SQL = f"""
+WITH g AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+              AS BIGINT) AS t
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, t,
+         CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS rn,
+         CAST(sum(t) OVER (ORDER BY t, source
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM g
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(t) AS BIGINT) AS total FROM g),
+cand AS (
+  SELECT r.t,
+         (CAST({_WATERFILL_BUDGET} AS DOUBLE) - CAST(r.p - r.t AS DOUBLE))
+           / CAST(tot.k - r.rn + 1 AS DOUBLE) AS lam,
+         CAST(coalesce(lag(r.t) OVER (ORDER BY r.rn), 0) AS DOUBLE) AS prev_t
+  FROM r, tot WHERE tot.total > {_WATERFILL_BUDGET}
+),
+lev AS (SELECT min(lam) AS level FROM cand
+        WHERE lam < t AND lam >= prev_t)
+SELECT source, n_tokens,
+       round(alloc, 6) AS allocation,
+       round(CASE WHEN n_tokens > 0 THEN alloc / n_tokens ELSE 1.0 END, 6)
+         AS keep_rate,
+       (level IS NOT NULL AND CAST(n_tokens AS DOUBLE) > level) AS capped
+FROM (
+  SELECT g.source, g.t AS n_tokens, lev.level,
+         CASE WHEN lev.level IS NULL OR g.t <= lev.level
+              THEN CAST(g.t AS DOUBLE) ELSE lev.level END AS alloc
+  FROM g, lev
+)
+"""
+
+
+@register(
+    "source_budget_waterfill",
+    _WATERFILL_SQL,
+    "Water-filling token-budget allocation across sources: the level L "
+    "with sum min(tokens_s, L) = budget caps large sources at a COMMON "
+    "level while small sources keep everything — the continuous "
+    "counterpart of mixture_resample's integer epochs.  Closed-form "
+    "window arithmetic on the |sources|-row aggregate; the only "
+    "corpus-sized op is the one partial-agg token count.",
+)
+def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(textfns.token_count(F.col("text"))).alias("n_tokens"))
+    return sampling.budget_waterfill(
+        per_source, _WATERFILL_BUDGET, group_col="source",
+        tokens_col="n_tokens")

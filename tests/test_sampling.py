@@ -397,3 +397,38 @@ class TestCellBalancedSample:
         counts = {r["cell"]: r["n"] for r in
                   out.groupBy("cell").agg(F.count("*").alias("n")).collect()}
         assert counts == {15: 5, 0: 2}
+
+
+class TestBudgetWaterfill:
+    def _per_group(self, spark, rows):
+        return spark.createDataFrame(rows, ["source", "n_tokens"])
+
+    def test_hand_computed_level(self, spark):
+        # tokens 10, 40, 50; budget 70 -> level L solves 10+min(40,L)+min(50,L)=70
+        # -> L=30: alloc (10, 30, 30)
+        out = {r["source"]: r for r in sampling.budget_waterfill(
+            self._per_group(spark, [("a", 10), ("b", 40), ("c", 50)]), 70
+        ).collect()}
+        assert out["a"]["allocation"] == 10.0 and not out["a"]["capped"]
+        assert out["b"]["allocation"] == 30.0 and out["b"]["capped"]
+        assert out["c"]["allocation"] == 30.0 and out["c"]["capped"]
+        assert out["b"]["keep_rate"] == 0.75
+        assert abs(sum(r["allocation"] for r in out.values()) - 70) < 1e-6
+
+    def test_budget_exceeds_total_no_cap(self, spark):
+        out = sampling.budget_waterfill(
+            self._per_group(spark, [("a", 10), ("b", 20)]), 100).collect()
+        assert all(r["keep_rate"] == 1.0 and not r["capped"] for r in out)
+        assert {r["source"]: r["allocation"] for r in out} == \
+               {"a": 10.0, "b": 20.0}
+
+    def test_fractional_level(self, spark):
+        # tokens 10, 20; budget 25 -> level 15: alloc (10, 15)
+        out = {r["source"]: r["allocation"] for r in sampling.budget_waterfill(
+            self._per_group(spark, [("a", 10), ("b", 20)]), 25).collect()}
+        assert out == {"a": 10.0, "b": 15.0}
+
+    def test_budget_validation(self, spark):
+        with pytest.raises(ValueError, match="budget"):
+            sampling.budget_waterfill(
+                self._per_group(spark, [("a", 1)]), 0)
