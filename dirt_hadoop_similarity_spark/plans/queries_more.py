@@ -703,3 +703,74 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "total_value",
         )
     )
+
+
+_OUTLIER_Z = 2.5
+
+_OUTLIER_SQL = f"""
+WITH m AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 1000) AS BIGINT) AS mv
+  FROM events
+),
+stats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mv) AS BIGINT) AS s,
+         CAST(sum(mv * mv) AS BIGINT) AS q
+  FROM m GROUP BY user_id
+)
+SELECT event_id, user_id, z FROM (
+  SELECT m.event_id, m.user_id,
+         round((CAST(st.n * m.mv - st.s AS DOUBLE)
+                * sqrt(CAST(st.n * (st.n - 1) AS DOUBLE)))
+               / (CAST(st.n AS DOUBLE)
+                  * sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE))), 6) AS z
+  FROM m JOIN stats st ON st.user_id = m.user_id
+  WHERE st.n >= 2 AND st.n * st.q - st.s * st.s > 0
+)
+WHERE abs(z) >= {_OUTLIER_Z}
+"""
+
+
+@register(
+    "event_user_outliers",
+    _OUTLIER_SQL,
+    "Per-user z-score outlier detection over event values — the "
+    "monitoring/data-quality primitive (anomalous spend, sensor "
+    "glitches, bot bursts).  Values are milli-quantized to int64 so "
+    "the per-user count/sum/sum-of-squares are EXACT integers (the "
+    "dsir_weights/quantized_cosine trick): the z-score is then a "
+    "fixed sequence of correctly-rounded IEEE ops on identical "
+    "integers, so the DuckDB oracle matches bit-for-bit — no "
+    "engine-ordering variance from naive stddev_samp aggregation.  "
+    "Scale: one partial-agg groupBy (three integer aggregates per "
+    "user) joined back on the user key; z is computed in the "
+    "projection.  int64 bound: |value| <= 1e6 and n <= 1e6 per user "
+    "keeps n*q < 2^63.  n>=2 + positive-variance guard makes the "
+    "score total.",
+)
+def event_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    m = events.select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("mv"),
+    )
+    stats = m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mv").alias("s"),
+        F.sum(F.col("mv") * F.col("mv")).alias("q"),
+    ).filter(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+    )
+    num = (F.col("n") * F.col("mv") - F.col("s")).cast("double") \
+        * F.sqrt((F.col("n") * (F.col("n") - 1)).cast("double"))
+    den = F.col("n").cast("double") \
+        * F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+                 .cast("double"))
+    return (
+        m.join(stats, "user_id")
+        .select("event_id", "user_id", F.round(num / den, 6).alias("z"))
+        .filter(F.abs(F.col("z")) >= _OUTLIER_Z)
+    )

@@ -68,3 +68,32 @@ def test_media_features_dim_and_determinism(spark, sf_dir):
         assert 0 <= byte <= 255
     assert all(comps == set(range(16)) for comps in per_media.values())
     assert a == b  # deterministic featurizer
+
+
+def test_event_user_outliers_hand_computed(spark, tmp_path):
+    # user 1: eleven 10s and one 100 -> the 100 is the outlier.  The
+    # sample z is bounded by (n-1)/sqrt(n), so n must be large enough
+    # for the bound to clear the 2.5 threshold (n=12 -> 3.18).
+    import math
+    from datetime import datetime
+    from dirt_hadoop_similarity_spark.plans import queries_more
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    rows = [(i, datetime(2024, 1, 1, 0, i), 1, "click",
+             10.0 if i < 11 else 100.0, "{}") for i in range(12)]
+    # a second user with constant values: zero variance -> excluded
+    rows += [(10 + i, datetime(2024, 1, 1, 1, i), 2, "click", 5.0, "{}")
+             for i in range(3)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    # the query loads <sf_dir>/events.parquet
+    out = QUERIES["event_user_outliers"].fn(spark, str(tmp_path)).collect()
+    n, s, q = 12, 11 * 10_000 + 100_000, 11 * 10_000**2 + 100_000**2
+    m = 100_000
+    z = ((n * m - s) * math.sqrt(n * (n - 1))) / (n * math.sqrt(n * q - s * s))
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_id"], r["user_id"]) == (11, 1)
+    assert abs(r["z"] - round(z, 6)) < 1e-9
