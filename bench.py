@@ -56,6 +56,13 @@ HEADLINE = [
     "ann_ivfpq_search",
     # round-4 addition: GEMM exact scorer (contrast with ann_cosine_topk)
     "ann_gemm_topk",
+    # round-5 additions: the new curation/analytics cost classes
+    # (cross-split contamination rides the MinHash chain; the others
+    # are cheap scan+window shapes worth tracking for regressions)
+    "split_contamination",
+    "source_cap_keepers",
+    "cluster_balanced_sample",
+    "event_user_outliers",
 ]
 
 

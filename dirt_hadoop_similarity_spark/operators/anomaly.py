@@ -1,0 +1,94 @@
+"""Per-key z-score anomaly scoring over a numeric value column — the
+monitoring/data-quality primitive (anomalous spend, sensor glitches,
+bot bursts) in its train-offline / score-at-ingest decomposition.
+
+Exactness contract (the ``dsir_weights``/``quantized_cosine`` trick):
+values are milli-quantized to int64, so the per-key count / sum /
+sum-of-squares are EXACT integers — identical on any engine, any
+partitioning, any aggregation order.  The z-score is then a FIXED
+sequence of correctly-rounded IEEE ops (two sqrts, one multiply, one
+divide) on those integers:
+
+    z = (n·m − s) · sqrt(n·(n−1)) / (n · sqrt(n·q − s²))
+
+which equals the textbook (x − mean) / stddev_samp but is bit-portable
+where a naive double ``stddev_samp`` aggregation is not (its result
+depends on summation order).  DuckDB replays the same expression in the
+``event_user_outliers`` oracle and matches bit-for-bit.
+
+int64 bound: |value| ≤ 1e6 and n ≤ 1e6 per key keeps n·q < 2^63.
+
+Split shape: :func:`value_stats` is the nightly/offline aggregate (one
+partial-agg groupBy, three int64 aggregates per key — persist it as a
+small parquet table); :func:`score` joins any batch of rows against the
+persisted stats and computes z in the projection — map-side only once
+the stats side broadcasts, which it always does (|keys| rows).  This is
+the same train-offline / score-at-ingest split as ``operators/lm``:
+``streaming/events.run_anomaly_score_stream`` scores micro-batches
+against the fixed stats table, and stream output == :func:`score` on
+the same rows regardless of batch splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MILLI = 1000  # quantization scale: value -> round(value * MILLI) as int64
+
+
+def quantized(value_col: F.Column) -> F.Column:
+    """Milli-quantized int64 rendering of a double value column."""
+    return F.round(value_col * MILLI).cast("long")
+
+
+def value_stats(rows: DataFrame, key_col: str = "user_id",
+                value_col: str = "value") -> DataFrame:
+    """Exact per-key moment statistics: (key, n, s, q) with
+    n = count, s = Σ milli(value), q = Σ milli(value)² — all int64.
+
+    Keys with n < 2 or zero variance (n·q = s²) are dropped here, at
+    train time, so the scorer's arithmetic is total by construction.
+    """
+    mv = quantized(F.col(value_col))
+    return (
+        rows.select(F.col(key_col), mv.alias("_mv"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_mv").alias("s"),
+            F.sum(F.col("_mv") * F.col("_mv")).alias("q"),
+        )
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+        )
+    )
+
+
+def score(rows: DataFrame, stats: DataFrame, z_threshold: float = 2.5,
+          key_col: str = "user_id", value_col: str = "value",
+          id_cols: tuple = ("event_id",)) -> DataFrame:
+    """Score rows against a (persisted) stats table; emit rows whose
+    |z| ≥ ``z_threshold`` as (id_cols…, key, z) with z rounded to 6 dp.
+
+    An inner join: rows whose key has no stats row (unseen, n < 2, or
+    zero variance) are unscorable and drop out — the caller's gate for
+    "new key" handling.  The stats side is |keys| rows → broadcast;
+    scoring is map-side at any scale.
+    """
+    mv = quantized(F.col(value_col))
+    num = (F.col("n") * mv - F.col("s")).cast("double") \
+        * F.sqrt((F.col("n") * (F.col("n") - 1)).cast("double"))
+    den = F.col("n").cast("double") \
+        * F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+                 .cast("double"))
+    return (
+        rows.join(F.broadcast(stats), key_col)
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.col(key_col),
+            F.round(num / den, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )

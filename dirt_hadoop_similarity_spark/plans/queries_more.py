@@ -751,26 +751,8 @@ WHERE abs(z) >= {_OUTLIER_Z}
     "score total.",
 )
 def event_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import anomaly
+
     events = load(spark, sf_dir, "events")
-    m = events.select(
-        "event_id", "user_id",
-        F.round(F.col("value") * 1000).cast("long").alias("mv"),
-    )
-    stats = m.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("mv").alias("s"),
-        F.sum(F.col("mv") * F.col("mv")).alias("q"),
-    ).filter(
-        (F.col("n") >= 2)
-        & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
-    )
-    num = (F.col("n") * F.col("mv") - F.col("s")).cast("double") \
-        * F.sqrt((F.col("n") * (F.col("n") - 1)).cast("double"))
-    den = F.col("n").cast("double") \
-        * F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-                 .cast("double"))
-    return (
-        m.join(stats, "user_id")
-        .select("event_id", "user_id", F.round(num / den, 6).alias("z"))
-        .filter(F.abs(F.col("z")) >= _OUTLIER_Z)
-    )
+    stats = anomaly.value_stats(events)
+    return anomaly.score(events, stats, z_threshold=_OUTLIER_Z)

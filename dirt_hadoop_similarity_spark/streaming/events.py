@@ -129,6 +129,51 @@ def run_stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
     q.awaitTermination()
 
 
+def run_anomaly_score_stream(
+    spark,
+    events_stream: DataFrame,
+    stats_path: str,
+    out_path: str,
+    checkpoint: str,
+    z_threshold: float = 2.5,
+    query_name: str = "anomaly_score",
+) -> None:
+    """Per-user z-score anomaly detection AT INGEST: every micro-batch
+    is scored against the PERSISTED per-user moment statistics
+    (``operators/anomaly.value_stats`` written as parquet at
+    ``stats_path``) and flagged rows land in ``out_path`` — the same
+    train-offline / score-at-ingest split as ``run_lm_score_stream``.
+
+    ``foreachBatch`` because scoring joins against a side table, which
+    is a bounded batch plan per micro-batch (the stats side broadcasts:
+    |users| rows).  The stats stay FIXED for the run and a row's score
+    depends only on (stats, row), so every micro-batch's verdict is
+    independent: stream output == ``anomaly.score`` on the same events
+    regardless of batch splits (asserted in test_streaming), and
+    at-least-once re-delivery is harmless for the same reason as the
+    dedup and LM streams.  Stats refresh is a nightly batch rewrite of
+    ``stats_path`` — model read-modify-write stays OUT of the hot
+    ingest path.
+    """
+    from dirt_hadoop_similarity_spark.operators import anomaly
+
+    stats = spark.read.parquet(stats_path).cache()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        anomaly.score(
+            batch_df, stats, z_threshold=z_threshold
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        events_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def purchases_before_errors(events: DataFrame,
                             window_seconds: int = 1800) -> DataFrame:
     """Stream-stream interval join: for each error event, the purchases

@@ -303,3 +303,46 @@ def test_lm_score_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == incoming.count()
     keeps = [v[2] for v in got.values()]
     assert any(keeps) and not all(keeps)  # threshold actually splits
+
+
+def test_anomaly_score_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Score-at-ingest against persisted per-user stats: the
+    foreachBatch stream must produce exactly the batch scorer's flagged
+    rows, regardless of micro-batch splits (2 files -> 2 batches)."""
+    from dirt_hadoop_similarity_spark.operators import anomaly
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    history = spark.createDataFrame(
+        [(i, i % 7, 10.0 + (i % 5) + (90.0 if i % 19 == 0 else 0.0))
+         for i in range(200)],
+        ["event_id", "user_id", "value"],
+    )
+    stats_path = str(tmp_path / "stats")
+    anomaly.value_stats(history).write.parquet(stats_path)
+
+    landing = tmp_path / "landing"
+    history.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(landing / "f0"))
+    history.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(landing / "f1"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(landing))
+    )
+
+    out_path = str(tmp_path / "flagged")
+    sev.run_anomaly_score_stream(
+        spark, stream, stats_path, out_path, str(tmp_path / "ckpt"),
+        z_threshold=2.0, query_name="anomaly_score_test",
+    )
+    got = {(r["event_id"], r["user_id"], r["z"])
+           for r in spark.read.parquet(out_path).collect()}
+    expect = {(r["event_id"], r["user_id"], r["z"])
+              for r in anomaly.score(
+                  history, spark.read.parquet(stats_path),
+                  z_threshold=2.0).collect()}
+    assert got == expect
+    assert got  # spikes actually flagged
