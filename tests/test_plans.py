@@ -178,3 +178,35 @@ def test_duplicate_spans_shuffles_digests_not_text(spark, sf_dir):
         )
         assert "text#" not in input_line, block
         assert not re.search(r"[\[, ]t#\d", input_line), block
+
+
+def test_cap_queries_use_rank_limit_pushdown(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
+
+    # the per-group caps must compile to WindowGroupLimit (Spark's
+    # rank-limit pushdown: each task keeps only cap rows per group
+    # BEFORE the shuffle) — a plain Window + Filter would sort whole
+    # groups; and the cap must never force a single-partition window
+    for name in ("source_cap_keepers", "cluster_balanced_sample"):
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        assert "WindowGroupLimit" in plan, (name, plan)
+
+
+def test_anomaly_stats_side_broadcasts(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
+
+    df = QUERIES["event_user_outliers"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # |users|-row stats side must broadcast: scoring stays map-side
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_contamination_no_cartesian(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
+
+    df = QUERIES["split_contamination"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # candidates must meet on the band equi-join; the split relation
+    # joins equi on the pair ids
+    assert "CartesianProduct" not in plan, plan
