@@ -897,6 +897,64 @@ def ivfpq_search(
     )
 
 
+def ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    rerank: int = 20,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving — the pattern production vector search
+    actually ships (FAISS IVFADC+refine): stage 1 shortlists ``rerank``
+    candidates per query by approximate ADC distance over the compact
+    code index; stage 2 re-scores ONLY the shortlist with the exact
+    quantized cosine and returns the top ``k``.  Recovers most of the
+    recall the lossy codes give up, at the cost of |queries| × rerank
+    exact scorings instead of |corpus|.
+
+    Scale: stage 1 touches codes only (25-50× smaller than vectors,
+    cell-prunable); stage 2's raw-vector reads are a broadcast
+    candidate-list semi-fetch against the corpus — the corpus streams
+    once, nothing corpus-sized shuffles, and the exact scoring set is
+    query-bounded.  The shortlist is deterministic (ADC rank totally
+    ordered by (adc_d2, neighbor_id)), so the whole composition is
+    oracle-checkable.
+
+    Output: (query_id, neighbor_id, cos, rank) — rank by exact cosine
+    desc within the shortlist, ties by neighbor id.
+    """
+    cand = ivfpq_topk(
+        embeddings, query_ids, k=rerank, n_centroids=n_centroids,
+        nprobe=nprobe, m=m, dsub=dsub, ksub=ksub,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            quantized_cosine(F.col("_qvec"), F.col("_cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hard_negatives(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -119,6 +119,7 @@ _PRIORITY = [
     "split_contamination",
     "source_budget_waterfill",
     "event_user_outliers",
+    "ann_ivfpq_rerank",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -131,10 +132,10 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 25 after the
+# code-unchanged + oracle-backed; the priority set grew to 26 after the
 # MinHash double-hashing rotation, dedup_lsh_verified, the extraction
-# rebalance, and the five new round-5 curation/analytics queries, so 25
-# priority + 26 mid = 51 names precede this tail and the 51st, profile_approx,
+# rebalance, and the six new round-5 curation/analytics/ANN queries, so
+# 26 priority + 25 mid = 51 names precede this tail and the 51st, profile_approx,
 # sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
 # whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
 _DEFERRED = [
@@ -145,6 +146,7 @@ _DEFERRED = [
     "dedup_distinct",
     "bpe_pair_counts",
     "decontaminate",
+    "training_shards",
     "sessionize",
     "range_join_events",
     "window_cumsum",

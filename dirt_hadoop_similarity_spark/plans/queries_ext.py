@@ -2817,3 +2817,73 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.budget_waterfill(
         per_source, _WATERFILL_BUDGET, group_col="source",
         tokens_col="n_tokens")
+
+
+_RERANK_SHORTLIST = 20
+
+# stage-1 shortlist: the verified IVFADC oracle, widened to the rerank
+# depth (the SQL's only rank filter is the final top-k cut)
+_RERANK_CAND_SQL = _ANN_IVFPQ_SQL.replace(
+    "WHERE rank <= 5", f"WHERE rank <= {_RERANK_SHORTLIST}")
+
+_ANN_RERANK_SQL = f"""
+WITH cand AS ({_RERANK_CAND_SQL}),
+cv AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2
+          FROM cv GROUP BY vec_id),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM cand cd
+  JOIN cv a ON a.vec_id = cd.query_id
+  JOIN cv b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CASE WHEN na.n2 > 0 AND nb.n2 > 0
+               THEN CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               ELSE 0.0 END, 6) AS cos
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_ivfpq_rerank",
+    _ANN_RERANK_SQL,
+    "Two-stage ANN serving (FAISS IVFADC+refine): the IVF-PQ code index "
+    "shortlists 20 candidates per query by approximate ADC distance, "
+    "then the exact quantized cosine re-scores ONLY the shortlist for "
+    "the final top-5 — recovering the recall the lossy codes give up "
+    "while keeping raw-vector reads query-bounded (a broadcast "
+    "candidate semi-fetch; the corpus streams once, codes stay the "
+    "only corpus-sized relation at query time).",
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_rerank_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        k=5,
+        rerank=_RERANK_SHORTLIST,
+        n_centroids=_IVF_N_CENT,
+        nprobe=_IVF_NPROBE,
+        m=_IVFPQ_M,
+        dsub=_IVFPQ_DSUB,
+        ksub=_IVFPQ_KSUB,
+    )

@@ -567,3 +567,44 @@ class TestIvfPqRecall:
         assert trained > raw_pq  # trained residual PQ beats raw at = bits
         assert trained >= seeded  # Lloyd's refinement never hurts here
         assert seeded >= 0.2
+
+
+def test_ivfpq_rerank_shortlist_subset_and_exact_order(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    shortlist = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(e, qids, k=20).collect()
+    }
+    out = similarity.ivfpq_rerank_topk(e, qids, k=5, rerank=20).collect()
+    per_q = {}
+    for r in out:
+        # stage 2 can only reorder the stage-1 shortlist, never add
+        assert (r["query_id"], r["neighbor_id"]) in shortlist
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        ranks = [rk for rk, _ in rows]
+        assert ranks == list(range(1, len(rows) + 1))
+        coss = [c for _, c in rows]
+        assert coss == sorted(coss, reverse=True)  # exact-cos ordering
+
+
+def test_ivfpq_rerank_recall_not_worse_than_adc(spark, sf_dir):
+    # re-scoring the shortlist with the exact cosine must not LOSE
+    # recall@5 vs trusting the lossy ADC ranks for the same shortlist
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_gemm(e, qids, k=5).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(e, qids, k=5).collect()
+    }
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_rerank_topk(e, qids, k=5, rerank=20).collect()
+    }
+    assert len(rer & exact) >= len(adc & exact)
