@@ -1585,6 +1585,62 @@ v{i} AS MATERIALIZED (
     return ",\n".join(parts) + f"\nSELECT * FROM (\n  {finals}\n) ORDER BY rank"
 
 
+def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    """Oracle for the corpus ENCODER: reuse the training unroll's merge
+    CTEs (m1..mN), then apply the same separator-doubled literal
+    replaces to a per-distinct-WORD relation (training rewrites the
+    frequency vocab, so word identity is lost there), and finally
+    explode each document's words in order, join the encoding, and
+    aggregate per-doc token counts + an order-sensitive stream digest.
+    """
+    S = "chr(31)"
+    train = _bpe_oracle_sql(n_merges)
+    ctes = train[: train.rindex("\nSELECT * FROM")]
+    parts = [ctes]
+    parts.append(f"""e0 AS MATERIALIZED (
+  SELECT word, {S} || regexp_replace(word, '(.)', '\\1' || {S}, 'g') AS sym
+  FROM (SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),
+                                           w -> w <> '')) AS word
+        FROM documents)
+)""")
+    for i in range(1, n_merges + 1):
+        parts.append(f"""e{i} AS MATERIALIZED (
+  SELECT word, CASE WHEN NOT EXISTS (SELECT 1 FROM m{i}) THEN sym ELSE
+    replace(
+      replace(
+        replace(sym, {S}, {S} || {S}),
+        {S} || (SELECT ml FROM m{i}) || {S} || {S} || (SELECT mr FROM m{i}) || {S},
+        {S} || (SELECT ml FROM m{i}) || (SELECT mr FROM m{i}) || {S}
+      ),
+      {S} || {S}, {S}
+    ) END AS sym
+  FROM e{i - 1}
+)""")
+    parts.append(f"""enc AS MATERIALIZED (
+  SELECT word,
+         array_to_string(list_filter(string_split(sym, {S}), s -> s <> ''), ' ')
+           AS toks,
+         len(list_filter(string_split(sym, {S}), s -> s <> '')) AS n_toks
+  FROM e{n_merges}
+),
+docw AS (
+  SELECT doc_id, w AS word, i
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS w,
+               generate_subscripts(list_filter(string_split(lower(text), ' '),
+                                               w -> w <> ''), 1) AS i
+        FROM documents)
+)""")
+    return ",\n".join(parts) + """
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_toks) AS BIGINT) AS n_bpe_tokens,
+       md5(string_agg(e.toks, ' ' ORDER BY d.i)) AS stream_md5
+FROM docw d JOIN enc e ON e.word = d.word
+GROUP BY d.doc_id"""
+
+
 @register(
     "bpe_train_merges",
     _bpe_oracle_sql(8),
@@ -2886,4 +2942,37 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_IVFPQ_M,
         dsub=_IVFPQ_DSUB,
         ksub=_IVFPQ_KSUB,
+    )
+
+
+@register(
+    "bpe_encode_corpus",
+    _bpe_encode_oracle_sql(8),
+    "Tokenizer APPLICATION at scale: encode every document with the "
+    "8 trained BPE merges (bpe.apply_merges — a plan-time-unrolled "
+    "chain of native replaces inside one transform, no UDF, no "
+    "shuffle) and account per-doc word/BPE-token counts plus an "
+    "order-sensitive md5 of the token stream.  Oracle: the training "
+    "unroll's merge CTEs reused to encode a per-distinct-word "
+    "relation, joined back through each document's word sequence.",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.functions import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe.train(docs, n_merges=8)
+    toks = bpe.apply_merges(F.col("text"), merges)
+    return (
+        docs.select(
+            "doc_id",
+            textfns.tokens(F.lower(F.col("text"))).alias("w"),
+            toks.alias("t"),
+        )
+        .filter(F.size("w") >= 1)
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_words"),
+            F.size("t").cast("long").alias("n_bpe_tokens"),
+            F.md5(F.concat_ws(" ", F.col("t"))).alias("stream_md5"),
+        )
     )

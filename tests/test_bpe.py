@@ -222,3 +222,49 @@ def test_merge_table_shape(spark):
     rows = tbl.orderBy("rank").collect()
     assert [r.rank for r in rows] == [1, 2, 3]
     assert all(r.pair_freq >= 2 for r in rows)
+
+
+def test_encode_corpus_query_consistency(spark, sf_dir):
+    """The registered encoder query's accounting must agree with a
+    direct pure-Python re-encoding of a sample of documents."""
+    from dirt_hadoop_similarity_spark.functions import bpe
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+    from dirt_hadoop_similarity_spark.plans import queries_ext  # noqa: F401
+
+    out = {r["doc_id"]: r for r in
+           QUERIES["bpe_encode_corpus"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe.train(docs, n_merges=8)
+
+    def encode_py(text):
+        toks = []
+        for w in text.lower().split(" "):
+            if not w:
+                continue
+            syms = list(w)
+            for left, right, _ in merges:
+                i, merged = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            toks.extend(syms)
+        return toks
+
+    sample = docs.limit(20).collect()
+    assert sample
+    for r in sample:
+        toks = encode_py(r["text"])
+        if not toks:
+            assert r["doc_id"] not in out
+            continue
+        row = out[r["doc_id"]]
+        assert row["n_bpe_tokens"] == len(toks)
+        import hashlib
+        assert row["stream_md5"] == hashlib.md5(
+            " ".join(toks).encode()).hexdigest()
