@@ -172,3 +172,131 @@ def bigram_lm_scores(docs: DataFrame, is_target: Column,
         alpha=alpha, mean_lp_min_micro=mean_lp_min_micro,
         text_col=text_col, id_col=id_col,
     )
+
+
+def _floordiv(a: Column, b: Column) -> Column:
+    """Exact floor division of int64 columns (b > 0), identical across
+    engines: subtract the positive remainder first, then divide — the
+    difference is exactly divisible, and (since |a| < 2^53 here) the
+    double division of exactly-divisible integers is exact.  Built this
+    way because Spark's ``div`` truncates toward zero while floor is
+    needed for negative log-prob sums, and both engines can spell this
+    construction identically."""
+    pm = ((a % b) + b) % b
+    return ((a - pm).cast("double") / b.cast("double")).cast("long")
+
+
+def perplexity_tiers(scored: DataFrame, coarse: int = 100_000,
+                     id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail corpus tiering (Wenzek et al. 2020
+    §4.3): split the scored corpus into three equal-mass tiers by mean
+    log-prob — "head" is the most target-like third, "tail" the least;
+    CCNet trains on head+middle and ships the tiers as quality labels.
+
+    Input: :func:`score_documents` output (id, n_transitions,
+    lp_micro_sum, …).  Unscorable docs (no transitions) are excluded.
+    Output: (id, mean_lp_micro, tier) with tier ∈ head/middle/tail.
+
+    The tier cuts are EXACT 1/3 and 2/3 order statistics of the integer
+    mean log-prob, found WITHOUT a global sort via a two-level value
+    spine (the same trick as sequence_packing's offset cumsum):
+
+      1. docs count into coarse value buckets (floor(mean / coarse));
+         a cumsum over the BUCKET spine — bounded by value-range /
+         coarse, a few hundred rows regardless of corpus size —
+         locates the bucket containing each cut and the doc-mass
+         before it;
+      2. only inside those (≤2) buckets, per-VALUE counts + a cumsum
+         ordered by value find the smallest value whose cumulative
+         mass reaches the cut.
+
+    Nothing corpus-sized is ever globally sorted or single-partition
+    windowed; the two spines are bounded relations.  All arithmetic is
+    integer (floor-div means, ceil-div cuts), so the tier assignment is
+    engine-exact and the DuckDB oracle checks every label.
+    """
+    from pyspark.sql import Window
+
+    means = (
+        scored.filter(F.col("n_transitions") > 0)
+        .select(
+            F.col(id_col),
+            _floordiv(
+                F.col("lp_micro_sum"), F.col("n_transitions")
+            ).alias("mean_lp_micro"),
+        )
+    )
+    b = _floordiv(F.col("mean_lp_micro"), F.lit(int(coarse)))
+    bucketed = means.select(id_col, "mean_lp_micro", b.alias("_b"))
+
+    # bucket spine: counts + cumulative mass (bounded window)
+    spine = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    wsp = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    spine = spine.withColumn("_cc", F.sum("_cb").over(wsp))
+
+    # the two cuts: ceil(N/3) and ceil(2N/3), as a 2-row relation
+    nn = means.agg(F.count(F.lit(1)).alias("_n"))
+    cuts = nn.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("cut_id"),
+                    ((F.col("_n") + 2) - ((F.col("_n") + 2) % 3))
+                    .cast("long").alias("_c3"),
+                ),
+                F.struct(
+                    F.lit("hi").alias("cut_id"),
+                    ((F.col("_n") * 2 + 2) - ((F.col("_n") * 2 + 2) % 3))
+                    .cast("long").alias("_c3"),
+                ),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.cut_id"),
+        (F.col("s._c3") / 3).cast("long").alias("_cut"),
+    )
+
+    # level 1: the bucket holding each cut, and the mass before it
+    sel = (
+        spine.crossJoin(F.broadcast(cuts))
+        .filter(F.col("_cc") >= F.col("_cut"))
+        .groupBy("cut_id", "_cut")
+        .agg(F.min_by(F.struct("_b", "_cc", "_cb"), "_b").alias("s"))
+        .select(
+            "cut_id", "_cut",
+            F.col("s._b").alias("_b"),
+            (F.col("s._cc") - F.col("s._cb")).alias("_before"),
+        )
+    )
+
+    # level 2: exact threshold value inside the selected bucket(s)
+    inb = bucketed.join(F.broadcast(sel), "_b")
+    vc = inb.groupBy("cut_id", "_cut", "_before", "mean_lp_micro").agg(
+        F.count(F.lit(1)).alias("_cv")
+    )
+    wv = Window.partitionBy("cut_id").orderBy("mean_lp_micro").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        vc.withColumn("_cum", F.sum("_cv").over(wv) + F.col("_before"))
+        .filter(F.col("_cum") >= F.col("_cut"))
+        .groupBy("cut_id")
+        .agg(F.min("mean_lp_micro").alias("_thr"))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("cut_id") == "lo", F.col("_thr")))
+            .alias("_t_lo"),
+            F.max(F.when(F.col("cut_id") == "hi", F.col("_thr")))
+            .alias("_t_hi"),
+        )
+    )
+    return (
+        means.crossJoin(F.broadcast(thr))
+        .select(
+            id_col, "mean_lp_micro",
+            F.when(F.col("mean_lp_micro") <= F.col("_t_lo"), F.lit("tail"))
+            .when(F.col("mean_lp_micro") <= F.col("_t_hi"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("tier"),
+        )
+    )

@@ -121,6 +121,7 @@ _PRIORITY = [
     "event_user_outliers",
     "ann_ivfpq_rerank",
     "bpe_encode_corpus",
+    "lm_perplexity_tiers",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -133,10 +134,10 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 27 after the
+# code-unchanged + oracle-backed; the priority set grew to 28 after the
 # MinHash double-hashing rotation, dedup_lsh_verified, the extraction
-# rebalance, and the seven new round-5 curation/analytics/ANN/tokenizer
-# queries, so 27 priority + 24 mid = 51 names precede this tail and
+# rebalance, and the eight new round-5 curation/analytics/ANN/tokenizer
+# queries, so 28 priority + 23 mid = 51 names precede this tail and
 # the 51st, profile_approx,
 # sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
 # whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
@@ -150,6 +151,7 @@ _DEFERRED = [
     "decontaminate",
     "training_shards",
     "pii_redact",
+    "stratified_sample",
     "sessionize",
     "range_join_events",
     "window_cumsum",

@@ -2976,3 +2976,96 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.col("t"))).alias("stream_md5"),
         )
     )
+
+
+_TIER_COARSE = 100_000
+
+# CTE prefix of the LM oracle: everything up through the `scored` stage
+_LM_CTE_PREFIX = _LM_SQL[:_LM_SQL.rindex("\nSELECT d.doc_id")]
+
+_TIERS_SQL = f"""{_LM_CTE_PREFIX},
+means AS (
+  SELECT doc_id,
+         CAST((lp_micro_sum
+               - (((lp_micro_sum % n_transitions) + n_transitions)
+                  % n_transitions)) / n_transitions AS BIGINT)
+           AS mean_lp_micro
+  FROM scored WHERE n_transitions > 0
+),
+bk AS (
+  SELECT doc_id, mean_lp_micro,
+         CAST((mean_lp_micro
+               - (((mean_lp_micro % {_TIER_COARSE}) + {_TIER_COARSE})
+                  % {_TIER_COARSE})) / {_TIER_COARSE} AS BIGINT) AS b
+  FROM means
+),
+spine AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bk GROUP BY b
+),
+spine2 AS (
+  SELECT b, cb,
+         CAST(sum(cb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cc
+  FROM spine
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM means),
+cuts AS (
+  SELECT 'lo' AS cut_id,
+         CAST(((n + 2) - ((n + 2) % 3)) / 3 AS BIGINT) AS cut FROM nn
+  UNION ALL
+  SELECT 'hi',
+         CAST(((2 * n + 2) - ((2 * n + 2) % 3)) / 3 AS BIGINT) FROM nn
+),
+sel AS (
+  SELECT cut_id, cut, b, cc - cb AS mass_before FROM (
+    SELECT c.cut_id, c.cut, s.b, s.cc, s.cb,
+           row_number() OVER (PARTITION BY c.cut_id ORDER BY s.b) AS rn
+    FROM spine2 s JOIN cuts c ON s.cc >= c.cut
+  ) WHERE rn = 1
+),
+vcounts AS (
+  SELECT sel.cut_id, sel.cut, sel.mass_before, bk.mean_lp_micro,
+         CAST(count(*) AS BIGINT) AS cv
+  FROM bk JOIN sel ON bk.b = sel.b
+  GROUP BY sel.cut_id, sel.cut, sel.mass_before, bk.mean_lp_micro
+),
+thr0 AS (
+  SELECT cut_id, min(mean_lp_micro) AS thr FROM (
+    SELECT cut_id, cut, mean_lp_micro,
+           mass_before + sum(cv) OVER (PARTITION BY cut_id
+                                       ORDER BY mean_lp_micro
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+    FROM vcounts
+  ) WHERE cum >= cut GROUP BY cut_id
+),
+thr AS (
+  SELECT max(CASE WHEN cut_id = 'lo' THEN thr END) AS t_lo,
+         max(CASE WHEN cut_id = 'hi' THEN thr END) AS t_hi
+  FROM thr0
+)
+SELECT m.doc_id, m.mean_lp_micro,
+       CASE WHEN m.mean_lp_micro <= t.t_lo THEN 'tail'
+            WHEN m.mean_lp_micro <= t.t_hi THEN 'middle'
+            ELSE 'head' END AS tier
+FROM means m, thr t
+"""
+
+
+@register(
+    "lm_perplexity_tiers",
+    _TIERS_SQL,
+    "CCNet head/middle/tail corpus tiering: three equal-mass tiers by "
+    "mean log-prob under the target-trained LM.  The tier cuts are "
+    "EXACT 1/3 and 2/3 order statistics found WITHOUT a global sort — "
+    "a coarse value-bucket spine cumsum locates each cut's bucket, "
+    "then a per-value cumsum inside only those buckets pins the exact "
+    "threshold; both spines are bounded relations at any corpus size.  "
+    "All arithmetic integer (floor-div means, ceil-div cuts), so "
+    "every tier label is engine-exact.",
+)
+def lm_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import lm
+
+    docs = load(spark, sf_dir, "documents")
+    scored = lm.bigram_lm_scores(docs, F.col("lang") == "en")
+    return lm.perplexity_tiers(scored, coarse=_TIER_COARSE)

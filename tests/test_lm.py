@@ -66,3 +66,53 @@ def test_alpha_validation(spark):
     with pytest.raises(ValueError, match="alpha"):
         bigram_lm_scores(_docs(spark, [(0, "a b", True)]),
                          F.col("tgt"), alpha=1.5)
+
+
+class TestPerplexityTiers:
+    def _scored(self, spark, sums):
+        # (doc_id, n_transitions, lp_micro_sum): one transition each so
+        # mean == sum, making thresholds easy to hand-check
+        return spark.createDataFrame(
+            [(i, 1, s) for i, s in enumerate(sums)],
+            ["doc_id", "n_transitions", "lp_micro_sum"],
+        )
+
+    def test_equal_mass_and_order(self, spark):
+        from dirt_hadoop_similarity_spark.operators import lm
+
+        sums = [-(i + 1) * 37_000 for i in range(90)]  # distinct values
+        out = {r["doc_id"]: r["tier"] for r in
+               lm.perplexity_tiers(self._scored(spark, sums)).collect()}
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for t in out.values():
+            counts[t] += 1
+        assert counts == {"head": 30, "middle": 30, "tail": 30}
+        # lower (more negative) mean -> worse tier: doc 0 best, doc 89 worst
+        assert out[0] == "head" and out[89] == "tail"
+        order = {"head": 2, "middle": 1, "tail": 0}
+        vals = sorted((sums[i], order[t]) for i, t in out.items())
+        ranks = [r for _, r in vals]
+        assert ranks == sorted(ranks)  # tiers are value-monotone
+
+    def test_ties_go_to_lower_tier_deterministically(self, spark):
+        from dirt_hadoop_similarity_spark.operators import lm
+
+        # 6 docs all with the same score: the single value reaches both
+        # cuts, so everything lands in 'tail' (value <= t_lo) — the
+        # deterministic convention, engine-identical
+        out = {r["doc_id"]: r["tier"] for r in lm.perplexity_tiers(
+            self._scored(spark, [-5_000_000] * 6)).collect()}
+        assert set(out.values()) == {"tail"}
+
+    def test_unscorable_docs_excluded_and_repartition_stable(self, spark):
+        from dirt_hadoop_similarity_spark.operators import lm
+
+        rows = [(i, 1 if i % 5 else 0, -(i + 1) * 10_000) for i in range(40)]
+        df = spark.createDataFrame(
+            rows, ["doc_id", "n_transitions", "lp_micro_sum"])
+        a = {(r["doc_id"], r["tier"])
+             for r in lm.perplexity_tiers(df).collect()}
+        b = {(r["doc_id"], r["tier"])
+             for r in lm.perplexity_tiers(df.repartition(7)).collect()}
+        assert a == b
+        assert all(i % 5 != 0 for i, _ in a)  # n_transitions=0 excluded
