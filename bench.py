@@ -63,6 +63,10 @@ HEADLINE = [
     "source_cap_keepers",
     "cluster_balanced_sample",
     "event_user_outliers",
+    "ann_ivfpq_rerank",
+    "bpe_encode_corpus",
+    "lm_perplexity_tiers",
+    "zorder_events",
 ]
 
 

@@ -123,3 +123,73 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
             F.round(F.col("n") / F.col("_avg_n"), 6).alias("x_avg"),
         )
     )
+
+
+def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative int columns — bit i of ``a`` lands at position 2i, of
+    ``b`` at 2i+1.  Plan-time-unrolled shift/mask expressions, no UDF,
+    and pure integer arithmetic, so any engine computes the identical
+    key (the DuckDB oracle replays it bit-for-bit)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z.cast("long")
+
+
+def zorder_frame(df: DataFrame, col_a: str, col_b: str,
+                 bits: int = 16) -> DataFrame:
+    """Z-order data-clustering key over two integer dimensions — the
+    lakehouse layout technique (Delta/Iceberg OPTIMIZE ZORDER): sort or
+    range-partition files by the interleaved key and a scan filtered on
+    EITHER dimension prunes most files, because the Z-curve keeps both
+    dimensions' locality in one linear order (a lexicographic sort
+    would prune on the leading column only).
+
+    Each dimension is first normalized to [0, 2^bits) by exact integer
+    scaling against its (min, max): ((x − min) · (2^bits − 1)) div
+    (max − min) — truncating integer division of non-negative operands,
+    identical across engines (no float anywhere).  The min/max scalars
+    are a 1-row aggregate broadcast back (the global-scalar pattern),
+    so the whole computation is one stats pass + a map-only projection.
+
+    Output: input columns + (zx, zy, zval).  To materialize the
+    layout: ``df.repartitionByRange(n, "zval")`` +
+    ``sortWithinPartitions("zval")`` + write — range partitioning by
+    zval IS the file-level clustering; no global sort materializes.
+
+    Bound: (x − min) · (2^bits − 1) must stay < 2^53 (default 16 bits →
+    dimension ranges up to ~1.37e11) — the remainder is subtracted
+    first so the final division is of exactly-divisible representable
+    integers, which IEEE divides exactly; past 2^53 the numerator
+    itself would lose bits.  Widen by lowering ``bits`` or pre-scaling
+    the dimension.
+    """
+    if not 1 <= bits <= 26:
+        raise ValueError(f"bits must be in [1, 26], got {bits}")
+    a, b = F.col(col_a).cast("long"), F.col(col_b).cast("long")
+    stats = df.agg(
+        F.min(a).alias("_mina"), F.max(a).alias("_maxa"),
+        F.min(b).alias("_minb"), F.max(b).alias("_maxb"),
+    )
+    top = F.lit((1 << bits) - 1)
+
+    def scaled(x: Column, mn: Column, mx: Column) -> Column:
+        rng = mx - mn
+        num = (x - mn) * top
+        exact = ((num - num % rng).cast("double") / rng.cast("double"))
+        return F.when(rng > 0, exact).otherwise(F.lit(0)).cast("long")
+
+    out = df.crossJoin(F.broadcast(stats))
+    zx = scaled(a, F.col("_mina"), F.col("_maxa"))
+    zy = scaled(b, F.col("_minb"), F.col("_maxb"))
+    return (
+        out.withColumn("zx", zx)
+        .withColumn("zy", zy)
+        .withColumn("zval", zvalue(F.col("zx"), F.col("zy"), bits))
+        .drop("_mina", "_maxa", "_minb", "_maxb")
+    )

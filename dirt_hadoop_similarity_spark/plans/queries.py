@@ -122,6 +122,7 @@ _PRIORITY = [
     "ann_ivfpq_rerank",
     "bpe_encode_corpus",
     "lm_perplexity_tiers",
+    "zorder_events",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -134,11 +135,11 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 28 after the
+# code-unchanged + oracle-backed; the priority set grew to 29 after the
 # MinHash double-hashing rotation, dedup_lsh_verified, the extraction
-# rebalance, and the eight new round-5 curation/analytics/ANN/tokenizer
-# queries, so 28 priority + 23 mid = 51 names precede this tail and
-# the 51st, profile_approx,
+# rebalance, and the nine new round-5 curation/analytics/ANN/tokenizer/
+# layout queries, so 29 priority + 22 mid = 51 names precede this tail
+# and the 51st, profile_approx,
 # sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
 # whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
 _DEFERRED = [
@@ -152,6 +153,7 @@ _DEFERRED = [
     "training_shards",
     "pii_redact",
     "stratified_sample",
+    "text_boilerplate",
     "sessionize",
     "range_join_events",
     "window_cumsum",

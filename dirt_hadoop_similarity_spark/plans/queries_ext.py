@@ -3069,3 +3069,66 @@ def lm_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scored = lm.bigram_lm_scores(docs, F.col("lang") == "en")
     return lm.perplexity_tiers(scored, coarse=_TIER_COARSE)
+
+
+_Z_BITS = 16
+
+_Z_INTERLEAVE = " | ".join(
+    f"(((zx >> {i}) & 1) << {2 * i}) | (((zy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+def _z_scale_sql(col: str, mn: str, mx: str) -> str:
+    top = (1 << _Z_BITS) - 1
+    num = f"(({col} - {mn}) * {top})"
+    rng = f"({mx} - {mn})"
+    return (f"CASE WHEN {rng} > 0 THEN "
+            f"CAST(({num} - {num} % {rng}) / {rng} AS BIGINT) "
+            f"ELSE 0 END")
+
+
+_ZORDER_SQL = f"""
+WITH m AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS ua,
+         CAST(round(value * 1000) AS BIGINT) AS vb
+  FROM events
+),
+st AS (
+  SELECT CAST(min(ua) AS BIGINT) AS mina, CAST(max(ua) AS BIGINT) AS maxa,
+         CAST(min(vb) AS BIGINT) AS minb, CAST(max(vb) AS BIGINT) AS maxb
+  FROM m
+),
+sc AS (
+  SELECT event_id,
+         {_z_scale_sql("ua", "mina", "maxa")} AS zx,
+         {_z_scale_sql("vb", "minb", "maxb")} AS zy
+  FROM m, st
+)
+SELECT event_id, zx, zy,
+       CAST({_Z_INTERLEAVE} AS BIGINT) AS zval
+FROM sc
+"""
+
+
+@register(
+    "zorder_events",
+    _ZORDER_SQL,
+    "Z-order (Morton) data-clustering key over (user, value) — the "
+    "lakehouse layout technique (Delta/Iceberg OPTIMIZE ZORDER): "
+    "range-partition files by the interleaved key and scans filtered "
+    "on EITHER dimension prune most files.  One stats pass (1-row "
+    "min/max broadcast) + a map-only all-integer projection; the "
+    "oracle replays the bit interleave exactly.",
+)
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import scale
+
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("ua"),
+        F.round(F.col("value") * 1000).cast("long").alias("vb"),
+    )
+    return scale.zorder_frame(base, "ua", "vb", bits=_Z_BITS).select(
+        "event_id", "zx", "zy", "zval")

@@ -119,3 +119,54 @@ def test_key_skew_profile_values_and_bounded_window(spark):
     plan = prof._jdf.queryExecution().optimizedPlan().toString()
     w_pos = plan.index("Window")
     assert "GlobalLimit" in plan[w_pos:], plan
+
+
+class TestZOrder:
+    def test_zvalue_hand_interleave(self, spark):
+        from dirt_hadoop_similarity_spark.operators import scale
+
+        df = spark.createDataFrame([(5, 3)], ["a", "b"])
+        got = df.select(
+            scale.zvalue(F.col("a"), F.col("b"), bits=3).alias("z")
+        ).first()["z"]
+        # a=101, b=011 -> z bits (b2 a2 b1 a1 b0 a0) = 011011 = 27
+        assert got == 27
+
+    def test_quadrant_blocks_are_contiguous(self, spark):
+        # the defining Z-curve property: on a 4x4 grid (2 bits), each
+        # 2x2 quadrant occupies one contiguous zval block of 4
+        from dirt_hadoop_similarity_spark.operators import scale
+
+        pts = [(x, y) for x in range(4) for y in range(4)]
+        df = spark.createDataFrame(pts, ["x", "y"])
+        rows = df.select(
+            "x", "y", scale.zvalue(F.col("x"), F.col("y"), bits=2).alias("z")
+        ).collect()
+        assert sorted(r["z"] for r in rows) == list(range(16))
+        for r in rows:
+            quadrant = (r["x"] // 2) + 2 * (r["y"] // 2)
+            assert r["z"] // 4 == quadrant
+
+    def test_zorder_frame_scaling_and_degenerate_range(self, spark):
+        from dirt_hadoop_similarity_spark.operators import scale
+
+        df = spark.createDataFrame(
+            [(1, 0, 7), (2, 100, 7), (3, 50, 7)], ["id", "v", "w"])
+        out = {r["id"]: r for r in
+               scale.zorder_frame(df, "v", "w", bits=4).collect()}
+        assert out[1]["zx"] == 0 and out[2]["zx"] == 15
+        assert out[3]["zx"] == 7  # 50*15/100 = 7.5 -> floor 7
+        assert all(r["zy"] == 0 for r in out.values())  # zero range -> 0
+        with pytest.raises(ValueError, match="bits"):
+            scale.zorder_frame(df, "v", "w", bits=0)
+
+    def test_zorder_stable_under_repartition(self, spark, sf_dir):
+        from dirt_hadoop_similarity_spark.operators import scale
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.col("n_chars").cast("long").alias("nc"))
+        a = {(r["doc_id"], r["zval"]) for r in scale.zorder_frame(
+            docs, "doc_id", "nc", bits=8).collect()}
+        b = {(r["doc_id"], r["zval"]) for r in scale.zorder_frame(
+            docs.repartition(13), "doc_id", "nc", bits=8).collect()}
+        assert a == b
