@@ -16,7 +16,10 @@ where a naive double ``stddev_samp`` aggregation is not (its result
 depends on summation order).  DuckDB replays the same expression in the
 ``event_user_outliers`` oracle and matches bit-for-bit.
 
-int64 bound: |value| ≤ 1e6 and n ≤ 1e6 per key keeps n·q < 2^63.
+int64 bound: the binding term is n·q ≤ n²·max(mv)² with mv = value·1000,
+so the joint requirement is n·|value| < ~3e6 per key (e.g. 10k events of
+values up to 300, or 1M events of values up to 3).  Larger envelopes:
+shrink MILLI or pre-aggregate per key-window before scoring.
 
 Split shape: :func:`value_stats` is the nightly/offline aggregate (one
 partial-agg groupBy, three int64 aggregates per key — persist it as a

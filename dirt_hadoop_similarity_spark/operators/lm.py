@@ -217,6 +217,10 @@ def perplexity_tiers(scored: DataFrame, coarse: int = 100_000,
     """
     from pyspark.sql import Window
 
+    # cached: means feeds four consumers (the N count, the bucket
+    # spine, the in-bucket value counts, and the final label pass) and
+    # its lineage re-runs the per-doc scoring aggregate — two narrow
+    # columns per doc, the standard cache/checkpoint cut point
     means = (
         scored.filter(F.col("n_transitions") > 0)
         .select(
@@ -225,6 +229,7 @@ def perplexity_tiers(scored: DataFrame, coarse: int = 100_000,
                 F.col("lp_micro_sum"), F.col("n_transitions")
             ).alias("mean_lp_micro"),
         )
+        .cache()
     )
     b = _floordiv(F.col("mean_lp_micro"), F.lit(int(coarse)))
     bucketed = means.select(id_col, "mean_lp_micro", b.alias("_b"))

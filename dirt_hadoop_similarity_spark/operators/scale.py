@@ -171,6 +171,12 @@ def zorder_frame(df: DataFrame, col_a: str, col_b: str,
     """
     if not 1 <= bits <= 26:
         raise ValueError(f"bits must be in [1, 26], got {bits}")
+    reserved = {"zx", "zy", "zval", "_mina", "_maxa", "_minb", "_maxb"} \
+        & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
     a, b = F.col(col_a).cast("long"), F.col(col_b).cast("long")
     stats = df.agg(
         F.min(a).alias("_mina"), F.max(a).alias("_maxa"),

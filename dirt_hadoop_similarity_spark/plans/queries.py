@@ -143,8 +143,10 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
 # whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
 _DEFERRED = [
-    # moved here in round 5 to fund the window for the 5 new priority
-    # names above: r2-green, code-unchanged, oracle-backed
+    # moved here in round 5 to fund the window for the round-5
+    # priority additions above (9 new queries + the promoted
+    # dirt_extract_counts): every name below is prior-round-green,
+    # code-unchanged, oracle-backed
     "rollup_returnflag",
     "q3_shipping_priority",
     "dedup_distinct",

@@ -3122,13 +3122,13 @@ FROM sc
     "oracle replays the bit interleave exactly.",
 )
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dirt_hadoop_similarity_spark.operators import scale
+    from dirt_hadoop_similarity_spark.operators import anomaly, scale
 
     events = load(spark, sf_dir, "events")
     base = events.select(
         "event_id",
         F.col("user_id").cast("long").alias("ua"),
-        F.round(F.col("value") * 1000).cast("long").alias("vb"),
+        anomaly.quantized(F.col("value")).alias("vb"),
     )
     return scale.zorder_frame(base, "ua", "vb", bits=_Z_BITS).select(
         "event_id", "zx", "zy", "zval")

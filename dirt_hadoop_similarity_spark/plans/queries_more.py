@@ -746,9 +746,9 @@ WHERE abs(z) >= {_OUTLIER_Z}
     "engine-ordering variance from naive stddev_samp aggregation.  "
     "Scale: one partial-agg groupBy (three integer aggregates per "
     "user) joined back on the user key; z is computed in the "
-    "projection.  int64 bound: |value| <= 1e6 and n <= 1e6 per user "
-    "keeps n*q < 2^63.  n>=2 + positive-variance guard makes the "
-    "score total.",
+    "projection.  int64 bound: n*q <= n^2*max(milli value)^2, so "
+    "n*|value| must stay under ~3e6 per user (see operators/anomaly).  "
+    "n>=2 + positive-variance guard makes the score total.",
 )
 def event_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dirt_hadoop_similarity_spark.operators import anomaly
