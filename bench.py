@@ -69,6 +69,7 @@ HEADLINE = [
     "bpe_encode_corpus",
     "lm_perplexity_tiers",
     "zorder_events",
+    "ann_filtered_topk",
 ]
 
 

@@ -96,6 +96,55 @@ def cosine_topk(
     )
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    allowed: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-filtered exact vector search — the "hybrid search"
+    PRE-filter strategy: the candidate corpus is restricted to ids in
+    ``allowed`` (a 1-column id relation from any metadata predicate —
+    language, license, quality tier, tenant) BEFORE scoring.
+    Pre-filtering guarantees k eligible results where post-filtering an
+    unfiltered top-k can come up short, and it prunes the scoring scan
+    by the predicate's selectivity.  Queries need not be in ``allowed``
+    (search from any vector, return only eligible neighbors); self
+    matches are excluded.
+
+    Scale: ``allowed`` restricts the corpus via a LEFT SEMI equi-join
+    on the id (broadcast when selective, AQE's choice); the scoring
+    shape is then :func:`cosine_topk`'s — query side broadcast, the
+    filtered corpus streams once.  For large query panels compose the
+    same semi-join with :func:`cosine_topk_gemm` instead.
+    """
+    cand = embeddings.join(
+        allowed.select(F.col(allowed.columns[0]).alias(id_col)),
+        id_col, "left_semi",
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = cand.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_gemm(
     embeddings: DataFrame,
     query_ids: list[int],

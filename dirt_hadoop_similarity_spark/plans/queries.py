@@ -123,6 +123,7 @@ _PRIORITY = [
     "bpe_encode_corpus",
     "lm_perplexity_tiers",
     "zorder_events",
+    "ann_filtered_topk",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -135,10 +136,10 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 29 after the
+# code-unchanged + oracle-backed; the priority set grew to 30 after the
 # MinHash double-hashing rotation, dedup_lsh_verified, the extraction
-# rebalance, and the nine new round-5 curation/analytics/ANN/tokenizer/
-# layout queries, so 29 priority + 22 mid = 51 names precede this tail
+# rebalance, and the ten new round-5 curation/analytics/ANN/tokenizer/
+# layout queries, so 30 priority + 21 mid = 51 names precede this tail
 # and the 51st, profile_approx,
 # sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
 # whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
@@ -156,6 +157,7 @@ _DEFERRED = [
     "pii_redact",
     "stratified_sample",
     "text_boilerplate",
+    "dataset_split",
     "sessionize",
     "range_join_events",
     "window_cumsum",

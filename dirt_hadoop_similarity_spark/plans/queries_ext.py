@@ -3132,3 +3132,63 @@ def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scale.zorder_frame(base, "ua", "vb", bits=_Z_BITS).select(
         "event_id", "zx", "zy", "zval")
+
+
+_FILTERED_SQL = """
+WITH allowed AS (
+  SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'
+),
+cv AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2
+          FROM cv GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.c * c.c) AS BIGINT) AS dot
+  FROM cv q
+  JOIN cv c ON c.i = q.i AND c.vec_id <> q.vec_id
+  JOIN allowed a ON a.vec_id = c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CASE WHEN na.n2 > 0 AND nb.n2 > 0
+               THEN CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               ELSE 0.0 END, 6) AS cos
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_filtered_topk",
+    _FILTERED_SQL,
+    "Metadata-filtered vector search (the hybrid-search PRE-filter "
+    "strategy): candidate neighbors are restricted to docs passing a "
+    "metadata predicate (lang = 'en') BEFORE scoring, guaranteeing k "
+    "eligible results where post-filtering an unfiltered top-k comes "
+    "up short.  The filter is a LEFT SEMI equi-join on the id "
+    "(broadcast when selective); the scoring shape is the verified "
+    "exact cosine.",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    allowed = load(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en").select(F.col("doc_id").alias("vec_id"))
+    return similarity.filtered_topk(emb, allowed, _ANN_QUERY_IDS, k=5)

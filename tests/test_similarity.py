@@ -608,3 +608,26 @@ def test_ivfpq_rerank_recall_not_worse_than_adc(spark, sf_dir):
         for r in similarity.ivfpq_rerank_topk(e, qids, k=5, rerank=20).collect()
     }
     assert len(rer & exact) >= len(adc & exact)
+
+
+def test_filtered_topk_respects_predicate_and_prefilter_guarantee(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    allowed = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id"))
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+    qids = list(range(10))
+    out = similarity.filtered_topk(e, allowed, qids, k=5).collect()
+    assert out
+    for r in out:
+        assert r["neighbor_id"] in allowed_ids   # predicate respected
+        assert r["neighbor_id"] != r["query_id"]  # self excluded
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    # pre-filter guarantee: a full k per query (eligible pool >> k here),
+    # where post-filtering an unfiltered top-5 would come up short
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    unfiltered = similarity.cosine_topk(e, qids, k=5).collect()
+    post = [r for r in unfiltered if r["neighbor_id"] in allowed_ids]
+    assert len(post) < len(out)
