@@ -124,6 +124,8 @@ _PRIORITY = [
     "lm_perplexity_tiers",
     "zorder_events",
     "ann_filtered_topk",
+    "cohort_retention",
+    "funnel_conversion",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -136,11 +138,11 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 30 after the
+# code-unchanged + oracle-backed; the priority set grew to 32 after the
 # MinHash double-hashing rotation, dedup_lsh_verified, the extraction
-# rebalance, and the ten new round-5 curation/analytics/ANN/tokenizer/
-# layout queries, so 30 priority + 21 mid = 51 names precede this tail
-# and the 51st, profile_approx,
+# rebalance, and the twelve new round-5 curation/analytics/ANN/
+# tokenizer/layout queries, so 32 priority + 19 mid = 51 names precede
+# this tail and the 51st, profile_approx,
 # sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
 # whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
 _DEFERRED = [
@@ -158,6 +160,8 @@ _DEFERRED = [
     "stratified_sample",
     "text_boilerplate",
     "dataset_split",
+    "text_tfidf_top_terms",
+    "sequence_packing",
     "sessionize",
     "range_join_events",
     "window_cumsum",

@@ -756,3 +756,127 @@ def event_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     stats = anomaly.value_stats(events)
     return anomaly.score(events, stats, z_threshold=_OUTLIER_Z)
+
+
+_DAY_US = 86_400_000_000
+
+_COHORT_SQL = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tm FROM events),
+t0 AS (SELECT min(tm) AS t0 FROM ev),
+d AS (
+  SELECT user_id,
+         CAST(((tm - t0) - ((tm - t0) % {_DAY_US})) / {_DAY_US} AS BIGINT)
+           AS day
+  FROM ev, t0
+),
+dd AS (SELECT DISTINCT user_id, day FROM d),
+coh AS (SELECT user_id, min(day) AS cohort_day FROM dd GROUP BY user_id)
+SELECT c.cohort_day, dd.day - c.cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM dd JOIN coh c ON c.user_id = dd.user_id
+GROUP BY c.cohort_day, dd.day - c.cohort_day
+"""
+
+
+@register(
+    "cohort_retention",
+    _COHORT_SQL,
+    "Cohort retention matrix (the product-analytics staple): users "
+    "bucketed by first-active day, counted at each later day offset.  "
+    "Days are ARITHMETIC buckets off the corpus min timestamp — "
+    "integer micros, engine-exact, no calendar/timezone semantics (a "
+    "date_trunc would drag in week-start and DST conventions).  "
+    "Shape: one (user, day) distinct, a per-user min, and a count "
+    "aggregate — all partial-agg groupBys keyed on the user.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", ts_micros(F.col("ts")).alias("tm"))
+    t0 = ev.agg(F.min("tm").alias("_t0"))
+    d = F.col("tm") - F.col("_t0")
+    days = ev.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        ((d - d % _DAY_US) / _DAY_US).cast("long").alias("day"),
+    ).distinct()
+    coh = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(coh, "user_id")
+        .select("cohort_day", (F.col("day") - F.col("cohort_day"))
+                .alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tm FROM events),
+s1 AS (SELECT user_id, min(tm) AS t1 FROM ev
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.tm) AS t2
+       FROM ev e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'view' AND e.tm > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.tm) AS t3
+       FROM ev e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.tm > s2.t2 GROUP BY e.user_id),
+n AS (
+  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+         CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'view_after_signup', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase_after_view', CAST(count(*) AS BIGINT) FROM s3
+),
+base AS (SELECT n_users AS n1 FROM n WHERE stage = 1)
+SELECT stage, event_type, n_users,
+       round(CAST(n_users AS DOUBLE) / n1, 6) AS pct_of_entry
+FROM n, base
+"""
+
+
+@register(
+    "funnel_conversion",
+    _FUNNEL_SQL,
+    "Ordered funnel conversion (signup -> first view after signup -> "
+    "first purchase after that view): per-stage user counts and the "
+    "conversion fraction vs the entry stage.  Each stage is a "
+    "filtered per-user min joined to the previous stage's timestamp "
+    "— strictly-ordered semantics, not mere co-occurrence; all "
+    "comparisons on integer micros (differences only, tz-safe).",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_micros(F.col("ts")).alias("tm"))
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("tm").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("tm") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("tm").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("tm") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("tm").alias("t3"))
+    )
+    n = (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).cast("long").alias("stage"),
+                F.lit("signup").alias("event_type"), "n_users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).cast("long").alias("stage"),
+                F.lit("view_after_signup").alias("event_type"), "n_users"))
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).cast("long").alias("stage"),
+                F.lit("purchase_after_view").alias("event_type"), "n_users"))
+    )
+    base = n.filter(F.col("stage") == 1).select(
+        F.col("n_users").alias("_n1"))
+    return n.crossJoin(F.broadcast(base)).select(
+        "stage", "event_type", "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("_n1"), 6)
+        .alias("pct_of_entry"),
+    )

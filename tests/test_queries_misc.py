@@ -97,3 +97,55 @@ def test_event_user_outliers_hand_computed(spark, tmp_path):
     r = out[0]
     assert (r["event_id"], r["user_id"]) == (11, 1)
     assert abs(r["z"] - round(z, 6)) < 1e-9
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_more
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    rows = QUERIES["cohort_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["day_offset"] >= 0
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r["n_users"]
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets  # every cohort is active on its own day 0
+        # retention at any offset never exceeds the cohort's size
+        assert all(n <= offsets[0] for n in offsets.values())
+
+
+def test_funnel_conversion_monotone(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_more
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    rows = sorted(QUERIES["funnel_conversion"].fn(spark, sf_dir).collect(),
+                  key=lambda r: r["stage"])
+    assert [r["stage"] for r in rows] == [1, 2, 3]
+    ns = [r["n_users"] for r in rows]
+    assert ns[0] >= ns[1] >= ns[2]       # each stage narrows
+    assert rows[0]["pct_of_entry"] == 1.0
+    assert all(0.0 <= r["pct_of_entry"] <= 1.0 for r in rows)
+
+
+def test_funnel_ordering_strict(spark, tmp_path):
+    # a user who purchases BEFORE viewing must not convert stage 3
+    from datetime import datetime
+    from dirt_hadoop_similarity_spark.plans import queries_more
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "signup", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1), 1, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 2), 1, "view", 1.0, "{}"),
+        # user 2: full ordered funnel
+        (4, datetime(2024, 1, 1, 1, 0), 2, "signup", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 1, 1), 2, "view", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 1, 2), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["stage"]: r["n_users"] for r in
+           QUERIES["funnel_conversion"].fn(spark, str(tmp_path)).collect()}
+    assert got == {1: 2, 2: 2, 3: 1}  # user 1 viewed but purchase preceded it
