@@ -307,3 +307,40 @@ def classifier_keep(text: Column, threshold: float = 0.0,
     t = tokens(text)
     return classifier_logit_from(t, tokens(F.lower(text)), text,
                                  weights) > threshold
+
+
+# ---------------------------------------------------------------------------
+# text normalization (the pre-hash cleanup stage)
+# ---------------------------------------------------------------------------
+
+# Java-regex / RE2 common-subset patterns (same portability contract as
+# PII_PATTERNS): control chars except \t and \n; runs of spaces/tabs;
+# 3+ newlines; leading/trailing whitespace.
+_NORM_STEPS = (
+    ("\\r\\n?", "\n"),                       # CRLF / CR -> LF
+    ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),  # control chars
+    ("[ \\t]+", " "),                        # whitespace runs -> one space
+    ("\\n{3,}", "\n\n"),                     # paragraph gap cap
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization BEFORE hashing/dedup/tokenization:
+    CRLF unification, control-char strip, whitespace-run collapse,
+    paragraph-gap capping, trim.  Dedup keys computed on unnormalized
+    text silently miss byte-level-different duplicates; run this first
+    and every downstream md5/shingle/minhash agrees.
+
+    A chain of `regexp_replace` — one narrow map-only projection fused
+    into the scan, the same shape (and engine-portable regex subset) as
+    :func:`pii_redact`.  ASCII-level by design: Unicode NFC needs an
+    ICU pass (DuckDB `nfc_normalize`, a pandas UDF on the Spark side)
+    and is deliberately out of this portable common subset.
+    """
+    out = text
+    for p, r in _NORM_STEPS:
+        out = F.regexp_replace(out, p, r)
+    # trim via character-set btrim, not regex anchors: Java's `$` also
+    # matches before a final line terminator where RE2's does not —
+    # btrim(x, " \n") is unambiguous and identical in both engines
+    return F.btrim(out, F.lit(" \n"))

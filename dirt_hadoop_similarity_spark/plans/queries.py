@@ -126,6 +126,7 @@ _PRIORITY = [
     "ann_filtered_topk",
     "cohort_retention",
     "funnel_conversion",
+    "text_normalize",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -138,10 +139,10 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 32 after the
+# code-unchanged + oracle-backed; the priority set grew to 33 after the
 # MinHash double-hashing rotation, dedup_lsh_verified, the extraction
-# rebalance, and the twelve new round-5 curation/analytics/ANN/
-# tokenizer/layout queries, so 32 priority + 19 mid = 51 names precede
+# rebalance, and the thirteen new round-5 curation/analytics/ANN/
+# tokenizer/layout queries, so 33 priority + 18 mid = 51 names precede
 # this tail and the 51st, profile_approx,
 # sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
 # whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
@@ -162,6 +163,7 @@ _DEFERRED = [
     "dataset_split",
     "text_tfidf_top_terms",
     "sequence_packing",
+    "embedding_near_dups",
     "sessionize",
     "range_join_events",
     "window_cumsum",

@@ -3192,3 +3192,51 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = load(spark, sf_dir, "documents").filter(
         F.col("lang") == "en").select(F.col("doc_id").alias("vec_id"))
     return similarity.filtered_topk(emb, allowed, _ANN_QUERY_IDS, k=5)
+
+
+_NORM_ORACLE_STEPS = (
+    ("\\r\\n?", "\n"),
+    ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+    ("[ \\t]+", " "),
+    ("\\n{3,}", "\n\n"),
+)
+
+
+def _norm_sql_expr() -> str:
+    expr = "text"
+    for p, r in _NORM_ORACLE_STEPS:
+        # DuckDB single-quoted literals are backslash-verbatim: the
+        # Python string's single backslashes pass straight to RE2
+        re_ = r.replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{p}', '{re_}', 'g')"
+    return f"trim({expr}, ' ' || chr(10))"
+
+
+_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length({_norm_sql_expr()}) AS BIGINT) AS n_chars_norm,
+       md5({_norm_sql_expr()}) AS norm_md5
+FROM documents
+"""
+
+
+@register(
+    "text_normalize",
+    _NORMALIZE_SQL,
+    "Canonical text normalization (the pre-hash cleanup stage): CRLF "
+    "unification, control-char strip, whitespace-run collapse, "
+    "paragraph-gap capping, character-set trim — dedup keys computed "
+    "on unnormalized text silently miss byte-level-different "
+    "duplicates.  One map-only regexp_replace chain fused into the "
+    "scan; the oracle md5s every normalized document.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = textfns.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )

@@ -144,3 +144,43 @@ def test_classifier_logit_hand_computed(spark):
         F.col("text"), threshold=got - 0.1).alias("k")).first().k
     assert not df.select(textfns.classifier_keep(
         F.col("text"), threshold=got + 0.1).alias("k")).first().k
+
+
+class TestNormalizeText:
+    def _norm(self, spark, s):
+        from dirt_hadoop_similarity_spark.functions import textfns
+
+        df = spark.createDataFrame([(s,)], ["text"])
+        return df.select(
+            textfns.normalize_text(F.col("text")).alias("n")).first()["n"]
+
+    def test_crlf_controls_runs_and_trim(self, spark):
+        messy = " \tHello\r\nworld\x00\x07 --  spaced\t\tout \n\n\n\n tail \n"
+        got = self._norm(spark, messy)
+        assert got == "Hello\nworld -- spaced out \n\n tail"
+
+    def test_clean_text_is_noop(self, spark):
+        clean = "already clean single spaced text"
+        assert self._norm(spark, clean) == clean
+
+    def test_idempotent(self, spark):
+        from dirt_hadoop_similarity_spark.functions import textfns
+
+        rows = [("a\r\n\x01b   c\n\n\n\nd ",), ("  x\ty  ",), ("",)]
+        df = spark.createDataFrame(rows, ["text"])
+        once = df.select(textfns.normalize_text(F.col("text")).alias("n"))
+        twice = once.select(textfns.normalize_text(F.col("n")).alias("n"))
+        assert [r["n"] for r in once.collect()] == \
+               [r["n"] for r in twice.collect()]
+
+    def test_dedup_keys_agree_after_normalization(self, spark):
+        # the motivating property: byte-different duplicates hash equal
+        # after normalization
+        from dirt_hadoop_similarity_spark.functions import textfns
+
+        rows = [(1, "the quick\r\nbrown  fox "), (2, " the quick\nbrown fox")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        hashes = {r["doc_id"]: r["h"] for r in df.select(
+            "doc_id",
+            F.md5(textfns.normalize_text(F.col("text"))).alias("h")).collect()}
+        assert hashes[1] == hashes[2]
