@@ -75,10 +75,22 @@ def cosine_topk(
     at 100 TB this is one scan, no shuffle until the per-query top-k
     aggregation (cardinality |queries| × corpus partitions × k).
     """
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+    return _exact_score_topk(embeddings, embeddings, query_ids, k,
+                             id_col, vec_col)
+
+
+def _exact_score_topk(queries_src: DataFrame, corpus: DataFrame,
+                      query_ids: list[int], k: int,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """Shared exact-scoring tail of cosine_topk/filtered_topk: the
+    query panel (from ``queries_src``) broadcasts against ``corpus``,
+    self matches excluded, quantized cosine scored, per-query rank
+    window — ONE definition of the scoring contract (tie-breaks, rank
+    cast, zero-norm handling) for every exact-scorer variant."""
+    q = queries_src.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = embeddings.select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -124,25 +136,8 @@ def filtered_topk(
         allowed.select(F.col(allowed.columns[0]).alias(id_col)),
         id_col, "left_semi",
     )
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = cand.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _exact_score_topk(embeddings, cand, query_ids, k,
+                             id_col, vec_col)
 
 
 def cosine_topk_gemm(

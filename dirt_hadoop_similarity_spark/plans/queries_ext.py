@@ -3134,7 +3134,7 @@ def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "zx", "zy", "zval")
 
 
-_FILTERED_SQL = """
+_FILTERED_SQL = f"""
 WITH allowed AS (
   SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'
 ),
@@ -3153,7 +3153,7 @@ dots AS (
   FROM cv q
   JOIN cv c ON c.i = q.i AND c.vec_id <> q.vec_id
   JOIN allowed a ON a.vec_id = c.vec_id
-  WHERE q.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+  WHERE q.vec_id IN ({', '.join(str(i) for i in _ANN_QUERY_IDS)})
   GROUP BY q.vec_id, c.vec_id
 ),
 scored AS (
@@ -3194,17 +3194,11 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.filtered_topk(emb, allowed, _ANN_QUERY_IDS, k=5)
 
 
-_NORM_ORACLE_STEPS = (
-    ("\\r\\n?", "\n"),
-    ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
-    ("[ \\t]+", " "),
-    ("\\n{3,}", "\n\n"),
-)
-
-
 def _norm_sql_expr() -> str:
+    # the operator's own step table is the single source of truth —
+    # the oracle replays textfns._NORM_STEPS verbatim
     expr = "text"
-    for p, r in _NORM_ORACLE_STEPS:
+    for p, r in textfns._NORM_STEPS:
         # DuckDB single-quoted literals are backslash-verbatim: the
         # Python string's single backslashes pass straight to RE2
         re_ = r.replace("\n", "' || chr(10) || '")
@@ -3215,9 +3209,9 @@ def _norm_sql_expr() -> str:
 _NORMALIZE_SQL = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_raw,
-       CAST(length({_norm_sql_expr()}) AS BIGINT) AS n_chars_norm,
-       md5({_norm_sql_expr()}) AS norm_md5
-FROM documents
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       md5(norm) AS norm_md5
+FROM (SELECT doc_id, text, {_norm_sql_expr()} AS norm FROM documents)
 """
 
 
