@@ -23,3 +23,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_spark_cache_between_modules(request):
+    """Drop cached relations when a test module finishes: operators
+    .cache() internally, and across ~370 tests the accumulated storage
+    memory can OOM the single session JVM late in the run (observed
+    once as a TorrentBroadcast heap failure in the IVF-PQ recall test —
+    green in isolation).  Module scope keeps within-module reuse."""
+    yield
+    if "spark" in request.fixturenames:
+        try:
+            request.getfixturevalue("spark").catalog.clearCache()
+        except Exception:
+            pass
