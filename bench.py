@@ -70,6 +70,11 @@ HEADLINE = [
     "lm_perplexity_tiers",
     "zorder_events",
     "ann_filtered_topk",
+    # round-5 second batch: lexical all-pairs similarity (inverted-index
+    # TF-IDF cosine — a new candidate-generation cost class next to
+    # MinHash-LSH) and the 6-table snowflake join (Q5 shape)
+    "text_cosine_pairs",
+    "join_region_revenue",
 ]
 
 
@@ -110,7 +115,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     from dirt_hadoop_similarity_spark.session import get_spark
-    from dirt_hadoop_similarity_spark.plans import queries_ext, queries_more  # noqa: F401
+    from dirt_hadoop_similarity_spark.plans import (  # noqa: F401
+        queries_analytics,
+        queries_ext,
+        queries_more,
+    )
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
     known = set(QUERIES) | {"ann_ivfpq_build", "ann_ivfpq_search"}

@@ -127,6 +127,15 @@ _PRIORITY = [
     "cohort_retention",
     "funnel_conversion",
     "text_normalize",
+    # new in round 5 (second batch) — never driver-sampled: lexical
+    # all-pairs TF-IDF cosine, Q5/Q18-shape joins, grouping sets,
+    # event cadence, ntile banding
+    "text_cosine_pairs",
+    "join_region_revenue",
+    "grouping_sets_status",
+    "event_interarrival",
+    "join_top_spenders",
+    "ntile_quartiles",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -139,14 +148,21 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # round.  Round 5: everything below is either hash-green in
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed; the priority set grew to 33 after the
-# MinHash double-hashing rotation, dedup_lsh_verified, the extraction
-# rebalance, and the thirteen new round-5 curation/analytics/ANN/
-# tokenizer/layout queries, so 33 priority + 18 mid = 51 names precede
-# this tail and the 51st, profile_approx,
-# sits past the 50-row window under its _ROWS_ONLY_PAST_WINDOW_OK
-# whitelist).  Safety net for the tail remains tests/test_oracle_all.py.
+# code-unchanged + oracle-backed).  After the round-5 second batch the
+# priority set is 39 and the mid set 11, so 39 + 11 = 50 names fill the
+# window exactly (the mid set includes rows-only-by-design
+# profile_approx, whitelisted below).  Safety net for the tail remains
+# tests/test_oracle_all.py.
 _DEFERRED = [
+    # moved here for the round-5 second batch (6 new priority queries):
+    # every name below is r2-green, code-unchanged, oracle-backed
+    "global_scalar",
+    "join_broadcast_part",
+    "semi_join_orders",
+    "anti_join_customers",
+    "left_join_coalesce",
+    "pivot_orderstatus",
+    "least_greatest_pairs",
     # moved here in round 5 to fund the window for the round-5
     # priority additions above (9 new queries + the promoted
     # dirt_extract_counts): every name below is prior-round-green,
@@ -209,6 +225,7 @@ def ordered_registry() -> dict[str, QueryDef]:
     """The full registry: priority first, deferred tail last, everything
     else in registration order between them."""
     from dirt_hadoop_similarity_spark.plans import (  # noqa: F401 — register extensions
+        queries_analytics,
         queries_ext,
         queries_more,
     )

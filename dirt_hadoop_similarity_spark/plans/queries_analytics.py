@@ -1,0 +1,306 @@
+"""Round-5 extension queries: lexical all-pairs similarity, multi-way
+dimensional joins, grouping sets, and event-cadence analytics.
+
+Registered into the shared ``QUERIES`` registry.  Conventions follow
+plans/queries.py: identical aliases both engines, exact-integer sums
+wherever the data allows, 4 dp rounding for money sums (the q1
+precedent), 6 dp for ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dirt_hadoop_similarity_spark.operators import textsim
+from dirt_hadoop_similarity_spark.plans.queries import load, register
+from dirt_hadoop_similarity_spark.plans.queries_more import ts_micros
+
+
+# ---------------------------------------------------------------------------
+# lexical all-pairs similarity (inverted-index TF-IDF cosine)
+# ---------------------------------------------------------------------------
+
+_COSINE_PAIRS_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS term
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+            FROM base) expanded
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2
+    ), nd AS (
+      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), kept AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(round(ln(n_docs / df) * 10000) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+      WHERE df >= 2 AND df <= n_docs * 0.10
+    ), norms AS (
+      SELECT doc_id, sum(w * w) AS nrm FROM kept GROUP BY 1
+    ), dots AS (
+      SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, sum(a.w * b.w) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_lo, doc_hi, sim FROM (
+      SELECT doc_lo, doc_hi,
+             round(dot / (sqrt(CAST(n1.nrm AS DOUBLE)) * sqrt(CAST(n2.nrm AS DOUBLE))), 6) AS sim
+      FROM dots
+      JOIN norms n1 ON dots.doc_lo = n1.doc_id
+      JOIN norms n2 ON dots.doc_hi = n2.doc_id
+    ) scored
+    WHERE sim >= 0.35
+"""
+
+
+@register(
+    "text_cosine_pairs",
+    _COSINE_PAIRS_SQL,
+    "Exact TF-IDF cosine all-pairs over word-trigram shingles via an "
+    "inverted-index equi-join with a df-band candidate bound (Bayardo "
+    "et al. 2007) — int64-quantized weights make the dot product an "
+    "exact integer sum, bit-identical across engines and partitionings.",
+)
+def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = textsim.shingle_tf(docs, n=3)
+    vecs = textsim.tfidf_vectors(tf, min_df=2, max_df_frac=0.10)
+    return textsim.cosine_pairs(vecs, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# multi-way dimensional join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_region_revenue",
+    """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND c_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-table snowflake join with the local-supplier "
+    "constraint (c_nationkey = s_nationkey) — dims broadcast, fact "
+    "tables shuffle on their join keys, date filter pushed to the scan.",
+)
+def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets (beyond cube/rollup: explicit set list + grouping_id)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouping_sets_status",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    "Explicit GROUPING SETS with grouping_id — the general form of "
+    "cube/rollup (one shuffle, Expand feeds partial aggregation).",
+)
+def grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event cadence: lag-based inter-arrival statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_interarrival",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000, 6)
+             AS mean_gap_secs,
+           round(CAST(max(gap_us) AS DOUBLE) / 1000000, 6) AS max_gap_secs
+    FROM gaps
+    GROUP BY user_id
+    HAVING count(gap_us) > 0
+    """,
+    "Per-user inter-event cadence: lag window (total order ts, "
+    "event_id), exact int64 microsecond gaps aggregated per user — the "
+    "mean is one deterministic float division over exact sums.",
+)
+def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (ts_micros(F.col("ts")) - ts_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("gap_us") / 1_000_000,
+                6,
+            ).alias("mean_gap_secs"),
+            F.round(F.max("gap_us").cast("double") / 1_000_000, 6).alias(
+                "max_gap_secs"
+            ),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg-filtered join-back (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_top_spenders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2) AS total_price,
+           big.sum_qty
+    FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300) big
+    JOIN orders   ON big.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    "TPC-H Q18 shape: aggregate-filtered fact (HAVING sum > k) joined "
+    "back to orders and customer — the agg output is tiny, so the "
+    "join-back broadcasts; quantities are integral, so sum_qty is an "
+    "exact BIGINT.",
+)
+def join_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile quartile banding
+# ---------------------------------------------------------------------------
+
+@register(
+    "ntile_quartiles",
+    """
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM (SELECT c_acctbal,
+                 CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+                   AS quartile
+          FROM customer) t
+    GROUP BY quartile
+    """,
+    "ntile(4) banding over a total order (acctbal, custkey tiebreak) "
+    "— min/max per band are order-free, so the result is exact.  The "
+    "unpartitioned window is the documented single-reducer exception: "
+    "at scale, band via percent_rank on a range-partitioned sort.",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )

@@ -210,3 +210,49 @@ def test_split_contamination_no_cartesian(spark, sf_dir):
     # candidates must meet on the band equi-join; the split relation
     # joins equi on the pair ids
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cosine_pairs_inverted_index_equi_join(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+
+    df = QUERIES["text_cosine_pairs"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # posting lists must meet on the term equi-join — a cross/NLJ here
+    # is the all-pairs blow-up the inverted index exists to prevent
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_region_revenue_pushdown_and_broadcast_dims(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+
+    df = QUERIES["join_region_revenue"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # the date range must reach the orders parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    # supplier/nation/region are hinted broadcast — no dim may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+
+    df = QUERIES["grouping_sets_status"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # grouping sets compile to ONE Expand feeding partial aggregation —
+    # not one scan+shuffle per set
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_top_spenders_agg_side_broadcasts(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+
+    df = QUERIES["join_top_spenders"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # the HAVING-filtered agg is tiny and hinted broadcast: the join
+    # back to orders/customer must not shuffle the fact tables
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
