@@ -304,3 +304,91 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("max_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# correlated-subquery decorrelation (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "subquery_below_avg",
+    """
+    WITH avgs AS (
+      SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem JOIN avgs USING (l_partkey)
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "TPC-H Q17 shape: the correlated scalar subquery (per-part average "
+    "quantity) decorrelated into a grouped aggregate joined back to the "
+    "fact — one partkey-keyed shuffle instead of a per-row subquery. "
+    "Quantities are integral, so each avg is an exact-integer-sum "
+    "division and the < comparison is deterministic in both engines.",
+)
+def subquery_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    avgs = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(avgs, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling 7-day distinct users (sliding-window COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rolling_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT
+             CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                  // 86400000000 AS BIGINT) AS day,
+             user_id
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+    FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    "Rolling 7-day distinct users — COUNT DISTINCT over a sliding "
+    "window, which no RANGE frame expresses.  Spark shape: each "
+    "(day, user) row explodes into the <=7 window-end days it serves, "
+    "then a day-keyed distinct count — all equi-shuffles, fan-out "
+    "bounded by the window length, never a non-equi join against the "
+    "day spine (the oracle's BETWEEN join is the same set "
+    "mathematically).  Day = epoch-microseconds div 86400e6: pure "
+    "integer arithmetic, no calendar/DST semantics.",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = (
+        ev.select(ts_micros(F.col("ts")).alias("us"), "user_id")
+        .select(
+            F.expr("CAST(us DIV 86400000000 AS BIGINT)").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )

@@ -256,3 +256,24 @@ def test_top_spenders_agg_side_broadcasts(spark, sf_dir):
     # back to orders/customer must not shuffle the fact tables
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_below_avg_decorrelated_no_cartesian(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+
+    df = QUERIES["subquery_below_avg"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # the decorrelated avg joins back equi on l_partkey
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_distinct_is_equi_shaped(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+
+    df = QUERIES["rolling_distinct_users"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # the explode-to-window-ends shape must never fall back to a
+    # non-equi join against the day spine
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
