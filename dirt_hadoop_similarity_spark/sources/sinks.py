@@ -85,3 +85,37 @@ def write_shards(df: DataFrame, path: str, key: str, num_shards: int,
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compact_parquet(spark: SparkSession, in_path: str, out_path: str,
+                    target_rows_per_file: int,
+                    partition_by: list[str] | None = None) -> int:
+    """Rewrite a parquet directory into ~``target_rows_per_file``-sized
+    files — the small-file compaction every long-running ingest needs
+    (thousands of tiny files turn the next scan's task scheduling and
+    footer reads into the bottleneck long before byte throughput).
+
+    The row count comes from parquet metadata (footer statistics — no
+    data scan); the rewrite repartitions to ceil(n/target) output tasks
+    and additionally caps ``maxRecordsPerFile`` so a skewed partition
+    can never emit an oversized file.  With ``partition_by`` the
+    repartition is keyed on the partition columns, so each hive
+    partition's rows land in few tasks instead of every task writing a
+    sliver into every partition directory (the files-per-partition
+    explosion).  Returns the partition count used.
+    """
+    df = spark.read.parquet(in_path)
+    n = df.count()  # parquet count() is metadata-only: no column reads
+    parts = max(1, -(-n // max(target_rows_per_file, 1)))
+    if partition_by:
+        out = df.repartition(parts, *partition_by)
+    else:
+        out = df.repartition(parts)
+    w = (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_path)
+    return parts

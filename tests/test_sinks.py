@@ -59,3 +59,64 @@ def test_jsonl_corrupt_line_quarantined(spark, tmp_path):
     assert len(rows) == 2
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(bad) == 1 and bad[0]["doc_id"] is None
+
+
+def _parquet_files(root):
+    import pathlib
+
+    return [
+        p for p in pathlib.Path(root).rglob("*.parquet") if p.is_file()
+    ]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    src = str(tmp_path / "small")
+    # simulate an ingest that left a 64-file sliver mess
+    df.repartition(64).write.parquet(src)
+    assert len(_parquet_files(src)) == 64
+    out = str(tmp_path / "compact")
+    parts = sinks.compact_parquet(spark, src, out, target_rows_per_file=500)
+    assert parts == 2
+    files = _parquet_files(out)
+    assert len(files) <= 3  # ceil(1000/500) + AQE slack
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert sorted(r.id for r in back.collect()) == list(range(1000))
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    df = spark.range(900).select(
+        F.col("id"), (F.col("id") % 3).alias("day")
+    )
+    src = str(tmp_path / "src")
+    df.repartition(30).write.partitionBy("day").parquet(src)
+    # sliver mess: up to 30 files inside EACH day partition
+    assert len(_parquet_files(src)) > 30
+    out = str(tmp_path / "compact")
+    sinks.compact_parquet(
+        spark, src, out, target_rows_per_file=500, partition_by=["day"]
+    )
+    files = _parquet_files(out)
+    # keyed repartition → each day's rows land in few tasks
+    assert len(files) <= 6, files
+    assert spark.read.parquet(out).count() == 900
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The hive-partitioned checkpoint must turn an equality filter on
+    the partition column into PartitionFilters (directory pruning) —
+    never a full-scan-then-filter."""
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("day")
+    )
+    path = str(tmp_path / "bydate")
+    back = sinks.checkpoint_parquet(df, path, partition_by=["day"])
+    q = back.filter(F.col("day") == 1)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split(
+        "PartitionFilters", 1
+    )[1][:120], plan
+    assert q.count() == 100
