@@ -392,3 +392,76 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# bivariate statistics: Pearson correlation from exact integer moments
+# ---------------------------------------------------------------------------
+
+@register(
+    "corr_price_quantity",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(xq) AS sx, sum(yq) AS sy,
+             sum(xq * xq) AS sxx, sum(yq * yq) AS syy,
+             sum(xq * yq) AS sxy
+      FROM (SELECT l_returnflag,
+                   CAST(round(l_extendedprice) AS BIGINT) AS xq,
+                   CAST(l_quantity AS BIGINT) AS yq
+            FROM lineitem) q
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS corr_pq,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (n - 1), 6) AS covar_pq
+    FROM m
+    """,
+    "Pearson correlation + sample covariance per return flag, computed "
+    "from EXACT integer moments (dollar-quantized price, integral "
+    "quantity) — unlike the built-in corr()/covar_samp(), whose "
+    "streaming double accumulation is partition-order-dependent, the "
+    "five int64 sums commute exactly and the closed-form combination is "
+    "one fixed sequence of correctly-rounded IEEE ops (the anomaly.py "
+    "portability pattern).  Moment bound: sxx <= n·(max|x|)^2 must stay "
+    "below 2^53 for the final double casts to be exact — holds to "
+    "~1e5 rows/group at 1e5-dollar prices; rescale the quantization for "
+    "bigger groups.",
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round("l_extendedprice", 0).cast("long").alias("xq"),
+        F.col("l_quantity").cast("long").alias("yq"),
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    corr = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
+    )
+    covar = (F.col("sxy").cast("double") - sxd * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        F.round(corr, 6).alias("corr_pq"),
+        F.round(covar, 6).alias("covar_pq"),
+    )

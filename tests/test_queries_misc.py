@@ -149,3 +149,30 @@ def test_funnel_ordering_strict(spark, tmp_path):
     got = {r["stage"]: r["n_users"] for r in
            QUERIES["funnel_conversion"].fn(spark, str(tmp_path)).collect()}
     assert got == {1: 2, 2: 2, 3: 1}  # user 1 viewed but purchase preceded it
+
+
+def test_corr_price_quantity_matches_numpy(spark, sf_dir):
+    """The exact-moment Pearson formula must agree with numpy's
+    corrcoef on the same quantized values (semantic check, independent
+    of the DuckDB oracle which shares our formula)."""
+    import numpy as np
+
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES, load
+    import pyspark.sql.functions as F
+
+    got = {
+        r.l_returnflag: (r.corr_pq, r.covar_pq)
+        for r in QUERIES["corr_price_quantity"].fn(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_extendedprice", 0).cast("long").alias("xq"),
+        F.col("l_quantity").cast("long").alias("yq"),
+    )
+    rows = li.collect()
+    for flag, (corr, covar) in got.items():
+        x = np.array([r.xq for r in rows if r.l_returnflag == flag], dtype=np.float64)
+        y = np.array([r.yq for r in rows if r.l_returnflag == flag], dtype=np.float64)
+        assert corr == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-5)
+        assert covar == pytest.approx(np.cov(x, y, ddof=1)[0, 1], rel=1e-5)

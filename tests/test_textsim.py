@@ -97,3 +97,70 @@ def test_cosine_pairs_partitioning_invariant(spark):
     a = run(base.repartition(1))
     b = run(base.repartition(7, F.col("doc_id")))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# property: full-stack agreement with a pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _pure_cosine_pairs(rows, n=3, min_df=2, max_df_frac=0.5, threshold=0.1):
+    """Independent reimplementation of the whole textsim stack with
+    plain dicts — the semantic contract the Spark DAG must match."""
+    import math
+    from collections import Counter
+
+    tf = {}
+    for doc_id, text in rows:
+        toks = [w for w in text.lower().split(" ") if w != ""]
+        k = max(len(toks) - (n - 1), 1)
+        sh = [" ".join(toks[i:i + n]) for i in range(k)]
+        tf[doc_id] = Counter(sh)
+    n_docs = len(tf)
+    df = Counter(t for c in tf.values() for t in c)
+    vecs = {
+        d: {
+            t: c * round(math.log(n_docs / df[t]) * 10000)
+            for t, c in cnt.items()
+            if df[t] >= min_df and df[t] <= n_docs * max_df_frac
+        }
+        for d, cnt in tf.items()
+    }
+    norms = {d: sum(w * w for w in v.values()) for d, v in vecs.items()}
+    out = {}
+    docs = sorted(vecs)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            dot = sum(vecs[a][t] * vecs[b][t] for t in shared)
+            sim = round(
+                dot / (math.sqrt(norms[a]) * math.sqrt(norms[b])), 6
+            )
+            if sim >= threshold:
+                out[(a, b)] = sim
+    return out
+
+
+def test_cosine_pairs_matches_pure_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=4, max_size=12)
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus)
+    def check(texts):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tf = textsim.shingle_tf(df, n=3)
+        vecs = textsim.tfidf_vectors(tf, min_df=2, max_df_frac=0.5)
+        got = {
+            (r.doc_lo, r.doc_hi): r.sim
+            for r in textsim.cosine_pairs(vecs, threshold=0.1).collect()
+        }
+        assert got == _pure_cosine_pairs(rows)
+
+    check()
