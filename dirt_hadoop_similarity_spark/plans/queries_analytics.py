@@ -465,3 +465,46 @@ def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 6).alias("corr_pq"),
         F.round(covar, 6).alias("covar_pq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decimal-exact money aggregation (associativity-free sums via DECIMAL)
+# ---------------------------------------------------------------------------
+
+@register(
+    "decimal_revenue_exact",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    - CAST(l_extendedprice * l_discount AS DECIMAL(18, 4)))
+                AS DOUBLE) AS sum_discounted
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Money sums through the DECIMAL type: each double rounds ONCE to a "
+    "fixed scale at the row level, then the fixed-point sum is exact "
+    "integer arithmetic — no partition-order sensitivity, unlike "
+    "double sums (which the q1 family makes comparable only by "
+    "rounding).  The one double op per row (price*discount) is "
+    "identical IEEE in both engines; the final cast of the exact "
+    "decimal total to double is correctly-rounded and unique.",
+)
+def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(price_dec).cast("double").alias("sum_price"),
+            F.sum(price_dec.cast("decimal(18,4)") - disc_dec)
+            .cast("double")
+            .alias("sum_discounted"),
+        )
+    )
