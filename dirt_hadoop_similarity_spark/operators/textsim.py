@@ -146,3 +146,35 @@ def cosine_pairs(vectors: DataFrame, threshold: float = 0.35) -> DataFrame:
         .select("doc_lo", "doc_hi", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def cosine_topk_neighbors(vectors: DataFrame, k: int = 3,
+                          threshold: float = 0.2) -> DataFrame:
+    """Per-document lexical k-nearest-neighbors over the TF-IDF index.
+
+    Symmetric closure of :func:`cosine_pairs` (each unordered pair
+    serves both members) ranked per document by (sim desc, neighbor id)
+    — a total order, so ranks are deterministic.  The rank filter
+    compiles to WindowGroupLimit (per-task top-k BEFORE the shuffle),
+    pinned in tests/test_plans.py.  Returns
+    (doc_id, neighbor_id, sim, rank), rank <= k.
+    """
+    pairs = cosine_pairs(vectors, threshold)
+    sym = pairs.select(
+        F.col("doc_lo").alias("doc_id"),
+        F.col("doc_hi").alias("neighbor_id"),
+        "sim",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_hi").alias("doc_id"),
+            F.col("doc_lo").alias("neighbor_id"),
+            "sim",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -140,6 +140,8 @@ _PRIORITY = [
     "rolling_distinct_users",
     "corr_price_quantity",
     "decimal_revenue_exact",
+    "text_cosine_topk",
+    "sql_monthly_top_orders",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -153,13 +155,15 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
 # code-unchanged + oracle-backed).  After the round-5 second batch the
-# priority set is 43 and the mid set 7, so 43 + 7 = 50 names fill the
+# priority set is 45 and the mid set 5, so 45 + 5 = 50 names fill the
 # window exactly (the mid set includes rows-only-by-design
 # profile_approx, whitelisted below).  Safety net for the tail remains
 # tests/test_oracle_all.py.
 _DEFERRED = [
-    # moved here for the round-5 second batch (10 new priority queries):
+    # moved here for the round-5 second batch (12 new priority queries):
     # every name below is r2-green, code-unchanged, oracle-backed
+    "self_join_lineitem",
+    "text_langid",
     "dedup_simhash",
     "mi_expression",
     "topk_per_group",

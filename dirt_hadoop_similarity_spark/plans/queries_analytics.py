@@ -22,7 +22,9 @@ from dirt_hadoop_similarity_spark.plans.queries_more import ts_micros
 # lexical all-pairs similarity (inverted-index TF-IDF cosine)
 # ---------------------------------------------------------------------------
 
-_COSINE_PAIRS_SQL = """
+# Scored-pairs CTE chain shared by text_cosine_pairs (threshold filter)
+# and text_cosine_topk (symmetric-closure per-doc ranking).
+_COSINE_SCORED_CTE = """
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
@@ -49,16 +51,21 @@ _COSINE_PAIRS_SQL = """
       SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, sum(a.w * b.w) AS dot
       FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT doc_lo, doc_hi, sim FROM (
+    ), scored AS (
       SELECT doc_lo, doc_hi,
              round(dot / (sqrt(CAST(n1.nrm AS DOUBLE)) * sqrt(CAST(n2.nrm AS DOUBLE))), 6) AS sim
       FROM dots
       JOIN norms n1 ON dots.doc_lo = n1.doc_id
       JOIN norms n2 ON dots.doc_hi = n2.doc_id
-    ) scored
-    WHERE sim >= 0.35
+    )
 """
+
+_COSINE_PAIRS_SQL = (
+    _COSINE_SCORED_CTE
+    + """
+    SELECT doc_lo, doc_hi, sim FROM scored WHERE sim >= 0.35
+"""
+)
 
 
 @register(
@@ -508,3 +515,79 @@ def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_discounted"),
         )
     )
+
+
+_COSINE_TOPK_SQL = (
+    _COSINE_SCORED_CTE
+    + """
+    , sym AS (
+      SELECT doc_lo AS doc_id, doc_hi AS neighbor_id, sim
+      FROM scored WHERE sim >= 0.2
+      UNION ALL
+      SELECT doc_hi AS doc_id, doc_lo AS neighbor_id, sim
+      FROM scored WHERE sim >= 0.2
+    )
+    SELECT doc_id, neighbor_id, sim, rank FROM (
+      SELECT doc_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM sym) ranked
+    WHERE rank <= 3
+"""
+)
+
+
+@register(
+    "text_cosine_topk",
+    _COSINE_TOPK_SQL,
+    "Per-document lexical kNN ('related documents'): symmetric closure "
+    "of the inverted-index cosine pairs, ranked per doc by (sim desc, "
+    "neighbor id) — rank filter compiles to WindowGroupLimit, so each "
+    "task keeps k rows per doc before the shuffle.",
+)
+def text_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = textsim.shingle_tf(docs, n=3)
+    vecs = textsim.tfidf_vectors(tf, min_df=2, max_df_frac=0.10)
+    return textsim.cosine_topk_neighbors(vecs, k=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end: one dialect-common query text run by BOTH engines
+# ---------------------------------------------------------------------------
+
+_MONTHLY_TOP_SQL = """
+    WITH rev AS (
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mth,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, year(o_orderdate), month(o_orderdate)
+    )
+    SELECT yr, mth, o_orderkey, revenue, rnk FROM (
+      SELECT yr, mth, o_orderkey, revenue,
+             CAST(row_number() OVER (PARTITION BY yr, mth
+                                     ORDER BY revenue DESC, o_orderkey)
+                  AS BIGINT) AS rnk
+      FROM rev) ranked
+    WHERE rnk <= 2
+"""
+
+
+@register(
+    "sql_monthly_top_orders",
+    _MONTHLY_TOP_SQL,
+    "SQL front-end path: the SAME dialect-common query text (CTE + join "
+    "+ agg + ranked window) executes via spark.sql over temp views AND "
+    "as the DuckDB oracle — pins that the engine's SQL surface, not "
+    "just the DataFrame API, matches.  Ranking is on the ROUNDED "
+    "revenue with an orderkey tiebreak, so ranks are total-order "
+    "deterministic.  Timestamps are NTZ: year()/month() are calendar "
+    "functions on the naive value, timezone-free in both engines.",
+)
+def sql_monthly_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MONTHLY_TOP_SQL)

@@ -277,3 +277,15 @@ def test_rolling_distinct_is_equi_shaped(spark, sf_dir):
     # non-equi join against the day spine
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cosine_topk_uses_rank_limit_pushdown(spark, sf_dir):
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+
+    df = QUERIES["text_cosine_topk"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # the per-doc rank <= k filter must compile to WindowGroupLimit
+    # (per-task top-k before the shuffle), and the candidate chain
+    # stays cartesian-free
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -164,3 +164,28 @@ def test_cosine_pairs_matches_pure_python_reference(spark):
         assert got == _pure_cosine_pairs(rows)
 
     check()
+
+
+def test_cosine_topk_neighbors_symmetric_and_ranked(spark):
+    rows = [
+        (1, "p q r s"),
+        (2, "p q r t"),
+        (3, "p q r u"),
+        (4, "m n o"),
+    ]
+    tf = textsim.shingle_tf(_docs(spark, rows), n=3)
+    vecs = textsim.tfidf_vectors(tf, min_df=1, max_df_frac=1.0)
+    out = textsim.cosine_topk_neighbors(vecs, k=2, threshold=0.0).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.neighbor_id, r.sim))
+    # docs 1-3 all share 'p q r': each sees the other two, ranked by
+    # (sim desc, neighbor asc); doc 4 shares nothing → absent
+    assert set(by_doc) == {1, 2, 3}
+    for d, lst in by_doc.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2]
+        # equal sims → neighbor-id ascending tiebreak
+        assert [nb for _, nb, _ in lst] == sorted(
+            x for x in (1, 2, 3) if x != d
+        )[:2]
