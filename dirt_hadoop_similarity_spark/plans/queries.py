@@ -142,6 +142,7 @@ _PRIORITY = [
     "decimal_revenue_exact",
     "text_cosine_topk",
     "sql_monthly_top_orders",
+    "timeseries_gapfill",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -155,13 +156,14 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
 # code-unchanged + oracle-backed).  After the round-5 second batch the
-# priority set is 45 and the mid set 5, so 45 + 5 = 50 names fill the
+# priority set is 46 and the mid set 4, so 46 + 4 = 50 names fill the
 # window exactly (the mid set includes rows-only-by-design
 # profile_approx, whitelisted below).  Safety net for the tail remains
 # tests/test_oracle_all.py.
 _DEFERRED = [
-    # moved here for the round-5 second batch (12 new priority queries):
+    # moved here for the round-5 second batch (13 new priority queries):
     # every name below is r2-green, code-unchanged, oracle-backed
+    "text_quality",
     "self_join_lineitem",
     "text_langid",
     "dedup_simhash",

@@ -591,3 +591,64 @@ def sql_monthly_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_MONTHLY_TOP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# time-series gap filling (generated day spine × observed dimensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                  // 86400000000 AS BIGINT) AS day,
+             event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM daily)
+    SELECT spine.day, types.event_type,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine CROSS JOIN types
+    LEFT JOIN daily ON daily.day = spine.day
+                   AND daily.event_type = types.event_type
+    """,
+    "Time-series gap filling: the day spine is GENERATED from the 1-row "
+    "min/max bounds (sequence+explode — no calendar table dependency), "
+    "crossed with the observed dimension values, and left-joined to the "
+    "daily aggregate with zero-fill.  The only unbounded relation is "
+    "the daily aggregate; spine × types is |days|·|dims| rows, and the "
+    "deliberate cross join is between those two TINY generated sides — "
+    "the fact table never meets a non-equi join.  Integer epoch-day "
+    "arithmetic, no DST semantics.",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(ts_micros(F.col("ts")).alias("us"), "event_type")
+        .select(
+            F.expr("CAST(us DIV 86400000000 AS BIGINT)").alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()  # feeds bounds, types, and the left join
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    types = daily.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
