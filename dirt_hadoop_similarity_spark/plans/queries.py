@@ -143,6 +143,7 @@ _PRIORITY = [
     "text_cosine_topk",
     "sql_monthly_top_orders",
     "timeseries_gapfill",
+    "snapshot_upsert",
 ]
 
 # Rows-only-by-design queries that may sit past the window: engine-
@@ -156,13 +157,14 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # CORRECTNESS_r04 (the most recent check) with code unchanged since, or
 # — the last five names — r02/r03-green window overflow (also
 # code-unchanged + oracle-backed).  After the round-5 second batch the
-# priority set is 46 and the mid set 4, so 46 + 4 = 50 names fill the
+# priority set is 47 and the mid set 3, so 47 + 3 = 50 names fill the
 # window exactly (the mid set includes rows-only-by-design
 # profile_approx, whitelisted below).  Safety net for the tail remains
 # tests/test_oracle_all.py.
 _DEFERRED = [
-    # moved here for the round-5 second batch (13 new priority queries):
+    # moved here for the round-5 second batch (14 new priority queries):
     # every name below is r2-green, code-unchanged, oracle-backed
+    "text_fingerprint",
     "text_quality",
     "self_join_lineitem",
     "text_langid",

@@ -652,3 +652,55 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot upsert (lakehouse MERGE shape: updates win, base carries)
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_upsert",
+    """
+    WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+    ), neu AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+    )
+    SELECT coalesce(neu.doc_id, old.doc_id) AS doc_id,
+           md5(coalesce(neu.text, old.text)) AS text_md5,
+           neu.doc_id IS NOT NULL AS from_update
+    FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+    """,
+    "Lakehouse MERGE/upsert: the update batch wins per key, the base "
+    "carries everything else — one key-equi full-outer join + coalesce "
+    "(same simulated snapshots as corpus_diff, which CLASSIFIES the "
+    "delta; this one MATERIALIZES the merged corpus).  Unlike the "
+    "diff, the merge is a write path, so payloads legitimately ride "
+    "the key shuffle; the md5 output keeps the oracle compare "
+    "digest-sized.",
+)
+def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    old = docs.filter(did % 13 != 0).select(
+        "doc_id", F.col("text").alias("t_old")
+    )
+    new = (
+        docs.filter(did % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(did % 17 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("t_new"),
+        )
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.md5(F.coalesce("t_new", "t_old")).alias("text_md5"),
+            F.col("t_new").isNotNull().alias("from_update"),
+        )
+    )
