@@ -388,12 +388,15 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     days = du.select("day").distinct()
+    # no distinct on the exploded contributions: countDistinct below
+    # dedups (day, user) itself, and an explicit distinct would add a
+    # full extra shuffle of the 7x-fanned relation
     contrib = du.select(
         F.explode(
             F.sequence(F.col("day"), F.col("day") + F.lit(6))
         ).alias("day"),
         "user_id",
-    ).distinct()
+    )
     return (
         contrib.join(days, "day", "left_semi")
         .groupBy("day")
