@@ -39,9 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: idf quantization scale.  ln(N/df) < 30 for any N < 10^13, so a
-#: quantized idf is < 3·10^5; with tf < 10^4 a weight fits in < 3·10^9
-#: and a squared weight in < 10^19 / 10^? — see the bound note in
-#: tfidf_vectors.
+#: quantized idf is < 3·10^5.  The binding constraint is on SUMS, not
+#: single weights — see the overflow bound in tfidf_vectors.
 IDF_SCALE = 10_000
 
 
@@ -77,16 +76,29 @@ def tfidf_vectors(tf: DataFrame, min_df: int = 2,
     idf = ln(N/df) over the documents present in ``tf``; weights are
     ``tf · round(idf·scale)`` as BIGINT so downstream sums are exact.
 
-    Overflow bound: round(idf·scale) ≤ 30·scale = 3·10^5; with
-    tf ≤ 10^4 a weight is ≤ 3·10^9, a squared weight ≤ 9·10^18 — at
-    the int64 edge, so keep ``scale`` at 10^4 unless tf is known
-    smaller.  At the test corpus (tf < 10^2, N < 10^4) the headroom is
-    ~10^6.
+    Overflow bound — the binding constraint is the downstream SUMS
+    (per-doc norm Σw² and per-pair dot Σw_a·w_b), not a single weight:
+    with T distinct surviving terms per document the contract is
+    T · w_max² < 2^63.  At scale=10^4 (idf_q ≤ 3·10^5): tf ≤ 10 gives
+    w ≤ 3·10^6 and headroom for T ≤ 10^6 terms/doc; tf ≤ 10^3 gives
+    w ≤ 3·10^8 and T ≤ 10^2.  For corpora with both huge tf and huge
+    vocabularies per document, lower ``scale`` (cosine is invariant to
+    the uniform factor up to quantization error).  Note Spark's
+    non-ANSI long sum WRAPS silently on overflow (→ negative norm →
+    NaN sim → pair silently dropped) while DuckDB errors — stay inside
+    the bound.  At the test corpus (tf < 10^2, T < 10^3) headroom is
+    ~10^4.
 
     The df band [min_df, max_df_frac·N] is the candidate-bound: df=1
     terms can never produce a pair, and the high-df head is where the
     quadratic fan-out (and, for TF-IDF, near-zero weight) lives.
+
+    ``tf`` feeds three consumers here (the df aggregate, the N
+    aggregate, and the weight join), so it is cached — otherwise the
+    upstream shingle explode + first aggregation re-executes per
+    consumer when the vectors relation materializes.
     """
+    tf = tf.cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
     w = (

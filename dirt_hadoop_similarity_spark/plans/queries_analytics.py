@@ -18,6 +18,19 @@ from dirt_hadoop_similarity_spark.plans.queries import load, register
 from dirt_hadoop_similarity_spark.plans.queries_more import ts_micros
 
 
+def epoch_day(us: F.Column) -> F.Column:
+    """Integer epoch-day bucket from epoch microseconds — pure integer
+    arithmetic, no calendar/DST semantics.  ``us - us % c`` is an exact
+    multiple of c, so the division is exact (remainder-subtracted
+    division, the zorder_frame pattern).  Truncates toward zero where
+    the oracles' ``//`` floors; equivalent here because event
+    timestamps are post-1970 (non-negative micros).  The SQL twin
+    literal ``// 86400000000`` appears in the rolling_distinct_users
+    and timeseries_gapfill oracles — keep the constant in sync."""
+    c = F.lit(86_400_000_000)
+    return ((us - (us % c)) / c).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # lexical all-pairs similarity (inverted-index TF-IDF cosine)
 # ---------------------------------------------------------------------------
@@ -380,12 +393,9 @@ def subquery_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     du = (
-        ev.select(ts_micros(F.col("ts")).alias("us"), "user_id")
-        .select(
-            F.expr("CAST(us DIV 86400000000 AS BIGINT)").alias("day"),
-            "user_id",
-        )
-        .distinct()
+        ev.select(
+            epoch_day(ts_micros(F.col("ts"))).alias("day"), "user_id"
+        ).distinct()
     )
     days = du.select("day").distinct()
     # no distinct on the exploded contributions: countDistinct below
@@ -593,7 +603,15 @@ _MONTHLY_TOP_SQL = """
 def sql_monthly_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_MONTHLY_TOP_SQL)
+    df = spark.sql(_MONTHLY_TOP_SQL)
+    # spark.sql() resolves relations eagerly at analysis time, so the
+    # views can be dropped immediately — leaving them registered would
+    # leak session state: any LATER spark.sql text in a long-lived
+    # session (bench, driver) would silently resolve 'lineitem' to
+    # whatever sf_dir this query last saw
+    spark.catalog.dropTempView("lineitem")
+    spark.catalog.dropTempView("orders")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -632,10 +650,8 @@ def sql_monthly_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = (
-        ev.select(ts_micros(F.col("ts")).alias("us"), "event_type")
-        .select(
-            F.expr("CAST(us DIV 86400000000 AS BIGINT)").alias("day"),
-            "event_type",
+        ev.select(
+            epoch_day(ts_micros(F.col("ts"))).alias("day"), "event_type"
         )
         .groupBy("day", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -697,6 +713,11 @@ def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(did % 17 == 0, F.concat("text", F.lit(" v2")))
             .otherwise(F.col("text"))
             .alias("t_new"),
+            # row-presence marker: from_update must mean "this key was in
+            # the update batch", not "its payload is non-null" — a NULL
+            # text in the batch is still an update (matches the oracle's
+            # neu.doc_id IS NOT NULL)
+            F.lit(True).alias("in_update"),
         )
     )
     return (
@@ -704,6 +725,6 @@ def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.md5(F.coalesce("t_new", "t_old")).alias("text_md5"),
-            F.col("t_new").isNotNull().alias("from_update"),
+            F.coalesce("in_update", F.lit(False)).alias("from_update"),
         )
     )
