@@ -52,7 +52,10 @@ def shingle_tf(docs: DataFrame, n: int = 3, text_col: str = "text",
     contract shared with functions/bpe.py), and KEEPS duplicate
     shingles as counts — unlike dedup.word_shingles, which is a set.
     Documents shorter than ``n`` words yield their full token join as
-    one shingle, so no document silently disappears.
+    one shingle; empty/whitespace-only documents yield NO terms (the
+    would-be '' shingle is filtered) and therefore drop out of the
+    df/N statistics entirely — without the filter, two blank docs
+    share '' as a real term and score sim=1.0.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
@@ -63,6 +66,7 @@ def shingle_tf(docs: DataFrame, n: int = 3, text_col: str = "text",
     return (
         docs.select(F.col(id_col).alias("doc_id"),
                     F.explode(shingles).alias("term"))
+        .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -134,7 +138,23 @@ def cosine_pairs(vectors: DataFrame, threshold: float = 0.35) -> DataFrame:
     similarity.ivfpq_build/search).
     """
     vectors = vectors.cache()
-    norms = vectors.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm"))
+    # Loud overflow guard: Spark's non-ANSI long sum WRAPS silently, and
+    # a wrapped Σw² is negative with high probability — which would make
+    # sqrt() NaN and silently DROP every pair touching the doc.  The
+    # assert is spliced into the norm value itself (assert_true yields
+    # NULL on success → coalesce 0 → identity) so column pruning can
+    # never elide it; in-bound corpora (tfidf_vectors' documented
+    # T·w_max² < 2^63 contract) pay one comparison per doc row.
+    nrm = F.sum(F.col("w") * F.col("w"))
+    guarded = nrm + F.coalesce(
+        F.assert_true(
+            nrm >= 0,
+            "textsim: int64 overflow in Σw² — lower tfidf_vectors' "
+            "`scale` (see the overflow bound in its docstring)",
+        ).cast("long"),
+        F.lit(0),
+    )
+    norms = vectors.groupBy("doc_id").agg(guarded.alias("nrm"))
     a = vectors.select(F.col("doc_id").alias("doc_lo"), "term",
                        F.col("w").alias("w_lo"))
     b = vectors.select(F.col("doc_id").alias("doc_hi"), "term",

@@ -48,7 +48,9 @@ _COSINE_SCORED_CTE = """
                    unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
             FROM base) expanded
     ), tf AS (
-      SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2
+      -- mirror shingle_tf's empty-term filter: blank docs yield no terms
+      SELECT doc_id, term, count(*) AS tf FROM sh
+      WHERE term <> '' GROUP BY 1, 2
     ), nd AS (
       SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
     ), dfreq AS (
@@ -269,10 +271,18 @@ def join_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    # filter on the UN-cast sum first (matches the oracle's HAVING,
+    # which sees the raw sum) — casting before the comparison would
+    # truncate a non-integral group sum (e.g. 300.5 → 300) and drop a
+    # group DuckDB keeps; the integral-quantity contract makes them
+    # equal on this data, but the order should not depend on it
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 300)
+        .agg(F.sum("l_quantity").alias("_sum_qty_raw"))
+        .filter(F.col("_sum_qty_raw") > 300)
+        .select(
+            "l_orderkey", F.col("_sum_qty_raw").cast("long").alias("sum_qty")
+        )
     )
     return (
         F.broadcast(big)
@@ -601,17 +611,16 @@ _MONTHLY_TOP_SQL = """
     "functions on the naive value, timezone-free in both engines.",
 )
 def sql_monthly_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    df = spark.sql(_MONTHLY_TOP_SQL)
-    # spark.sql() resolves relations eagerly at analysis time, so the
-    # views can be dropped immediately — leaving them registered would
-    # leak session state: any LATER spark.sql text in a long-lived
-    # session (bench, driver) would silently resolve 'lineitem' to
-    # whatever sf_dir this query last saw
-    spark.catalog.dropTempView("lineitem")
-    spark.catalog.dropTempView("orders")
-    return df
+    # isolated child session: same SparkContext, shared cache, SEPARATE
+    # temp-view namespace — so registering 'lineitem'/'orders' here can
+    # never replace (or, on cleanup, delete) a view of the same name a
+    # long-lived caller session had registered.  The child session needs
+    # no teardown: its views die with it, and the returned DataFrame
+    # keeps it alive exactly as long as the result is in use.
+    s = spark.newSession()
+    load(s, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(s, sf_dir, "orders").createOrReplaceTempView("orders")
+    return s.sql(_MONTHLY_TOP_SQL)
 
 
 # ---------------------------------------------------------------------------

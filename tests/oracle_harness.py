@@ -60,9 +60,15 @@ def compare_query(spark, name: str, sf_dir: str) -> dict:
     from dirt_hadoop_similarity_spark.plans.queries import ordered_registry
 
     qd = ordered_registry()[name]
-    sdf = qd.fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        sdf = qd.fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        # queries cache() internal relations and rely on the caller to
+        # clear them (the bench does the same): without this, a 115-query
+        # sweep accumulates every query's cached relations in one session
+        spark.catalog.clearCache()
 
     result = {
         "name": name,
