@@ -125,6 +125,98 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     )
 
 
+def _floordiv_long(a: Column, b: int) -> Column:
+    """Exact floor division of an int64 column by a positive literal —
+    the lm._floordiv construction (subtract the positive remainder,
+    then divide the exactly-divisible difference): identical across
+    engines, floor (not truncate) for negative values."""
+    c = F.lit(int(b))
+    pm = ((a % c) + c) % c
+    return ((a - pm).cast("double") / c.cast("double")).cast("long")
+
+
+def exact_ntile(df: DataFrame, n: int, value: str, tiebreak: str,
+                out: str = "ntile", coarse: int = 10_000) -> DataFrame:
+    """EXACT ``ntile(n) OVER (ORDER BY value, tiebreak)`` without a
+    global sort — the scale-safe replacement for the unpartitioned
+    window, which serializes the whole relation through ONE task.
+
+    Requirements: ``value`` is int64 (quantize doubles order-preservingly
+    first, e.g. money → cents), ``(value, tiebreak)`` is unique per row
+    (what makes ntile's output well-defined at all).
+
+    Two-level rank (the lm.perplexity_tiers bucket-spine trick, extended
+    from order-statistic THRESHOLDS to a full per-row rank):
+
+      1. rows bucket by ``floor(value / coarse)``; per-bucket counts +
+         a cumulative sum over the BUCKET spine (bounded: value-range /
+         coarse rows, regardless of corpus size) give each bucket the
+         row-mass strictly before it;
+      2. a window partitioned BY BUCKET (bounded partitions — never the
+         whole relation) ranks rows within their bucket by
+         (value, tiebreak); global rank = mass-before-bucket + in-bucket
+         rank.
+
+    The ntile label then follows from the rank in closed form: with
+    N rows, q = N div n, r = N mod n, the first r tiles hold q+1 rows —
+    pure int64 arithmetic, engine-exact.
+
+    Skew caveat: bucket width is by VALUE, so a single value carrying a
+    huge share of rows concentrates its bucket (same caveat as
+    perplexity_tiers); pick ``coarse`` so value-range/coarse ≫ executor
+    count and no single bucket dwarfs the rest.
+
+    Output: input columns + ``out`` (long, 1-based tile index).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if coarse < 1:
+        raise ValueError(f"coarse must be >= 1, got {coarse}")
+    reserved = {"_b", "_cb", "_before", "_rn", "_n_total", out} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
+    v = F.col(value)
+    bucketed = df.withColumn("_b", _floordiv_long(v, coarse))
+
+    # level 1: bucket spine — bounded relation, bounded cumsum window
+    spine = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    wsp = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    spine = spine.select(
+        "_b", F.coalesce(F.sum("_cb").over(wsp), F.lit(0)).alias("_before")
+    )
+
+    # level 2: in-bucket rank — partitions are buckets, never the corpus
+    win = Window.partitionBy("_b").orderBy(value, tiebreak)
+    ranked = (
+        bucketed.withColumn("_rn", F.row_number().over(win).cast("long"))
+        .join(F.broadcast(spine), "_b")
+        .withColumn("_rn", F.col("_before") + F.col("_rn"))
+    )
+
+    # closed-form ntile from the 1-based global rank
+    nn = df.agg(F.count(F.lit(1)).alias("_n_total"))
+    q = _floordiv_long(F.col("_n_total"), n)
+    r = F.col("_n_total") - q * n
+    boundary = r * (q + 1)  # rows 1..boundary live in the first r tiles
+    rank0 = F.col("_rn") - 1
+    # (q+1)-sized head tiles, q-sized tail tiles; divisions are of
+    # non-negative int64 → truncation == floor, engine-exact (the q=0
+    # corner never reaches the tail branch: boundary = N there)
+    head = ((rank0 - rank0 % (q + 1)).cast("double")
+            / (q + 1).cast("double")).cast("long") + 1
+    tail_rank0 = rank0 - boundary
+    tail = r + ((tail_rank0 - tail_rank0 % q).cast("double")
+                / q.cast("double")).cast("long") + 1
+    tile = F.when(F.col("_rn") <= boundary, head).otherwise(tail)
+    return (
+        ranked.crossJoin(F.broadcast(nn))
+        .withColumn(out, tile)
+        .drop("_b", "_before", "_rn", "_n_total")
+    )
+
+
 def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
     """Morton (Z-order) key: interleave the low ``bits`` of two
     non-negative int columns — bit i of ``a`` lands at position 2i, of

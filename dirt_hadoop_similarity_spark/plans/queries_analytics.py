@@ -315,17 +315,29 @@ def join_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM customer) t
     GROUP BY quartile
     """,
-    "ntile(4) banding over a total order (acctbal, custkey tiebreak) "
-    "— min/max per band are order-free, so the result is exact.  The "
-    "unpartitioned window is the documented single-reducer exception: "
-    "at scale, band via percent_rank on a range-partitioned sort.",
+    "EXACT ntile(4) banding over a total order (acctbal, custkey "
+    "tiebreak) computed WITHOUT a global sort: scale.exact_ntile's "
+    "two-level bucket-spine rank (bounded spine cumsum + bucket-"
+    "partitioned in-bucket windows) replaces the single-reducer "
+    "unpartitioned window the naive ntile() plan serializes through — "
+    "the oracle still runs the real ntile(), pinning the rewrite's "
+    "row-for-row equivalence.  acctbal quantizes to cents exactly "
+    "(2-decimal money), so the integer rank key preserves the double "
+    "order.",
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
+    from dirt_hadoop_similarity_spark.operators.scale import exact_ntile
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        "c_custkey",
+        # cents: exact for 2-decimal money doubles, order-preserving
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("_cents"),
+    )
     return (
-        c.select(
-            "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+        exact_ntile(
+            c, 4, value="_cents", tiebreak="c_custkey",
+            out="quartile", coarse=10_000,
         )
         .groupBy("quartile")
         .agg(

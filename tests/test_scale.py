@@ -170,3 +170,74 @@ class TestZOrder:
         b = {(r["doc_id"], r["zval"]) for r in scale.zorder_frame(
             docs.repartition(13), "doc_id", "nc", bits=8).collect()}
         assert a == b
+
+
+class TestExactNtile:
+    """exact_ntile must reproduce the builtin ntile() row-for-row while
+    keeping every unpartitioned window off corpus-sized relations."""
+
+    def _reference(self, spark, rows, n):
+        from pyspark.sql import Window as W
+
+        df = spark.createDataFrame(rows, "v long, t long")
+        w = W.orderBy("v", "t")
+        return {
+            (r.v, r.t): r.q
+            for r in df.select(
+                "v", "t", F.ntile(n).over(w).cast("long").alias("q")
+            ).collect()
+        }
+
+    @pytest.mark.parametrize("n,nrows", [(4, 97), (3, 30), (7, 5), (1, 13)])
+    def test_matches_builtin_ntile(self, spark, n, nrows):
+        import random
+
+        rng = random.Random(42 + n * 1000 + nrows)
+        # negative values + heavy ties exercise the floor-div bucketing
+        # and the tiebreak path; tiny coarse forces many buckets
+        rows = [
+            (rng.randint(-50, 50), t) for t in range(nrows)
+        ]
+        expected = self._reference(spark, rows, n)
+        df = spark.createDataFrame(rows, "v long, t long")
+        got = {
+            (r.v, r.t): r.q
+            for r in scale.exact_ntile(
+                df, n, value="v", tiebreak="t", out="q", coarse=7
+            ).collect()
+        }
+        assert got == expected
+
+    def test_reserved_column_collision_raises(self, spark):
+        df = spark.range(3).select(F.col("id").alias("v"),
+                                   F.col("id").alias("_rn"))
+        with pytest.raises(ValueError, match="reserved"):
+            scale.exact_ntile(df, 2, value="v", tiebreak="_rn")
+
+    def test_ntile_quartiles_no_corpus_single_partition_window(
+        self, spark, sf_dir
+    ):
+        """The rewritten ntile_quartiles query: every Exchange
+        SinglePartition in the executed plan feeds either the bounded
+        bucket spine or a scalar aggregate — never the customer rows
+        themselves (no c_custkey may reach a single-partition exchange)."""
+        from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+        from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+        df = QUERIES["ntile_quartiles"].fn(spark, sf_dir)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        blocks = [
+            b for b in formatted.split("\n\n")
+            if ") Exchange" in b.split("\n", 1)[0]
+            and "SinglePartition" in b
+        ]
+        for block in blocks:
+            input_line = next(
+                ln for ln in block.splitlines() if ln.startswith("Input")
+            )
+            assert "c_custkey#" not in input_line, block
+            assert "c_acctbal#" not in input_line, block
+        # and the builtin corpus-wide ntile must be gone entirely
+        assert "ntile(" not in formatted, formatted
