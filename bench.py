@@ -75,6 +75,16 @@ HEADLINE = [
     # MinHash-LSH) and the 6-table snowflake join (Q5 shape)
     "text_cosine_pairs",
     "join_region_revenue",
+    # round-6 additions: the remaining >5-shuffle-stage cost classes
+    # (per VERDICT r5 §5 — no heavy executed plan stays unbenched)
+    "text_cosine_topk",
+    "subquery_below_avg",
+    "snapshot_upsert",
+    # round-6: BPE trainer pair — sequential (8 rounds, 1 merge each)
+    # vs batched (same 8 merges in ~2 rounds); the delta IS the
+    # job-count win the batched trainer exists for
+    "bpe_train_merges",
+    "bpe_train_batched",
 ]
 
 

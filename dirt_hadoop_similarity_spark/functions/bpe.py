@@ -219,10 +219,16 @@ def train_batched(
                 .filter(F.col("n") >= 2)
             )
             # over-fetch: symbol collisions among the top ranks defer
-            # some picks, so pull 4x the budget (still a bounded
-            # TakeOrdered, rows not corpus-sized)
+            # some picks, so pull 4x the batch budget (still a bounded
+            # TakeOrdered, rows not corpus-sized).  The pool is a FIXED
+            # 4·batch — not 4·want — so every round's candidate pool is
+            # a pure function of (vocab state, batch): the unrolled
+            # DuckDB oracle replays the identical pool round-for-round,
+            # and the final-round truncation (want < batch) reduces to
+            # taking the greedy walk's prefix, which the oracle's global
+            # rank cutoff reproduces exactly.
             want = min(batch, n_merges - len(merges))
-            top = counts.orderBy(F.desc("n"), F.asc("p")).limit(4 * want).collect()
+            top = counts.orderBy(F.desc("n"), F.asc("p")).limit(4 * batch).collect()
             if not top:
                 break
             picked = pick_non_interfering(

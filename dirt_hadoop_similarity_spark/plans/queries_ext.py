@@ -1658,6 +1658,126 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merge_table(spark, merges)
 
 
+def _bpe_batched_oracle_sql(n_merges: int = 8, batch: int = 4) -> str:
+    """Unroll the BATCHED trainer (functions/bpe.train_batched) exactly:
+    per round, pair-count the current vocab, rank the top 4·batch
+    candidates by (count desc, pair asc), replay the greedy
+    non-interfering selection (pick j = lowest-ranked candidate after
+    pick j-1 whose {l, r, l+r} is disjoint from every prior pick's
+    triple — bpe.pick_non_interfering's exact walk) as chained
+    LIMIT-1 CTEs, then apply each pick's separator-doubled literal
+    replace.  The final global rank cutoff at ``n_merges`` reproduces
+    the trainer's want-capped last round: greedy selection is
+    prefix-stable (a pick never depends on later picks), so truncating
+    the full-batch walk equals running it with the smaller want.
+    Rounds are unrolled to the worst case (one pick per round =
+    ``n_merges`` rounds); rounds past the trainer's stopping point
+    contribute picks the rank cutoff drops."""
+    S = "chr(31)"
+    pool = 4 * batch
+    parts = [f"""WITH b0_v{batch} AS MATERIALIZED (
+  SELECT {S} || regexp_replace(word, '(.)', '\\1' || {S}, 'g') AS sym, c
+  FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '')) AS word
+          FROM documents)
+    GROUP BY word
+  )
+)"""]
+    for r in range(1, n_merges + 1):
+        prev = f"b{r - 1}_v{batch}"
+        parts.append(f"""b{r}_rk AS MATERIALIZED (
+  SELECT string_split(p, {S})[1] AS ml, string_split(p, {S})[2] AS mr,
+         string_split(p, {S})[1] || string_split(p, {S})[2] AS prod,
+         n, CAST(row_number() OVER (ORDER BY n DESC, p ASC) AS BIGINT) AS rk
+  FROM (
+    SELECT pr AS p, CAST(sum(c) AS BIGINT) AS n
+    FROM (
+      SELECT c, unnest(list_transform(generate_series(1, len(l) - 1),
+                                      j -> l[j] || {S} || l[j + 1])) AS pr
+      FROM (SELECT list_filter(string_split(sym, {S}), s -> s <> '') AS l, c
+            FROM {prev})
+    )
+    GROUP BY pr
+    HAVING sum(c) >= 2
+    ORDER BY n DESC, p ASC LIMIT {pool}
+  )
+)""")
+        for j in range(1, batch + 1):
+            if j == 1:
+                parts.append(f"""b{r}_p1 AS MATERIALIZED (
+  SELECT ml, mr, prod, n, rk FROM b{r}_rk ORDER BY rk LIMIT 1
+)""")
+            else:
+                disjoint = "\n    AND ".join(
+                    f"NOT EXISTS (SELECT 1 FROM b{r}_p{q} x WHERE "
+                    f"c.ml IN (x.ml, x.mr, x.prod) OR "
+                    f"c.mr IN (x.ml, x.mr, x.prod) OR "
+                    f"c.prod IN (x.ml, x.mr, x.prod))"
+                    for q in range(1, j)
+                )
+                parts.append(f"""b{r}_p{j} AS MATERIALIZED (
+  SELECT c.ml, c.mr, c.prod, c.n, c.rk FROM b{r}_rk c
+  WHERE c.rk > (SELECT rk FROM b{r}_p{j - 1})
+    AND {disjoint}
+  ORDER BY c.rk LIMIT 1
+)""")
+        for j in range(1, batch + 1):
+            prev_v = f"b{r}_v{j - 1}" if j > 1 else prev
+            parts.append(f"""b{r}_v{j} AS MATERIALIZED (
+  SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM b{r}_p{j}) THEN sym ELSE
+    replace(
+      replace(
+        replace(sym, {S}, {S} || {S}),
+        {S} || (SELECT ml FROM b{r}_p{j}) || {S} || {S} || (SELECT mr FROM b{r}_p{j}) || {S},
+        {S} || (SELECT ml FROM b{r}_p{j}) || (SELECT mr FROM b{r}_p{j}) || {S}
+      ),
+      {S} || {S}, {S}
+    ) END AS sym, c
+  FROM {prev_v}
+)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {r} AS rnd, {j} AS pk, ml, mr, n FROM b{r}_p{j}"
+        for r in range(1, n_merges + 1)
+        for j in range(1, batch + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+picks AS (
+  {unions}
+)
+SELECT rank, ml AS "left", mr AS "right", n AS pair_freq FROM (
+  SELECT CAST(row_number() OVER (ORDER BY rnd, pk) AS BIGINT) AS rank,
+         ml, mr, n
+  FROM picks
+) WHERE rank <= {n_merges}
+ORDER BY rank"""
+    )
+
+
+@register(
+    "bpe_train_batched",
+    _bpe_batched_oracle_sql(8, 4),
+    "BATCHED BPE training (8 merges, batch 4): up to 4 symbol-disjoint "
+    "merges learned per Spark round instead of 1, cutting the job count "
+    "O(n_merges) → O(n_merges/batch) — the 32k-merge scale path.  "
+    "Non-interfering merges commute (shared symbol needed to destroy, "
+    "product-as-symbol needed to create an occurrence), so each pick "
+    "behaves exactly as the round's single merge.  Oracle: the greedy "
+    "non-interfering walk unrolled as chained LIMIT-1 pick CTEs per "
+    "round + the separator-doubled replace per applied pick.",
+)
+def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.functions import bpe
+
+    merges = bpe.train_batched(
+        load(spark, sf_dir, "documents"), n_merges=8, batch=4
+    )
+    return bpe.merge_table(spark, merges)
+
+
 # ---------------------------------------------------------------------------
 # boilerplate n-gram detection
 # ---------------------------------------------------------------------------
