@@ -749,3 +749,94 @@ def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_update", F.lit(False)).alias("from_update"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming with a driver-checkable face: the queries below
+# run a REAL streaming query (writeStream → memory sink, watermarked
+# state) to completion and return the materialized sink — so the
+# correctness gate exercises the streaming code path itself, not just
+# its batch twin.
+# ---------------------------------------------------------------------------
+
+def _run_stream_to_memory(df: DataFrame, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@register(
+    "stream_dedup_events",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, user_id, event_type,
+           value, props,
+           CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                AS BIGINT) AS ts_us
+    FROM events
+    """,
+    "Streaming exactly-once dedup, driver-checked END TO END: the events "
+    "file is replayed as TWO unioned file-source streams (every event "
+    "delivered twice — the at-least-once condition), pushed through "
+    "dropDuplicatesWithinWatermark into a memory sink, and the "
+    "materialized sink must equal the original events relation row for "
+    "row (the batch-dedup oracle).  The watermark horizon is set past "
+    "the corpus's time span so no key is evicted mid-replay; production "
+    "tunes it to the source's real re-delivery window (state is bounded "
+    "by watermark × arrival rate).",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    doubled = sev.stream_events(spark, sf_dir).unionByName(
+        sev.stream_events(spark, sf_dir)
+    )
+    deduped = sev.dedup_events(
+        doubled, key_cols=("event_id",), watermark="3650 days"
+    )
+    name = "stream_dedup_events_sink"
+    _run_stream_to_memory(deduped, name, "append")
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", "value", "props",
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+                          date_trunc('hour', ts)) AS BIGINT)
+             AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Streaming tumbling-window aggregation, driver-checked END TO END: "
+    "the events file streams through the watermarked window aggregate "
+    "(streaming/events.windowed_counts — real state store, real "
+    "event-time windows) into a complete-mode memory sink; the "
+    "materialized windows must equal the batch hourly aggregate.  "
+    "Hour windows align to the epoch, so date_trunc on the naive "
+    "timestamp is the exact oracle under the fixed-offset session zone "
+    "ts_micros already enforces.",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    agg = sev.windowed_counts(sev.stream_events(spark, sf_dir))
+    name = "stream_windowed_counts_sink"
+    _run_stream_to_memory(agg, name, "complete")
+    return spark.table(name).select(
+        ts_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total_value", 4).alias("total_value"),
+    )
