@@ -81,89 +81,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # new in round 5 — never driver-sampled: the value-checked full-DAG
-    # composition (Porter-fixed-point vocabulary)
-    "dirt_pipeline_exact",
-    # oracle added in round 5 (was rows-only): must earn its first
-    # hash-green row
-    "bpe_train_merges",
-    # code changed in round 5 and must re-earn a driver row:
-    "curation_funnel",       # annotate caches its scored relation
-    "ann_hard_negatives",    # exact scorer routed to cosine_topk_gemm
-    "ann_recall_eval",       # exact side routed to cosine_topk_gemm
-    "ann_gemm_topk",         # _quant_np exact-HALF_UP rewrite
-    "reservoir_per_group",   # reserved-column collision guard
-    "asof_join_events",      # ts_micros now asserts fixed-offset tz
-    "window_range_frame",    # ts_micros now asserts fixed-offset tz
-    "ann_ivf_topk",          # corpus assignment on the GEMM engine
-    "ann_ivfpq_topk",        # fused zero-shuffle GEMM index build
-    # signature VALUES changed by the MinHash double-hashing rewrite —
-    # every consumer of minhash_signatures must re-earn its row
-    "dedup_minhash_lsh",
-    "dedup_lsh_verified",     # new in round 5 — never driver-sampled
-    "dedup_incremental",
-    "dedup_components",
-    "dedup_components_ls",
-    "dedup_cluster_keepers",
-    "dedup_threshold_sweep",
-    # flagship composition: deliberate rows-only driver row
-    "dirt_full_pipeline",
-    # round-5 extraction rebalance (single-split inputs repartition
-    # before the UDF) — code changed, must re-earn its row
-    "dirt_extract_counts",
-    # new in round 5 — never driver-sampled: per-source quality-ranked
-    # caps, cluster-balanced embedding sampling, cross-split
-    # contamination audit
-    "source_cap_keepers",
-    "cluster_balanced_sample",
-    "split_contamination",
-    "source_budget_waterfill",
-    "event_user_outliers",
-    "ann_ivfpq_rerank",
-    "bpe_encode_corpus",
-    "lm_perplexity_tiers",
-    "zorder_events",
-    "ann_filtered_topk",
-    "cohort_retention",
-    "funnel_conversion",
-    "text_normalize",
-    # new in round 5 (second batch) — never driver-sampled: lexical
-    # all-pairs TF-IDF cosine, Q5/Q18-shape joins, grouping sets,
-    # event cadence, ntile banding
-    "text_cosine_pairs",
-    "join_region_revenue",
-    "grouping_sets_status",
-    "event_interarrival",
-    "join_top_spenders",
-    "ntile_quartiles",
-    "subquery_below_avg",
-    "rolling_distinct_users",
-    "corr_price_quantity",
-    "decimal_revenue_exact",
-    "text_cosine_topk",
-    "sql_monthly_top_orders",
-    "timeseries_gapfill",
-    "snapshot_upsert",
-]
-
-# Rows-only-by-design queries that may sit past the window: engine-
-# specific sketch outputs cannot value-match any oracle; their accuracy
-# bounds are pytest-pinned (test_queries_misc) and they held a rows-only
-# driver row in a previous round.
-_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
-# Rotation policy: entries whose last driver-green row is OLDEST stay in
-# the window; the deferred tail is drawn from the MOST recently checked
-# round.  Round 5: everything below is either hash-green in
-# CORRECTNESS_r04 (the most recent check) with code unchanged since, or
-# — the last five names — r02/r03-green window overflow (also
-# code-unchanged + oracle-backed).  After the round-5 second batch the
-# priority set is 47 and the mid set 3, so 47 + 3 = 50 names fill the
-# window exactly (the mid set includes rows-only-by-design
-# profile_approx, whitelisted below).  Safety net for the tail remains
-# tests/test_oracle_all.py.
-_DEFERRED = [
-    # moved here for the round-5 second batch (14 new priority queries):
-    # every name below is r2-green, code-unchanged, oracle-backed
+    # new in round 6 — never driver-sampled: the batched BPE trainer
+    # (greedy non-interfering picks, unrolled oracle) and the two
+    # streaming queries whose memory-sink output the oracle checks
+    "bpe_train_batched",
+    "stream_dedup_events",
+    "stream_windowed_counts",
+    # code changed in round 6 — must re-earn driver rows:
+    "ntile_quartiles",        # bucket-spine exact ntile, no global sort
+    "join_top_spenders",      # HAVING filter before the long cast
+    "sql_monthly_top_orders", # isolated child session for temp views
+    "text_cosine_pairs",      # shingle empty-term filter + Σw² guard
+    "text_cosine_topk",       # same textsim changes
+    # freshness rotation (VERDICT r5 task 1): every query whose latest
+    # driver-green row dates to round 2 — all code-unchanged since and
+    # locally oracle-green on every pytest run (test_oracle_all)
     "text_fingerprint",
     "text_quality",
     "self_join_lineitem",
@@ -179,23 +111,26 @@ _DEFERRED = [
     "left_join_coalesce",
     "pivot_orderstatus",
     "least_greatest_pairs",
-    # moved here in round 5 to fund the window for the round-5
-    # priority additions above (9 new queries + the promoted
-    # dirt_extract_counts): every name below is prior-round-green,
-    # code-unchanged, oracle-backed
     "rollup_returnflag",
-    "q3_shipping_priority",
-    "dedup_distinct",
     "bpe_pair_counts",
     "decontaminate",
-    "training_shards",
-    "pii_redact",
     "stratified_sample",
     "text_boilerplate",
     "dataset_split",
     "text_tfidf_top_terms",
-    "sequence_packing",
     "embedding_near_dups",
+    # …and round 3 — same contract
+    "q3_shipping_priority",
+    "dedup_distinct",
+    "training_shards",
+    "pii_redact",
+    "sequence_packing",
+    "unpivot_orderstatus",
+    "percentile_exact",
+    "profile_columns",
+    "cube_status_priority",
+    "window_sliding",
+    # oldest round-4 rows, filling the window to exactly 50
     "sessionize",
     "range_join_events",
     "window_cumsum",
@@ -205,6 +140,73 @@ _DEFERRED = [
     "text_repetition",
     "vocab_oov_rate",
     "join_salted_skew",
+]
+
+# Rows-only-by-design queries that may sit past the window:
+#   * profile_approx — engine-specific sketch outputs cannot value-match
+#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc);
+#   * dirt_full_pipeline — stemmer-active vocabulary no SQL oracle can
+#     reproduce (documented, r5 rows-only driver row); its value-checked
+#     twin dirt_pipeline_exact is hash-green (r5) and stays oracle-backed.
+_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx", "dirt_full_pipeline"}
+# Rotation policy: entries whose last driver-green row is OLDEST (or
+# whose code changed, or that never had a row) fill the window; the
+# deferred tail is drawn from the MOST recently checked rounds.
+# Round 6: _PRIORITY is exactly 50 names (3 new + 5 code-changed + the
+# 23 r2-era + 10 r3-era stale rows + 9 oldest-r4 fillers), so the window
+# is fully determined and _DEFERRED enumerates every other name — all
+# r4/r5-green, code-unchanged since their row, oracle-backed (or
+# whitelisted rows-only above).  Safety net for the tail remains
+# tests/test_oracle_all.py, which re-runs every oracle on every pytest
+# run.
+_DEFERRED = [
+    # r5-green (hash) — the entire round-5 priority cohort
+    "dirt_pipeline_exact",
+    "bpe_train_merges",
+    "curation_funnel",
+    "ann_hard_negatives",
+    "ann_recall_eval",
+    "ann_gemm_topk",
+    "reservoir_per_group",
+    "asof_join_events",
+    "window_range_frame",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_incremental",
+    "dedup_components",
+    "dedup_components_ls",
+    "dedup_cluster_keepers",
+    "dedup_threshold_sweep",
+    "dirt_full_pipeline",
+    "dirt_extract_counts",
+    "source_cap_keepers",
+    "cluster_balanced_sample",
+    "split_contamination",
+    "source_budget_waterfill",
+    "event_user_outliers",
+    "ann_ivfpq_rerank",
+    "bpe_encode_corpus",
+    "lm_perplexity_tiers",
+    "zorder_events",
+    "ann_filtered_topk",
+    "cohort_retention",
+    "funnel_conversion",
+    "text_normalize",
+    "join_region_revenue",
+    "grouping_sets_status",
+    "event_interarrival",
+    "subquery_below_avg",
+    "rolling_distinct_users",
+    "corr_price_quantity",
+    "decimal_revenue_exact",
+    "timeseries_gapfill",
+    "snapshot_upsert",
+    "profile_approx",
+    "text_rolling_hash",
+    "text_token_budget",
+    # r4-green, code-unchanged, oracle-backed
     "skew_profile",
     "mixture_resample",
     "corpus_diff",
@@ -228,12 +230,6 @@ _DEFERRED = [
     "media_frames_text",
     "media_features",
     "ann_pq_topk",
-    # r02/r03-green window overflow (see note above)
-    "unpivot_orderstatus",
-    "percentile_exact",
-    "profile_columns",
-    "cube_status_priority",
-    "window_sliding",
 ]
 
 
