@@ -138,13 +138,16 @@ def cosine_pairs(vectors: DataFrame, threshold: float = 0.35) -> DataFrame:
     similarity.ivfpq_build/search).
     """
     vectors = vectors.cache()
-    # Loud overflow guard: Spark's non-ANSI long sum WRAPS silently, and
-    # a wrapped Σw² is negative with high probability — which would make
-    # sqrt() NaN and silently DROP every pair touching the doc.  The
-    # assert is spliced into the norm value itself (assert_true yields
-    # NULL on success → coalesce 0 → identity) so column pruning can
-    # never elide it; in-bound corpora (tfidf_vectors' documented
-    # T·w_max² < 2^63 contract) pay one comparison per doc row.
+    # Loud overflow guard.  Under ANSI mode (the Spark 4 default) an
+    # overflowing w·w already raises ARITHMETIC_OVERFLOW; but with
+    # spark.sql.ansi.enabled=false the long sum WRAPS silently, a
+    # wrapped Σw² is negative with high probability, sqrt() goes NaN,
+    # and every pair touching the doc is silently DROPPED.  The assert
+    # is spliced into the norm value itself (assert_true yields NULL on
+    # success → coalesce 0 → identity) so column pruning can never elide
+    # it; in-bound corpora (tfidf_vectors' documented T·w_max² < 2^63
+    # contract) pay one comparison per doc row.  Both failure modes are
+    # pinned in tests/test_textsim.py.
     nrm = F.sum(F.col("w") * F.col("w"))
     guarded = nrm + F.coalesce(
         F.assert_true(

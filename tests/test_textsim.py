@@ -196,3 +196,62 @@ def test_cosine_topk_neighbors_symmetric_and_ranked(spark):
         assert [nb for _, nb, _ in lst] == sorted(
             x for x in (1, 2, 3) if x != d
         )[:2]
+
+
+def test_near_bound_weights_exact_and_overflow_guard_loud(spark):
+    """The tfidf_vectors overflow contract (T·w_max² < 2^63), both sides:
+
+    * IN bound, even within half an order of magnitude of 2^63, every
+      norm/dot is still an exact int64 sum and the cosine matches a
+      pure-Python arbitrary-precision computation bit for bit;
+    * PAST the bound, Spark's non-ANSI long sum wraps silently — the
+      Σw² guard spliced into cosine_pairs' norm aggregate must turn
+      that into a LOUD error, never a silently-dropped pair.
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # T in 1..4 shared terms; per-term weights drawn so that
+    # T·w_max² ≈ (0.5..0.95)·2^63 — the top of the legal range
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=4),
+        st.floats(min_value=0.5, max_value=0.95),
+        st.randoms(use_true_random=False),
+    )
+    def check_in_bound(t, frac, rng):
+        w_max = int(math.isqrt(int(frac * 2**63) // t))
+        rows = []
+        for j in range(t):
+            wa = rng.randint(w_max // 2, w_max)
+            wb = rng.randint(w_max // 2, w_max)
+            rows += [(0, f"t{j}", wa), (1, f"t{j}", wb)]
+        vecs = spark.createDataFrame(rows, "doc_id long, term string, w long")
+        got = textsim.cosine_pairs(vecs, threshold=0.0).collect()
+        assert len(got) == 1
+        dot = sum(rows[2 * j][2] * rows[2 * j + 1][2] for j in range(t))
+        n0 = sum(rows[2 * j][2] ** 2 for j in range(t))
+        n1 = sum(rows[2 * j + 1][2] ** 2 for j in range(t))
+        assert n0 < 2**63 and n1 < 2**63  # the construction stays legal
+        want = round(dot / (math.sqrt(float(n0)) * math.sqrt(float(n1))), 6)
+        assert got[0].sim == pytest.approx(want, abs=1.1e-6)
+
+    check_in_bound()
+
+    # past the bound the failure must be LOUD in either ANSI mode:
+    # ANSI on (the Spark 4 default) errors in the multiply itself;
+    # ANSI off wraps silently — there the Σw² guard must fire
+    bad = spark.createDataFrame(
+        [(0, "t", 3_100_000_000), (1, "t", 3_100_000_000)],
+        "doc_id long, term string, w long",
+    )
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+            textsim.cosine_pairs(bad, threshold=0.0).collect()
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(Exception, match="textsim: int64 overflow"):
+            textsim.cosine_pairs(bad, threshold=0.0).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
