@@ -74,6 +74,7 @@ def shingle_tf(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def tfidf_vectors(tf: DataFrame, min_df: int = 2,
                   max_df_frac: float = 0.10,
+                  max_df: int | None = None,
                   scale: int = IDF_SCALE) -> DataFrame:
     """Quantized-int64 TF-IDF weights: (doc_id, term, w).
 
@@ -97,6 +98,14 @@ def tfidf_vectors(tf: DataFrame, min_df: int = 2,
     terms can never produce a pair, and the high-df head is where the
     quadratic fan-out (and, for TF-IDF, near-zero weight) lives.
 
+    ``max_df`` is the ABSOLUTE posting-list cap production scale
+    REQUIRES: a fractional cut of a 10^10-doc corpus is not a bound —
+    a term at df = 0.09·N still fans out ~4·10^17 candidate partials.
+    When set, a term survives only if df ≤ min(max_df, max_df_frac·N),
+    capping per-term fan-out at max_df·(max_df−1)/2 regardless of
+    corpus size.  Left None here only because the test corpora are
+    small; pass it explicitly in any production plan.
+
     ``tf`` feeds three consumers here (the df aggregate, the N
     aggregate, and the weight join), so it is cached — otherwise the
     upstream shingle explode + first aggregation re-executes per
@@ -109,13 +118,15 @@ def tfidf_vectors(tf: DataFrame, min_df: int = 2,
         F.col("tf")
         * F.round(F.log(F.col("n_docs") / F.col("df")) * scale).cast("long")
     )
+    band = (F.col("df") >= min_df) & (
+        F.col("df") <= F.col("n_docs") * max_df_frac
+    )
+    if max_df is not None:
+        band = band & (F.col("df") <= int(max_df))
     return (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(nd))
-        .filter(
-            (F.col("df") >= min_df)
-            & (F.col("df") <= F.col("n_docs") * max_df_frac)
-        )
+        .filter(band)
         .select("doc_id", "term", w.alias("w"))
     )
 

@@ -64,8 +64,26 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert len(rows) == 1
 
     report = (out / "report.md").read_text()
+    # pin the table against AnalysisReport.md:18-24's exact row set and
+    # style: ':---'-aligned Metric/Value header, bolded metric names,
+    # the reference's five rows in the reference's order
+    assert "| Metric | Value |\n| :--- | :--- |" in report
+    metric_rows = [
+        l for l in report.splitlines() if l.startswith("| **")
+    ]
+    assert [r.split("|")[1].strip() for r in metric_rows] == [
+        "**Pairs Found**",
+        "**Optimal Threshold**",
+        "**Precision**",
+        "**Recall**",
+        "**F1 Score**",
+    ]
     assert "| **Pairs Found** | 1 |" in report
-    assert "## False negatives" in report
+    assert "| **Precision** | 1.0000 |" in report
+    # evaluate_dirt.py's print_error_analysis sections, all four classes
+    for section in ("## True positives", "## False positives",
+                    "## True negatives", "## False negatives"):
+        assert section in report
 
     # mi/sum_mi Job-2/2.5 artifacts exist and are non-empty
     assert glob.glob(str(out / "mi.tsv" / "part-*"))

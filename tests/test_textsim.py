@@ -255,3 +255,32 @@ def test_near_bound_weights_exact_and_overflow_guard_loud(spark):
             textsim.cosine_pairs(bad, threshold=0.0).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+
+
+def test_absolute_max_df_caps_posting_lists(spark):
+    """The production fan-out bound: with max_df set, a term's posting
+    list never exceeds it even when the fractional band would admit it."""
+    # term 'hot' in 6 of 8 docs; 'warm' in 3; 'rare' in 2
+    rows = []
+    for d in range(6):
+        rows.append((d, "hot", 1))
+    for d in range(3):
+        rows.append((d, "warm", 1))
+    for d in range(2):
+        rows.append((d, "rare", 1))
+    for d in range(8):
+        rows.append((d, f"solo{d}", 1))  # df=1 filler so n_docs = 8
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+
+    frac_only = {
+        r.term for r in textsim.tfidf_vectors(
+            tf, min_df=2, max_df_frac=1.0).select("term").distinct().collect()
+    }
+    assert frac_only == {"hot", "warm", "rare"}
+
+    capped = {
+        r.term for r in textsim.tfidf_vectors(
+            tf, min_df=2, max_df_frac=1.0, max_df=3
+        ).select("term").distinct().collect()
+    }
+    assert capped == {"warm", "rare"}  # 'hot' (df=6) exceeds the cap
