@@ -840,3 +840,42 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("total_value", 4).alias("total_value"),
     )
+
+
+def _sessionize_oracle() -> str:
+    # the batch sessionize window query IS the semantic spec for the
+    # stateful operator — share its oracle text verbatim
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    return QUERIES["sessionize"].oracle
+
+
+@register(
+    "stream_sessionize",
+    _sessionize_oracle(),
+    "CUSTOM STATEFUL streaming operator, driver-checked END TO END: "
+    "per-user session counting via applyInPandasWithState (30-minute "
+    "gap rule) over the replayed events stream, update-mode memory "
+    "sink; the per-user MAX over emitted updates is the final state "
+    "(both counters are monotone), and it must equal the batch window "
+    "sessionize — the one registry entry exercising the arbitrary-"
+    "stateful API, not a built-in streaming aggregate.  Replay caveat: "
+    "state updates sort events per user within a batch, so cross-batch "
+    "disorder would need watermark-delayed finalization in production; "
+    "the file replay delivers whole files per batch, keeping each "
+    "user's stream in order.",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    out = sev.sessionize_stateful(sev.stream_events(spark, sf_dir))
+    name = "stream_sessionize_sink"
+    _run_stream_to_memory(out, name, "update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("n_events"),
+        )
+    )
