@@ -85,6 +85,10 @@ HEADLINE = [
     # job-count win the batched trainer exists for
     "bpe_train_merges",
     "bpe_train_batched",
+    # round-6: streaming cost class — a real watermarked streaming query
+    # (doubled replay → dropDuplicatesWithinWatermark → memory sink)
+    # timed end to end, micro-batch machinery included
+    "stream_dedup_events",
 ]
 
 
