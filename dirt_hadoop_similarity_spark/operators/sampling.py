@@ -147,6 +147,90 @@ def mixture_resample(df: DataFrame, parts: dict[str, int], group_col: str,
     )
 
 
+def temperature_mixture(df: DataFrame, group_col: str, key: str,
+                        tau: int = 2, max_repeat: int = 1,
+                        salt: str = "temperature") -> DataFrame:
+    """Temperature-flattened mixture resampling (the multilingual
+    standard — UniMax / mT5-style sampling, arXiv:2304.09151 §3): group
+    g's output share is proportional to ``n_g^(1/tau)`` instead of
+    ``n_g``, so head languages/sources are downweighted and the tail is
+    upweighted without hand-picking per-group weights.  tau=1 keeps the
+    natural distribution; tau→∞ approaches uniform.
+
+    This is :func:`mixture_resample`'s exact integer machinery with the
+    parts VECTOR derived in-plan from the data: w_g = floor(n_g^(1/tau))
+    (≥ 1 whenever the group has rows).  ``tau`` is limited to powers of
+    two (2, 4, 8): the exponent then factors into a chain of IEEE-754
+    sqrt's — each correctly rounded, hence bit-identical in any engine —
+    where a general pow() is NOT portable across libm implementations.
+    Everything after the sqrt chain is bigint div arithmetic, and epoch
+    membership uses the same (salt, key) hash bucket as
+    :func:`deterministic_sample`, so the result is repartition-proof and
+    oracle-replayable bit for bit.
+
+    Output: input columns + ``epoch`` (1-based; a row appears once per
+    epoch, ``max_repeat=1`` is downsample-only).  Bounds: exactness of
+    the floor needs n_g < 2^52; the budget products need
+    w_max · n_total · max_repeat · Σw < 2^63 (generous until ~10^12-row
+    corpora; rescale w by a constant right-shift beyond).
+
+    Scale shape: one column-pruned count pass (k rows out), a 1-row Σw
+    and a 1-row budget min, the k-row factor table broadcast back onto
+    the corpus — no driver arithmetic, no collect, no extra corpus pass.
+    """
+    if tau not in (2, 4, 8):
+        raise ValueError(
+            f"tau must be one of 2, 4, 8 (sqrt-chain portability), got {tau}"
+        )
+    if max_repeat < 1:
+        raise ValueError(f"max_repeat must be >= 1, got {max_repeat}")
+
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    w: Column = F.col("_n").cast("double")
+    t = tau
+    while t > 1:
+        w = F.sqrt(w)
+        t //= 2
+    counts = counts.withColumn("_w", F.floor(w).cast("long"))
+    sums = counts.agg(F.sum("_w").alias("_s"))
+
+    budget = (
+        counts.crossJoin(F.broadcast(sums))
+        .select(
+            F.expr(f"min(_n * {max_repeat} * _s div _w)").alias("_budget")
+        )
+    )
+    factors = (
+        counts.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(budget))
+        .withColumn("_need", F.expr("_w * _budget"))  # units: rows * Σw
+        .withColumn("_epochs", F.expr("_need div (_s * _n)"))
+        .withColumn(
+            "_rem_bound",
+            F.expr(f"(_need - _epochs * _s * _n) * {GRANULARITY} div (_s * _n)"),
+        )
+        .select(group_col, "_epochs", "_rem_bound")
+    )
+    gated = (
+        df.join(F.broadcast(factors), group_col)
+        .withColumn(
+            "_copies",
+            F.col("_epochs")
+            + F.when(split_bucket(F.col(key), salt=salt) < F.col("_rem_bound"),
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+        .filter(F.col("_copies") >= 1)
+    )
+    return (
+        gated.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies")))
+        )
+        .drop("_epochs", "_rem_bound", "_copies")
+    )
+
+
 def stratified_sample(df: DataFrame, rates: dict[str, float], group_col: str,
                       key: str, default_rate: float = 0.0,
                       salt: str = "stratified") -> DataFrame:

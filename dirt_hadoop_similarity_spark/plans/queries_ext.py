@@ -2079,6 +2079,58 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_BUCKET = ("CAST(('0x' || substr(md5('temperature|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+                "AS UBIGINT)::BIGINT % 10000")
+
+_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+  FROM counts
+),
+sums AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM weighted),
+budget AS (
+  SELECT min((n * 2 * s) // w) AS b FROM weighted CROSS JOIN sums
+),
+factors AS (
+  SELECT source,
+         (w * b) // (s * n) AS epochs,
+         ((w * b) - ((w * b) // (s * n)) * s * n) * 10000 // (s * n)
+           AS rem_bound
+  FROM weighted CROSS JOIN sums CROSS JOIN budget
+),
+gated AS (
+  SELECT d.doc_id, d.source,
+         f.epochs + (CASE WHEN {_TEMP_BUCKET} < f.rem_bound THEN 1 ELSE 0 END)
+           AS copies
+  FROM documents d JOIN factors f USING (source)
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+FROM gated WHERE copies >= 1
+"""
+
+
+@register(
+    "temperature_mixture",
+    _TEMPERATURE_SQL,
+    "Temperature-flattened mixture (UniMax/mT5-style tau=2, <=2 epochs): "
+    "per-source share proportional to sqrt(n) — weights DERIVED from the "
+    "data in-plan (floor of the IEEE sqrt chain, bit-portable where "
+    "pow() is not), then mixture_resample's exact bigint-div budget/"
+    "epoch machinery with the k-row factor table broadcast back.",
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.temperature_mixture(
+        docs, "source", "doc_id", tau=2, max_repeat=2
+    )
+
+
 # PII injection: the synthetic corpus is digit/@-free word salad, so the
 # query plants deterministic doc_id-derived spans in ~1/5, 1/7, 1/11 of
 # docs — detection is fully controlled and zero-count rows prove the

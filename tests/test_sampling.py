@@ -432,3 +432,65 @@ class TestBudgetWaterfill:
         with pytest.raises(ValueError, match="budget"):
             sampling.budget_waterfill(
                 self._per_group(spark, [("a", 1)]), 0)
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark):
+        # heavily skewed: 'web' 400 rows, 'books' 100, 'code' 25
+        rows = (
+            [(i, "web") for i in range(400)]
+            + [(1000 + i, "books") for i in range(100)]
+            + [(2000 + i, "code") for i in range(25)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_flattens_toward_uniform(self, spark):
+        from dirt_hadoop_similarity_spark.operators import sampling
+
+        df = self._docs(spark)
+        out = sampling.temperature_mixture(
+            df, "source", "doc_id", tau=2, max_repeat=2
+        )
+        shares = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(shares.values())
+        # input shares: web 0.76, books 0.19, code 0.048
+        # sqrt weights 20/10/5 → targets ≈ 0.571/0.286/0.143
+        assert shares["web"] / total < 0.65          # head flattened down
+        assert shares["code"] / total > 0.10         # tail lifted up
+        # and the realized mixture tracks the sqrt targets closely
+        # (within granularity rounding of the exact integer machinery)
+        assert abs(shares["web"] / total - 20 / 35) < 0.02
+        assert abs(shares["books"] / total - 10 / 35) < 0.02
+        assert abs(shares["code"] / total - 5 / 35) < 0.02
+
+    def test_epoch_bound_and_determinism(self, spark):
+        from dirt_hadoop_similarity_spark.operators import sampling
+
+        df = self._docs(spark)
+        out = sampling.temperature_mixture(
+            df, "source", "doc_id", tau=2, max_repeat=2
+        )
+        assert out.agg(F.max("epoch")).collect()[0][0] <= 2
+        a = {(r.doc_id, r.epoch) for r in out.collect()}
+        b = {
+            (r.doc_id, r.epoch)
+            for r in sampling.temperature_mixture(
+                df.repartition(13), "source", "doc_id", tau=2, max_repeat=2
+            ).collect()
+        }
+        assert a == b  # repartition-proof
+
+    def test_tau_validation(self, spark):
+        from dirt_hadoop_similarity_spark.operators import sampling
+
+        df = self._docs(spark)
+        with pytest.raises(ValueError, match="tau"):
+            sampling.temperature_mixture(df, "source", "doc_id", tau=3)
+        with pytest.raises(ValueError, match="max_repeat"):
+            sampling.temperature_mixture(
+                df, "source", "doc_id", tau=2, max_repeat=0
+            )
