@@ -223,3 +223,69 @@ def duplicate_clusters(edges: DataFrame, src: str = "id_a",
             F.array_sort(F.collect_list("node")).alias("member_ids"),
         )
     )
+
+
+def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+             iters: int = 5, damping_pct: int = 85,
+             scale: int = 1_000_000) -> DataFrame:
+    """Integer-exact PageRank over the undirected pair graph — link
+    analysis for duplicate-cluster centrality (which member is the
+    best-connected "canonical" doc) and general graph scoring.
+
+    The classic iteration, fully quantized to int64 so every engine
+    computes the identical fixed prefix (no float anywhere):
+
+        pr_0(v)     = scale                      (uniform, unnormalized)
+        pr_{k+1}(v) = ((100-d)·scale) div 100
+                      + (d · Σ_{u~v} (pr_k(u) div deg(u))) div 100
+
+    with d = ``damping_pct``.  Truncating integer division loses a few
+    micro-units of mass per hop — the standard price of exactness here
+    (the same trade MI/cosine quantization makes); rankings at
+    scale=10^6 are indistinguishable from float PageRank.  A fixed
+    ``iters`` (not convergence detection) keeps the computation a pure
+    function of the graph, so a SQL oracle replays it by unrolling.
+
+    Scale shape: each iteration is one |edges|-keyed join plus a
+    node-keyed groupBy-sum (map-side partials); the label relation is
+    ``localCheckpoint``-ed per round — same lineage discipline as
+    :func:`connected_components`.  Bound: damping_pct·N·scale < 2^63
+    (a star center can collect ~all mass), so N < ~10^14 / scale.
+
+    Returns (node, d, pr): node id, degree, final integer PageRank.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().cache()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("u").alias("node"), "d"
+    ).cache()
+    nodes = deg.select("node")
+    base = ((100 - damping_pct) * scale) // 100
+    pr = nodes.select("node", F.lit(int(scale)).cast("long").alias("pr"))
+    for _ in range(iters):
+        msgs = (
+            pr.join(deg, "node")
+            .select(F.col("node").alias("u"), F.expr("pr div d").alias("m"))
+            .join(und, "u")
+            .groupBy("v")
+            .agg(F.sum("m").alias("c"))
+            .select(F.col("v").alias("node"), "c")
+        )
+        pr = (
+            nodes.join(msgs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(c, 0)) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.join(deg, "node")

@@ -89,6 +89,7 @@ _PRIORITY = [
     "stream_windowed_counts",
     "stream_sessionize",
     "temperature_mixture",
+    "dedup_pagerank",
     # code changed in round 6 — must re-earn driver rows:
     "ntile_quartiles",        # bucket-spine exact ntile, no global sort
     "join_top_spenders",      # HAVING filter before the long cast
@@ -139,7 +140,6 @@ _PRIORITY = [
     "window_tumbling",
     "union_label",
     "json_props_extract",
-    "text_repetition",
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -152,8 +152,8 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx", "dirt_full_pipeline"}
 # Rotation policy: entries whose last driver-green row is OLDEST (or
 # whose code changed, or that never had a row) fill the window; the
 # deferred tail is drawn from the MOST recently checked rounds.
-# Round 6: _PRIORITY is exactly 50 names (5 new + 5 code-changed + the
-# 23 r2-era + 10 r3-era stale rows + 7 oldest-r4 fillers), so the window
+# Round 6: _PRIORITY is exactly 50 names (6 new + 5 code-changed + the
+# 23 r2-era + 10 r3-era stale rows + 6 oldest-r4 fillers), so the window
 # is fully determined and _DEFERRED enumerates every other name — all
 # r4/r5-green, code-unchanged since their row, oracle-backed (or
 # whitelisted rows-only above).  Safety net for the tail remains
@@ -207,6 +207,7 @@ _DEFERRED = [
     "text_rolling_hash",
     "text_token_budget",
     # r4-green, code-unchanged, oracle-backed
+    "text_repetition",
     "vocab_oov_rate",
     "join_salted_skew",
     "skew_profile",

@@ -1122,6 +1122,68 @@ FROM reach GROUP BY node
 """
 
 
+def _pagerank_sql(iters: int = 5, damping_pct: int = 85,
+                  scale: int = 1_000_000) -> str:
+    """Unroll the integer PageRank iteration (components.pagerank):
+    same fixed prefix, one CTE per hop — all `//` floor division of
+    non-negative int64, so both engines agree bit for bit."""
+    base = ((100 - damping_pct) * scale) // 100
+    parts = [f"""WITH pairs AS (
+  SELECT id_a, id_b FROM ({_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+),
+pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM deg)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""pr{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base} + ({damping_pct} * COALESCE(s.c, 0)) // 100 AS BIGINT)
+           AS pr
+  FROM (SELECT node FROM deg) n
+  LEFT JOIN (
+    SELECT e.v AS node, CAST(sum(p.pr // dg.d) AS BIGINT) AS c
+    FROM pr{i - 1} p
+    JOIN deg dg ON dg.node = p.node
+    JOIN und e ON e.u = p.node
+    GROUP BY e.v
+  ) s ON s.node = n.node
+)""")
+    return ",\n".join(parts) + f"""
+SELECT d.node AS doc_id, d.d AS degree, p.pr AS pr_micro
+FROM pr{iters} p JOIN deg d ON d.node = p.node
+"""
+
+
+@register(
+    "dedup_pagerank",
+    _pagerank_sql(),
+    "Iterative link analysis over the near-dup graph: 5 rounds of "
+    "integer-exact PageRank (pr div deg messages, damping 85/100, all "
+    "int64 div — no float anywhere) scoring each document's centrality "
+    "inside its duplicate cluster, the 'which member is canonical' "
+    "signal.  Oracle: the iteration unrolled into one MATERIALIZED CTE "
+    "per hop over the same MinHash/LSH edge relation.",
+)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import components
+
+    pairs = dedup.minhash_near_duplicates(
+        load(spark, sf_dir, "documents")
+    ).filter(F.col("est_jaccard") >= 0.5)
+    pr = components.pagerank(pairs, iters=5)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("d").cast("long").alias("degree"),
+        F.col("pr").alias("pr_micro"),
+    )
+
+
 @register(
     "dedup_components",
     _COMPONENTS_SQL,

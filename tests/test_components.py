@@ -143,3 +143,55 @@ def test_cluster_keepers_picks_richest_member(spark):
         .collect()
     }
     assert keepers == {1: (2, 99), 7: (7, 5)}
+
+
+class TestPagerank:
+    def _pr_reference(self, edges, iters=5, damping=85, scale=1_000_000):
+        """Pure-Python replica of the integer iteration."""
+        und = set()
+        for a, b in edges:
+            und.add((a, b)); und.add((b, a))
+        nodes = sorted({u for u, _ in und})
+        deg = {n: sum(1 for u, _ in und if u == n) for n in nodes}
+        base = (100 - damping) * scale // 100
+        pr = {n: scale for n in nodes}
+        for _ in range(iters):
+            inbox = {n: 0 for n in nodes}
+            for u, v in und:
+                inbox[v] += pr[u] // deg[u]
+            pr = {n: base + damping * inbox[n] // 100 for n in nodes}
+        return pr, deg
+
+    def test_matches_hand_iteration(self, spark):
+        from dirt_hadoop_similarity_spark.operators import components
+
+        # path + triangle + isolated pair: mixed degrees
+        edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: (r.d, r.pr)
+            for r in components.pagerank(df, iters=5).collect()
+        }
+        want_pr, want_deg = self._pr_reference(edges)
+        assert got == {n: (want_deg[n], want_pr[n]) for n in want_pr}
+
+    def test_star_center_dominates_and_symmetry(self, spark):
+        from dirt_hadoop_similarity_spark.operators import components
+
+        star = [(0, i) for i in range(1, 7)]
+        df = spark.createDataFrame(star, "id_a long, id_b long")
+        got = {r.node: r.pr for r in components.pagerank(df).collect()}
+        leaves = {got[i] for i in range(1, 7)}
+        assert len(leaves) == 1          # symmetric nodes score equal
+        assert got[0] > max(leaves) * 3  # the hub dominates
+
+    def test_validation(self, spark):
+        import pytest
+
+        from dirt_hadoop_similarity_spark.operators import components
+
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="iters"):
+            components.pagerank(df, iters=0)
+        with pytest.raises(ValueError, match="damping_pct"):
+            components.pagerank(df, damping_pct=101)
