@@ -89,6 +89,11 @@ HEADLINE = [
     # (doubled replay → dropDuplicatesWithinWatermark → memory sink)
     # timed end to end, micro-batch machinery included
     "stream_dedup_events",
+    # round-6: iterative link analysis (5 PageRank rounds = ~10 keyed
+    # shuffles + per-round checkpoint materialization over the MinHash
+    # edge relation) — the iterative-graph cost class next to the
+    # components pair
+    "dedup_pagerank",
 ]
 
 
