@@ -195,3 +195,30 @@ class TestPagerank:
             components.pagerank(df, iters=0)
         with pytest.raises(ValueError, match="damping_pct"):
             components.pagerank(df, damping_pct=101)
+
+    def test_random_graphs_match_reference(self, spark):
+        """Property: on arbitrary random graphs the distributed integer
+        iteration equals the pure-Python replica exactly (no float, so
+        equality is bitwise, not approximate)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dirt_hadoop_similarity_spark.operators import components
+
+        edge = st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda e: e[0] != e[1]
+        )
+        graph = st.lists(edge, min_size=1, max_size=25)
+
+        @settings(max_examples=8, deadline=None)
+        @given(graph)
+        def check(edges):
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {
+                r.node: (r.d, r.pr)
+                for r in components.pagerank(df, iters=4).collect()
+            }
+            want_pr, want_deg = self._pr_reference(edges, iters=4)
+            assert got == {n: (want_deg[n], want_pr[n]) for n in want_pr}
+
+        check()
