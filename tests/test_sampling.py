@@ -494,3 +494,59 @@ class TestTemperatureMixture:
             sampling.temperature_mixture(
                 df, "source", "doc_id", tau=2, max_repeat=0
             )
+
+    def test_random_corpora_match_reference(self, spark):
+        """Property: the in-plan integer machinery equals a pure-Python
+        replica (sqrt-floor weights, budget min, epoch/remainder split,
+        md5-bucket gating) exactly on arbitrary group shapes."""
+        import hashlib
+        import math
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dirt_hadoop_similarity_spark.operators import sampling
+
+        sizes = st.lists(st.integers(1, 60), min_size=1, max_size=4)
+
+        def bucket(key):
+            h = hashlib.md5(f"temperature|{key}".encode()).hexdigest()
+            return (int(h[:15], 16)) % 10_000
+
+        @settings(max_examples=6, deadline=None)
+        @given(sizes, st.integers(1, 2))
+        def check(ns, max_repeat):
+            rows = []
+            did = 0
+            for gi, n in enumerate(ns):
+                for _ in range(n):
+                    rows.append((did, f"s{gi}"))
+                    did += 1
+            df = spark.createDataFrame(rows, "doc_id long, source string")
+            got = {
+                (r.doc_id, r.epoch)
+                for r in sampling.temperature_mixture(
+                    df, "source", "doc_id", tau=2, max_repeat=max_repeat
+                ).collect()
+            }
+            # replica
+            w = {f"s{gi}": int(math.floor(math.sqrt(n)))
+                 for gi, n in enumerate(ns)}
+            s = sum(w.values())
+            b = min(n * max_repeat * s // w[f"s{gi}"]
+                    for gi, n in enumerate(ns))
+            want = set()
+            for gi, n in enumerate(ns):
+                g = f"s{gi}"
+                need = w[g] * b
+                epochs = need // (s * n)
+                rem_bound = (need - epochs * s * n) * 10_000 // (s * n)
+                for doc_id, src in rows:
+                    if src != g:
+                        continue
+                    copies = epochs + (1 if bucket(doc_id) < rem_bound else 0)
+                    for ep in range(1, copies + 1):
+                        want.add((doc_id, ep))
+            assert got == want
+
+        check()
