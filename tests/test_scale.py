@@ -241,3 +241,51 @@ class TestExactNtile:
             assert "c_acctbal#" not in input_line, block
         # and the builtin corpus-wide ntile must be gone entirely
         assert "ntile(" not in formatted, formatted
+
+
+def test_floordiv_long_exact_past_2_53(spark):
+    """VERDICT r6 ADVICE (medium): the old double-round-trip division was
+    off by one past 2^53 — microsecond-epoch magnitudes (~1.7e18) are
+    inside the advertised int64 domain and must bucket exactly."""
+    vals = [
+        (1 << 62) + 2,          # double path truncates this /2 wrong
+        1_700_000_000_000_000_000,   # microsecond epoch, year 2023
+        -((1 << 62) + 6),
+        (1 << 53) + 1,
+        -3, 0, 7,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for c in (2, 3, 1_000_000):
+        got = {
+            r.v: r.q
+            for r in df.select(
+                "v", scale._floordiv_long(F.col("v"), c).alias("q")
+            ).collect()
+        }
+        want = {v: v // c for v in vals}  # Python // is floor division
+        assert got == want, f"coarse={c}"
+
+
+def test_exact_ntile_on_microsecond_epoch_values(spark):
+    """exact_ntile over values where the old bucketing math loses bits:
+    the tile assignment must match a brute-force rank-based replica."""
+    base = 1_700_000_000_000_000_000
+    rows = [(base + i * ((1 << 40) + 7), i) for i in range(23)]
+    df = spark.createDataFrame(rows, "v long, t long")
+    out = {
+        (r.v, r.t): r.q
+        for r in scale.exact_ntile(
+            df, 4, value="v", tiebreak="t", out="q", coarse=(1 << 41)
+        ).collect()
+    }
+    ordered = sorted(rows)
+    n, k = len(rows), 4
+    q, rem = divmod(n, k)
+    want = {}
+    for rank0, (v, t) in enumerate(ordered):
+        boundary = rem * (q + 1)
+        if rank0 < boundary:
+            want[(v, t)] = rank0 // (q + 1) + 1
+        else:
+            want[(v, t)] = rem + (rank0 - boundary) // q + 1
+    assert out == want

