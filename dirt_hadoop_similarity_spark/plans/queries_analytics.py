@@ -623,27 +623,120 @@ _MONTHLY_TOP_SQL = """
     "functions on the naive value, timezone-free in both engines.",
 )
 def sql_monthly_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # isolated child session: same SparkContext, shared cache, SEPARATE
-    # temp-view namespace — so registering 'lineitem'/'orders' here can
-    # never replace (or, on cleanup, delete) a view of the same name a
-    # long-lived caller session had registered.  The child session needs
-    # no teardown: its views die with it, and the returned DataFrame
-    # keeps it alive exactly as long as the result is in use.
+    return _sql_frontend(
+        spark, sf_dir, ("lineitem", "orders"), _MONTHLY_TOP_SQL
+    )
+
+
+def _sql_frontend(spark: SparkSession, sf_dir: str,
+                  tables: tuple[str, ...], sql: str) -> DataFrame:
+    """Run a dialect-common SQL text through the engine's SQL surface.
+
+    Isolated child session: same SparkContext, shared cache, SEPARATE
+    temp-view namespace — so registering table views here can never
+    replace (or, on cleanup, delete) a view of the same name a
+    long-lived caller session had registered.  The child session needs
+    no teardown: its views die with it, and the returned DataFrame
+    keeps it alive exactly as long as the result is in use.
+    """
     s = spark.newSession()
     # newSession() starts from builder-time defaults, NOT the caller's
     # runtime confs — replay the caller's explicitly-set SQL confs (the
     # `SET` command lists exactly those) so ANSI/timezone/tuning sweeps
-    # exercised on the caller session cover this query too.  Static or
-    # unsettable entries are skipped.
+    # exercised on the caller session cover these queries too.  Static
+    # or unsettable entries are skipped.
     for row in spark.sql("SET").collect():
         try:
             if s.conf.get(row["key"], None) != row["value"]:
                 s.conf.set(row["key"], row["value"])
         except Exception:
             pass  # static conf (e.g. spark.sql.warehouse.dir) — keep default
-    load(s, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    load(s, sf_dir, "orders").createOrReplaceTempView("orders")
-    return s.sql(_MONTHLY_TOP_SQL)
+    for t in tables:
+        load(s, sf_dir, t).createOrReplaceTempView(t)
+    return s.sql(sql)
+
+
+# SQL front-end parity as a CLASS, not a sample (VERDICT r6 task 7):
+# three more dialect-common texts over shapes already verified through
+# the DataFrame API — a correlated scalar subquery (the Q17
+# decorrelation subquery_below_avg expresses by hand), a running-total
+# window, and GROUPING SETS with GROUPING_ID.  Each text executes
+# verbatim in BOTH engines.
+
+_SQL_BELOW_AVG = """
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           round(sum(l1.l_extendedprice), 4) AS sum_price
+    FROM lineitem l1
+    WHERE l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+@register(
+    "sql_below_avg",
+    _SQL_BELOW_AVG,
+    "SQL front-end: a genuinely CORRELATED scalar subquery (TPC-H Q17 "
+    "shape) — Catalyst must decorrelate it into the grouped-aggregate "
+    "join that subquery_below_avg hand-writes; the same text runs in "
+    "DuckDB.  Quantities are integral, so the per-part average is an "
+    "exact double and the < comparison is deterministic in both "
+    "engines.",
+)
+def sql_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_frontend(spark, sf_dir, ("lineitem",), _SQL_BELOW_AVG)
+
+
+_SQL_RUNNING_TOTAL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderkey) AS BIGINT) AS rn,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderkey) AS BIGINT)
+             AS running_cents
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders) orev
+"""
+
+
+@register(
+    "sql_running_total",
+    _SQL_RUNNING_TOTAL,
+    "SQL front-end: per-customer running revenue as one window text in "
+    "both engines.  Prices quantize to integer cents BEFORE the window "
+    "sum, so the cumulation is exact int64 no matter how each engine "
+    "orders or trees its frame arithmetic (DuckDB segment-trees window "
+    "aggregates — float running sums would diverge); o_orderkey is "
+    "unique per customer, making the default RANGE frame equal ROWS "
+    "and every rank deterministic.",
+)
+def sql_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_frontend(spark, sf_dir, ("orders",), _SQL_RUNNING_TOTAL)
+
+
+_SQL_GROUPING_SETS = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+"""
+
+
+@register(
+    "sql_grouping_sets",
+    _SQL_GROUPING_SETS,
+    "SQL front-end: explicit GROUPING SETS + GROUPING_ID as one text in "
+    "both engines — the SQL twin of grouping_sets_status (DataFrame "
+    "groupingSets API), pinning that the Expand-based rollup plan is "
+    "reachable through the SQL surface too.",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_frontend(spark, sf_dir, ("orders",), _SQL_GROUPING_SETS)
 
 
 # ---------------------------------------------------------------------------
@@ -889,4 +982,46 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_sessions").cast("long").alias("n_sessions"),
             F.max("n_events").cast("long").alias("n_events"),
         )
+    )
+
+
+@register(
+    "stream_interval_join",
+    """
+    SELECT e.user_id,
+           CAST(e.event_id AS BIGINT) AS error_id,
+           CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', e.ts)
+                AS BIGINT) AS error_ts_us,
+           CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', p.ts)
+                AS BIGINT) AS purchase_ts_us
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts < e.ts
+     AND p.ts >= e.ts - INTERVAL 30 MINUTE
+    """,
+    "STREAM-STREAM interval join, driver-checked END TO END: the events "
+    "file streams through streaming/events.purchases_before_errors — a "
+    "real watermarked two-stream join (both sides carry 1-hour "
+    "watermarks bounding the join state; inner-join matches emit "
+    "without waiting for the watermark, which only evicts state) — "
+    "into an append-mode memory sink, and the materialized matches "
+    "must equal the batch range join row for row (the "
+    "range_join_events oracle shape, row-level instead of counted).  "
+    "The last of the four streaming operators to earn a driver row; "
+    "its batch twin is queries_more.range_join_events.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    joined = sev.purchases_before_errors(
+        sev.stream_events(spark, sf_dir), window_seconds=1800
+    )
+    name = "stream_interval_join_sink"
+    _run_stream_to_memory(joined, name, "append")
+    return spark.table(name).select(
+        "user_id",
+        F.col("error_id").cast("long").alias("error_id"),
+        ts_micros(F.col("error_ts")).alias("error_ts_us"),
+        ts_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
     )

@@ -2927,6 +2927,180 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ with a TRAINED residual codebook: Lloyd's unrolled in the oracle
+# ---------------------------------------------------------------------------
+
+_IVFPQ_TRAIN_ITERS = 2
+
+
+def _lloyd_iteration_sql(prev: str, cur: str) -> str:
+    """One unrolled Lloyd's round over the residual subvectors,
+    replaying operators/similarity._lloyd_subspaces exactly:
+
+      * assignment: per (vec, sub), the argmin exact-int d2 codebook
+        entry, ties to the LOWEST code (row_number ORDER BY d2, code);
+      * update: per (sub, code, component), round(avg(r)) — the int64
+        component sums stay < 2^53 at any tested SF, so the single
+        trailing double division (and the half-away-from-zero round
+        both engines share) is engine-exact;
+      * emptied (sub, code) cells keep their previous entry (the
+        coalesce), so the codebook stays m × ksub.
+    """
+    return f"""
+vd_{cur} AS (
+  SELECT v.vec_id, v.sub, c.code,
+         CAST(sum((v.r - c.c) * (v.r - c.c)) AS BIGINT) AS d2
+  FROM rsub v JOIN cb_{prev} c ON c.sub = v.sub AND c.i = v.i
+  GROUP BY v.vec_id, v.sub, c.code
+),
+as_{cur} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rn
+    FROM vd_{cur}) WHERE rn = 1
+),
+mn_{cur} AS (
+  SELECT a.sub, a.code, v.i,
+         CAST(round(CAST(sum(v.r) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM as_{cur} a
+  JOIN rsub v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  GROUP BY a.sub, a.code, v.i
+),
+cb_{cur} AS (
+  SELECT p.sub, p.code, p.i, coalesce(m.c, p.c) AS c
+  FROM cb_{prev} p
+  LEFT JOIN mn_{cur} m ON m.sub = p.sub AND m.code = p.code AND m.i = p.i
+)"""
+
+
+_TRAINED_CB = f"cb_it{_IVFPQ_TRAIN_ITERS}"
+
+_ANN_IVFPQ_TRAINED_SQL = (
+    f"""
+WITH qall AS (
+  SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+qcent AS (
+  SELECT vec_id AS cell, i, q FROM qall WHERE vec_id < {_IVF_N_CENT}
+),
+norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qall GROUP BY vec_id),
+vc_dots AS (
+  SELECT v.vec_id, c.cell, CAST(sum(v.q * c.q) AS BIGINT) AS dot
+  FROM qall v JOIN qcent c ON c.i = v.i
+  GROUP BY v.vec_id, c.cell
+),
+vc_cos AS (
+  SELECT d.vec_id, d.cell,
+         round(CASE WHEN nv.n2 > 0 AND nc.n2 > 0
+                    THEN CAST(d.dot AS DOUBLE)
+                         / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+                    ELSE 0 END, 6) AS ccos
+  FROM vc_dots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cell
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+    FROM vc_cos) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+    FROM vc_cos WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+res AS (
+  SELECT v.vec_id, a.cell, v.i, v.q - c.q AS r
+  FROM qall v
+  JOIN assigned a ON a.vec_id = v.vec_id
+  JOIN qcent c ON c.cell = a.cell AND c.i = v.i
+),
+rsub AS (SELECT vec_id, cell, (i - 1) // {_IVFPQ_DSUB} AS sub, i, r FROM res),
+cb_it0 AS (
+  SELECT vec_id - {_IVF_N_CENT} AS code, sub, i, r AS c
+  FROM rsub
+  WHERE vec_id >= {_IVF_N_CENT} AND vec_id < {_IVF_N_CENT + _IVFPQ_KSUB}
+),"""
+    + ",".join(
+        _lloyd_iteration_sql(f"it{k}", f"it{k + 1}")
+        for k in range(_IVFPQ_TRAIN_ITERS)
+    )
+    + f""",
+vdist AS (
+  SELECT v.vec_id, v.cell, v.sub, c.code,
+         CAST(sum((v.r - c.c) * (v.r - c.c)) AS BIGINT) AS d2
+  FROM rsub v JOIN {_TRAINED_CB} c ON c.sub = v.sub AND c.i = v.i
+  GROUP BY v.vec_id, v.cell, v.sub, c.code
+),
+codes AS (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT vec_id, cell, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM vdist) WHERE rn = 1
+),
+qres AS (
+  SELECT p.query_id, p.cell, v.i, v.q - c.q AS r
+  FROM probes p
+  JOIN qall v ON v.vec_id = p.query_id
+  JOIN qcent c ON c.cell = p.cell AND c.i = v.i
+),
+qrsub AS (SELECT query_id, cell, (i - 1) // {_IVFPQ_DSUB} AS sub, i, r FROM qres),
+lut AS (
+  SELECT q.query_id, q.cell, q.sub, c.code,
+         CAST(sum((q.r - c.c) * (q.r - c.c)) AS BIGINT) AS d2
+  FROM qrsub q JOIN {_TRAINED_CB} c ON c.sub = q.sub AND c.i = q.i
+  GROUP BY q.query_id, q.cell, q.sub, c.code
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM codes c
+  JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+            AND l.query_id <> c.vec_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2, rank FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rank
+  FROM adc) WHERE rank <= 5
+"""
+)
+
+
+@register(
+    "ann_ivfpq_trained",
+    _ANN_IVFPQ_TRAINED_SQL,
+    "IVF-PQ with a TRAINED residual codebook: 2 fixed Lloyd's "
+    "iterations over the residual subvectors (the "
+    "similarity._lloyd_subspaces loop pq_train_codebooks shares), "
+    "unrolled one CTE block per round in the oracle — assignment is "
+    "argmin exact-int d2 (ties to the lowest code), the update is "
+    "round(exact-int-sum / count), emptied cells keep their previous "
+    "entry.  Proves the TRAINING iteration through the driver, not "
+    "just the seeded index the other IVF/PQ rows cover.",
+)
+def ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        k=5,
+        n_centroids=_IVF_N_CENT,
+        nprobe=_IVF_NPROBE,
+        m=_IVFPQ_M,
+        dsub=_IVFPQ_DSUB,
+        ksub=_IVFPQ_KSUB,
+        train_iters=_IVFPQ_TRAIN_ITERS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # round-5 additions: per-source caps, cluster balancing, split contamination
 # ---------------------------------------------------------------------------
 
