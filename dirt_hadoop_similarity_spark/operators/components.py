@@ -46,6 +46,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt(df: DataFrame, release: int | None = None) -> tuple[DataFrame, int]:
+    """Eagerly ``localCheckpoint`` ``df``, release the storage of a
+    superseded prior checkpoint, and return ``(checkpointed_df, rdd_id)``.
+
+    ``DataFrame.localCheckpoint`` persists an internal RDD at
+    MEMORY_AND_DISK that ``spark.catalog.clearCache()`` does NOT clear
+    and that nothing frees until the context cleaner GCs it — so an
+    iterative operator that checkpoints per round would otherwise hold
+    every round's copy of the label/rank relation simultaneously.  Each
+    round's checkpoint fully materializes before the previous one is
+    dropped (localCheckpoint is eager by default), so releasing the
+    superseded round is safe: nothing can re-read it.
+
+    The persisted RDD is not reachable from the returned DataFrame
+    (``queryExecution.toRdd`` wraps it in a fresh RDD), so it is
+    identified by diffing ``sc.getPersistentRDDs()`` keys around the
+    call and released through that same map.  Blocking unpersist — one
+    driver RPC per round, negligible next to the round's shuffle, and it
+    makes storage accounting deterministic for tests and memory-pressure
+    reasoning alike.
+    """
+    jsc = df.sparkSession.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet()}
+    ck = df.localCheckpoint()
+    after = jsc.getPersistentRDDs()
+    new_ids = [int(k) for k in after.keySet() if int(k) not in before]
+    ckpt_id = max(new_ids) if new_ids else -1
+    if release is not None and release >= 0:
+        prior = after.get(release)
+        if prior is not None:
+            prior.unpersist(True)
+    return ck, ckpt_id
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 25) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
@@ -62,10 +96,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # seed = min(self, neighbors): the first propagation step fused into
     # the init aggregate — star-shaped clusters (the common dedup case)
     # converge immediately, saving one full join round
-    labels = (
+    labels, ck_id = _ckpt(
         und.groupBy(F.col("u").alias("node"))
         .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("component"))
-        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
 
@@ -74,19 +107,22 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         msgs = und.join(
             labels, und["v"] == labels["node"]
         ).select(F.col("u").alias("node"), "component")
-        new_labels = (
+        # each round's checkpoint supersedes the previous round's, whose
+        # storage _ckpt releases once the new one has materialized —
+        # storage stays O(1) per call instead of O(rounds)
+        labels, ck_id = _ckpt(
             labels.union(msgs)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .agg(F.min("component").alias("component")),
+            release=ck_id,
         )
-        new_sum = new_labels.agg(F.sum("component")).first()[0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:  # min-propagation is monotone; fixpoint
             break
         prev_sum = new_sum
-    und.unpersist()
+    und.unpersist(blocking=True)
+    # the FINAL checkpoint's storage stays: the returned plan reads it.
+    # It is freed by the context cleaner once the caller drops the frame.
     return labels
 
 
@@ -145,6 +181,7 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
         return (row["n"], row["s"])
 
     prev = _fingerprint(e)
+    ck_id = None  # first e is SQL-cached, not checkpointed
 
     for _ in range(max_iter):
         # LARGE-STAR over the undirected view: m(u) = min(N(u) ∪ {u});
@@ -178,16 +215,17 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
                 F.col("m"),
             )
         )
-        new_e = (
+        new_e, new_id = _ckpt(
             small.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(small.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            release=ck_id,
         )
         cur = _fingerprint(new_e)
-        e.unpersist()
-        e = new_e
+        if ck_id is None:
+            e.unpersist(blocking=True)  # release the SQL-cached seed
+        e, ck_id = new_e, new_id
         if cur == prev:
             break
         prev = cur
@@ -201,7 +239,9 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
         "node", F.col("node").alias("component")
     )
     out = members.union(roots)
-    e.unpersist()
+    # `e` is now the final checkpoint — the returned plan reads it, so
+    # its storage stays until the caller drops the frame (context-cleaner
+    # GC).  `nodes` is cheap to recompute; release its cache eagerly.
     nodes.unpersist()
     return out
 
@@ -268,6 +308,7 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     nodes = deg.select("node")
     base = ((100 - damping_pct) * scale) // 100
     pr = nodes.select("node", F.lit(int(scale)).cast("long").alias("pr"))
+    ck_id = None
     for _ in range(iters):
         msgs = (
             pr.join(deg, "node")
@@ -277,7 +318,10 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
             .agg(F.sum("m").alias("c"))
             .select(F.col("v").alias("node"), "c")
         )
-        pr = (
+        # each round's checkpoint supersedes the previous round's; _ckpt
+        # releases the superseded storage once the new one materializes,
+        # so a k-round run holds ONE rank relation, not k
+        pr, ck_id = _ckpt(
             nodes.join(msgs, "node", "left")
             .select(
                 "node",
@@ -285,8 +329,8 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                     F.lit(base)
                     + F.expr(f"({damping_pct} * coalesce(c, 0)) div 100")
                 ).cast("long").alias("pr"),
-            )
-            .localCheckpoint()
+            ),
+            release=ck_id,
         )
     # the final localCheckpoint materialized pr, so the returned plan no
     # longer references `und` — release its storage now (long sessions
@@ -294,6 +338,8 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     # stays cached: the returned lazy join still reads it, and its
     # lineage (distinct over the symmetrized edges) would otherwise
     # re-run the whole union — callers who fully materialize the result
-    # may deg.unpersist() themselves; blocking=False keeps this cheap.
-    und.unpersist()
+    # may deg.unpersist() themselves.  Blocking so storage accounting is
+    # deterministic (one driver RPC, outside any loop).  The final pr
+    # checkpoint stays until the caller drops the frame (context GC).
+    und.unpersist(blocking=True)
     return pr.join(deg, "node")

