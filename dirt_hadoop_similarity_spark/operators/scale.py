@@ -136,13 +136,15 @@ def _idiv(a: Column, b: Column) -> Column:
 
 def _floordiv_long(a: Column, b: int) -> Column:
     """Exact floor division of an int64 column by a positive literal —
-    the lm._floordiv construction (subtract the positive remainder,
-    then ``div`` the exactly-divisible difference, where truncation ==
-    floor): identical across engines over the full int64 domain, floor
-    (not truncate) for negative values."""
+    the lm._floordiv construction (truncating ``div``, minus 1 when the
+    division was inexact and the dividend negative): identical across
+    engines over the FULL int64 domain, floor (not truncate) for
+    negative values, and no intermediate that can overflow int64
+    (subtract-the-remainder-first underflows near the domain minimum —
+    ADVICE r7)."""
     c = F.lit(int(b))
-    pm = ((a % c) + c) % c
-    return _idiv(a - pm, c)
+    inexact_neg = ((a % c) != 0) & (a < 0)
+    return _idiv(a, c) - F.when(inexact_neg, F.lit(1)).otherwise(F.lit(0))
 
 
 def exact_ntile(df: DataFrame, n: int, value: str, tiebreak: str,

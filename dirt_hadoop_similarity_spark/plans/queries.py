@@ -81,24 +81,97 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # new in round 6 — never driver-sampled: the batched BPE trainer
-    # (greedy non-interfering picks, unrolled oracle) and the two
-    # streaming queries whose memory-sink output the oracle checks
+    # ROUND-8 ROTATION (VERDICT r7 task 2).  Never driver-sampled —
+    # registered in round 7 past the window:
+    "sql_below_avg",
+    "sql_running_total",
+    "sql_grouping_sets",
+    "stream_interval_join",
+    "ann_ivfpq_trained",
+    # code changed in round 7 (76879cb: int64-exact div rewrites and the
+    # reserved-column guard) after their last driver-green row:
+    "lm_perplexity_tiers",
+    "zorder_events",
+    "mixture_resample",
+    # code changed in round 8 (components.py checkpoint-storage release):
+    "dedup_pagerank",
+    "dedup_components",
+    "dedup_components_ls",
+    "dedup_cluster_keepers",
+    # r4-era rows — the oldest hard evidence in the registry, all
+    # code-unchanged since their green row and locally oracle-green:
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_rh_topk",
+    "corpus_diff",
+    "dedup_ngram_jaccard",
+    "dirt_mi",
+    "dirt_sim",
+    "doc_chunking",
+    "dsir_importance",
+    "duplicate_spans",
+    "join_orders_lineitem",
+    "join_salted_skew",
+    "lm_quality",
+    "media_features",
+    "media_frames",
+    "media_frames_text",
+    "media_metadata",
+    "q1_pricing_summary",
+    "quality_classifier",
+    "semantic_dedup",
+    "set_ops_cohorts",
+    "skew_profile",
+    "text_repetition",
+    "vocab_oov_rate",
+    # oldest r5 rows, filling the window to exactly 50:
+    "dirt_pipeline_exact",
+    "bpe_train_merges",
+    "curation_funnel",
+    "ann_hard_negatives",
+    "ann_recall_eval",
+    "ann_gemm_topk",
+    "reservoir_per_group",
+    "asof_join_events",
+    "window_range_frame",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+]
+
+# Rows-only-by-design queries that may sit past the window:
+#   * profile_approx — engine-specific sketch outputs cannot value-match
+#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc);
+#   * dirt_full_pipeline — stemmer-active vocabulary no SQL oracle can
+#     reproduce (documented, r5 rows-only driver row); its value-checked
+#     twin dirt_pipeline_exact is hash-green (r5) and stays oracle-backed.
+_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx", "dirt_full_pipeline"}
+# Rotation policy: entries whose last driver-green row is OLDEST (or
+# whose code changed, or that never had a row) fill the window; the
+# deferred tail is drawn from the MOST recently checked rounds.
+# Round 8: _PRIORITY is exactly 50 names (5 never-checked + 3 changed in
+# r7 + 4 changed in r8 + 25 r4-era + 13 oldest-r5 fillers); _DEFERRED
+# enumerates every other name — all r5/r7-green, code-unchanged since
+# their row, oracle-backed (or whitelisted rows-only above).  The
+# contract is machine-checked: tests/test_oracle_all.py recomputes
+# per-query freshness from the committed CORRECTNESS_r*.json files and
+# fails if any never-driver-checked query sits past the window.  Safety
+# net for the tail remains the same test file's full oracle sweep.
+_DEFERRED = [
+    # r7-green (hash) — the entire round-7 driver window, minus the
+    # components-backed queries rotated back in above
     "bpe_train_batched",
     "stream_dedup_events",
     "stream_windowed_counts",
     "stream_sessionize",
     "temperature_mixture",
-    "dedup_pagerank",
-    # code changed in round 6 — must re-earn driver rows:
-    "ntile_quartiles",        # bucket-spine exact ntile, no global sort
-    "join_top_spenders",      # HAVING filter before the long cast
-    "sql_monthly_top_orders", # isolated child session for temp views
-    "text_cosine_pairs",      # shingle empty-term filter + Σw² guard
-    "text_cosine_topk",       # same textsim changes
-    # freshness rotation (VERDICT r5 task 1): every query whose latest
-    # driver-green row dates to round 2 — all code-unchanged since and
-    # locally oracle-green on every pytest run (test_oracle_all)
+    "ntile_quartiles",
+    "join_top_spenders",
+    "sql_monthly_top_orders",
+    "text_cosine_pairs",
+    "text_cosine_topk",
     "text_fingerprint",
     "text_quality",
     "self_join_lineitem",
@@ -122,7 +195,6 @@ _PRIORITY = [
     "dataset_split",
     "text_tfidf_top_terms",
     "embedding_near_dups",
-    # …and round 3 — same contract
     "q3_shipping_priority",
     "dedup_distinct",
     "training_shards",
@@ -133,51 +205,14 @@ _PRIORITY = [
     "profile_columns",
     "cube_status_priority",
     "window_sliding",
-    # oldest round-4 rows, filling the window to exactly 50
     "sessionize",
     "range_join_events",
     "window_cumsum",
     "window_tumbling",
     "union_label",
     "json_props_extract",
-]
-
-# Rows-only-by-design queries that may sit past the window:
-#   * profile_approx — engine-specific sketch outputs cannot value-match
-#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc);
-#   * dirt_full_pipeline — stemmer-active vocabulary no SQL oracle can
-#     reproduce (documented, r5 rows-only driver row); its value-checked
-#     twin dirt_pipeline_exact is hash-green (r5) and stays oracle-backed.
-_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx", "dirt_full_pipeline"}
-# Rotation policy: entries whose last driver-green row is OLDEST (or
-# whose code changed, or that never had a row) fill the window; the
-# deferred tail is drawn from the MOST recently checked rounds.
-# Round 6: _PRIORITY is exactly 50 names (6 new + 5 code-changed + the
-# 23 r2-era + 10 r3-era stale rows + 6 oldest-r4 fillers), so the window
-# is fully determined and _DEFERRED enumerates every other name — all
-# r4/r5-green, code-unchanged since their row, oracle-backed (or
-# whitelisted rows-only above).  Safety net for the tail remains
-# tests/test_oracle_all.py, which re-runs every oracle on every pytest
-# run.
-_DEFERRED = [
-    # r5-green (hash) — the entire round-5 priority cohort
-    "dirt_pipeline_exact",
-    "bpe_train_merges",
-    "curation_funnel",
-    "ann_hard_negatives",
-    "ann_recall_eval",
-    "ann_gemm_topk",
-    "reservoir_per_group",
-    "asof_join_events",
-    "window_range_frame",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "dedup_minhash_lsh",
-    "dedup_lsh_verified",
+    # r5-green (hash), code-unchanged, oracle-backed
     "dedup_incremental",
-    "dedup_components",
-    "dedup_components_ls",
-    "dedup_cluster_keepers",
     "dedup_threshold_sweep",
     "dirt_full_pipeline",
     "dirt_extract_counts",
@@ -188,8 +223,6 @@ _DEFERRED = [
     "event_user_outliers",
     "ann_ivfpq_rerank",
     "bpe_encode_corpus",
-    "lm_perplexity_tiers",
-    "zorder_events",
     "ann_filtered_topk",
     "cohort_retention",
     "funnel_conversion",
@@ -206,33 +239,6 @@ _DEFERRED = [
     "profile_approx",
     "text_rolling_hash",
     "text_token_budget",
-    # r4-green, code-unchanged, oracle-backed
-    "text_repetition",
-    "vocab_oov_rate",
-    "join_salted_skew",
-    "skew_profile",
-    "mixture_resample",
-    "corpus_diff",
-    "quality_classifier",
-    "semantic_dedup",
-    "dsir_importance",
-    "duplicate_spans",
-    "doc_chunking",
-    "lm_quality",
-    "set_ops_cohorts",
-    "dirt_mi",
-    "dirt_sim",
-    "q1_pricing_summary",
-    "join_orders_lineitem",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_rh_topk",
-    "media_metadata",
-    "media_frames",
-    "media_frames_text",
-    "media_features",
-    "ann_pq_topk",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from dirt_hadoop_similarity_spark.operators import textsim
 from dirt_hadoop_similarity_spark.plans.queries import load, register
@@ -646,11 +647,16 @@ def _sql_frontend(spark: SparkSession, sf_dir: str,
     # exercised on the caller session cover these queries too.  Static
     # or unsettable entries are skipped.
     for row in spark.sql("SET").collect():
+        # `SET` redacts sensitive values (*password*, *token*, …) to a
+        # literal placeholder — setting THAT string into the child would
+        # corrupt the conf, so skip redacted entries (ADVICE r7)
+        if "(redacted)" in str(row["value"]):
+            continue
         try:
             if s.conf.get(row["key"], None) != row["value"]:
                 s.conf.set(row["key"], row["value"])
-        except Exception:
-            pass  # static conf (e.g. spark.sql.warehouse.dir) — keep default
+        except AnalysisException:
+            pass  # static/unsettable conf (e.g. warehouse.dir) — keep default
     for t in tables:
         load(s, sf_dir, t).createOrReplaceTempView(t)
     return s.sql(sql)

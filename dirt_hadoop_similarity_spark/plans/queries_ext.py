@@ -3488,11 +3488,16 @@ _Z_INTERLEAVE = " | ".join(
 
 
 def _z_scale_sql(col: str, mn: str, mx: str) -> str:
+    # DuckDB `//` is integer division when both operands are integers —
+    # `(num - num % rng)` is exactly divisible, so trunc == floor and the
+    # expression stays in BIGINT end-to-end (plain `/` would round-trip
+    # through DOUBLE and lose exactness past 2^53, silently diverging
+    # from Spark's int64 `div` — ADVICE r7)
     top = (1 << _Z_BITS) - 1
     num = f"(({col} - {mn}) * {top})"
     rng = f"({mx} - {mn})"
     return (f"CASE WHEN {rng} > 0 THEN "
-            f"CAST(({num} - {num} % {rng}) / {rng} AS BIGINT) "
+            f"CAST(({num} - {num} % {rng}) // {rng} AS BIGINT) "
             f"ELSE 0 END")
 
 

@@ -41,9 +41,39 @@ def test_query_matches_oracle(name, oracle_spark, sf_dir):
     assert r["ok"], {k: v for k, v in r.items() if k != "name"}
 
 
+def _driver_checked_queries() -> set[str]:
+    """Names with at least one driver row across ALL committed
+    CORRECTNESS_r*.json files — a hash-green oracle row, or (for the
+    whitelisted rows-only queries) a recorded rows-only run."""
+    import glob
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for p in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(p)).items():
+            green = bool(row.get("rows_match")) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                seen.add(name)
+    return seen
+
+
 def test_driver_window_contract():
     """Queries needing a fresh driver row this round sit inside the
-    window; everything past the window is oracle-backed (gated above)."""
+    window; everything past the window is oracle-backed (gated above).
+
+    VERDICT r7 task 2: the never-driver-checked set is COMPUTED from the
+    committed CORRECTNESS_r*.json files, not trusted to the list author
+    — "registered a query, forgot the window" is a test failure here,
+    not a judge finding.  The companion staleness mode (code changed
+    after the last green row) cannot be machine-checked without
+    per-round code snapshots, so it stays a review rule documented at
+    the _PRIORITY definition.
+    """
     from dirt_hadoop_similarity_spark.plans.queries import (
         _PRIORITY,
         _ROWS_ONLY_PAST_WINDOW_OK,
@@ -61,6 +91,12 @@ def test_driver_window_contract():
             f"{n} is past the driver window with no oracle — it would "
             "never be value-checked anywhere"
         )
+    never = set(names) - _driver_checked_queries()
+    past_window_never = never - head
+    assert not past_window_never, (
+        "registered but never driver-checked AND outside the window — "
+        f"rotate these into _PRIORITY: {sorted(past_window_never)}"
+    )
 
 
 def test_entry_contract(oracle_spark, sf_dir):

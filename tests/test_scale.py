@@ -253,6 +253,11 @@ def test_floordiv_long_exact_past_2_53(spark):
         -((1 << 62) + 6),
         (1 << 53) + 1,
         -3, 0, 7,
+        # ADVICE r7: the subtract-remainder-first spelling underflowed
+        # int64 here (a - pm < int64 min); the div-then-correct spelling
+        # must floor exactly at the domain boundary, ANSI or not
+        -(1 << 63),
+        -(1 << 63) + 1,
     ]
     df = spark.createDataFrame([(v,) for v in vals], "v long")
     for c in (2, 3, 1_000_000):
@@ -264,6 +269,19 @@ def test_floordiv_long_exact_past_2_53(spark):
         }
         want = {v: v // c for v in vals}  # Python // is floor division
         assert got == want, f"coarse={c}"
+    # and under ANSI mode (where an internal overflow would RAISE, not
+    # wrap) the same values still divide
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r.v: r.q
+            for r in df.select(
+                "v", scale._floordiv_long(F.col("v"), 7).alias("q")
+            ).collect()
+        }
+        assert got == {v: v // 7 for v in vals}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def test_exact_ntile_on_microsecond_epoch_values(spark):
