@@ -289,3 +289,18 @@ def test_cosine_topk_uses_rank_limit_pushdown(spark, sf_dir):
     # stays cartesian-free
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sql_below_avg_decorrelates_to_equi_join(spark, sf_dir):
+    """The SQL-text correlated scalar subquery (TPC-H Q17 shape) must be
+    decorrelated by Catalyst into a grouped-aggregate equi-join — the
+    one new round-7 plan shape that could silently fall back to a
+    nested-loop join if decorrelation missed (VERDICT r7 task 4)."""
+    from dirt_hadoop_similarity_spark.plans import queries_analytics  # noqa: F401
+
+    df = QUERIES["sql_below_avg"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # decorrelation leaves a partkey-keyed aggregate joined back equi
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
