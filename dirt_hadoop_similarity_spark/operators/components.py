@@ -241,8 +241,9 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
     out = members.union(roots)
     # `e` is now the final checkpoint — the returned plan reads it, so
     # its storage stays until the caller drops the frame (context-cleaner
-    # GC).  `nodes` is cheap to recompute; release its cache eagerly.
-    nodes.unpersist()
+    # GC).  `nodes` is cheap to recompute; release its cache eagerly
+    # (blocking, for deterministic storage accounting).
+    nodes.unpersist(blocking=True)
     return out
 
 

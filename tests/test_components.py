@@ -254,3 +254,30 @@ def test_pagerank_releases_edge_cache(spark):
     # of the 3 per-round checkpoints, only the final one holds storage
     assert len(ckpts) <= 1, names
     spark.catalog.clearCache()
+
+
+def test_components_storage_is_o1_per_call(spark):
+    """Long-chain runs of both components variants hold at most ONE
+    checkpoint (the final labels/edges relation the returned plan reads)
+    plus transient SQL caches that the operator released before
+    returning — k-round iteration must not accumulate k checkpoints
+    (VERDICT r7 task 6)."""
+    chain = [(i, i + 1) for i in range(12)]  # diameter ~12 → many rounds
+    sc = spark.sparkContext._jsc.sc()
+    for fn in (components.connected_components,
+               components.connected_components_star):
+        spark.catalog.clearCache()
+        base_ids = {i.id() for i in sc.getRDDStorageInfo()}
+        out = fn(_edges(spark, chain))
+        got = {r.node: r.component for r in out.collect()}
+        assert got == {n: 0 for n in range(13)}, fn.__name__
+        entries = [
+            i for i in sc.getRDDStorageInfo() if i.id() not in base_ids
+        ]
+        names = [str(i.name()) for i in entries]
+        ckpts = [n for n in names if "\n" not in n]
+        sql_caches = [n for n in names if "\n" in n]
+        assert len(ckpts) <= 1, (fn.__name__, names)
+        # und/e/nodes SQL caches are all released (blocking) before return
+        assert not sql_caches, (fn.__name__, names)
+        spark.catalog.clearCache()

@@ -1,0 +1,166 @@
+"""Synthesize an N× replica corpus from a testdata sf directory — the
+measurement substrate for PERF.md's scaling table (VERDICT r6/r7: the
+100 TB claim needs numbers above sf0.1, not just plan shapes).
+
+Replication is NOT naive row copying: identical text repeated N times
+would weld every replica into one giant near-duplicate cluster, turning
+the banded-LSH pair relation ~quadratic in N — a corpus that is 10×
+bigger does NOT have 45× the duplicate pairs.  Instead each replica is
+a deterministic "dialect" of the original:
+
+  * documents — replica i>0 suffixes every 3rd word with the replica id
+    (``word`` → ``word~i``).  The transform is applied uniformly inside
+    a replica, so WITHIN-replica similarity structure (the thing the
+    dedup/textsim operators measure) is preserved exactly, while ~1/3
+    of words differ across replicas — enough that any word-shingle of
+    length >= 2 straddles a change with high probability and
+    cross-replica Jaccard collapses.  doc_id shifts by a replica
+    offset; n_chars is recomputed from the transformed text.
+  * embeddings — replica i rolls each vector's dimensions by i
+    (a fixed permutation: within-replica cosines are IDENTICAL to the
+    original, cross-replica alignment is scrambled).  vec_id shifts.
+  * events — user_id/event_id shift per replica, timestamps stay in the
+    original range: N× concurrent users over the same wall-clock window,
+    which is how event volume actually grows.  Per-user session
+    structure is byte-identical to the original replica.
+  * lineitem/orders/customer — orderkey/custkey shift by consistent
+    offsets so FK joins stay 1:1 valid; part/supplier keys keep the
+    original domain (N× lines per part = popularity growth).
+  * nation/region/part/supplier — copied verbatim (dimensions do not
+    scale with fact volume).
+
+Everything is pyarrow-native (no pandas round-trip), preserving the
+source parquet logical types — notably events' TIMESTAMP(NANOS), which
+the engine's read path special-cases and must still see at scale.
+
+Run:  python tools/gen_scale_corpus.py [--mult 10] [--src /root/testdata/sf0.1]
+          [--out /tmp/dhs_scale]
+Writes <out>/x<mult>/<table>.parquet and prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES_VERBATIM = ("nation", "region", "part", "supplier")
+
+
+def _shift_col(t: pa.Table, col: str, off: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    arr = pa.array(t.column(col).to_numpy(zero_copy_only=False) + off,
+                   type=t.schema.field(col).type)
+    return t.set_column(i, t.schema.field(col), arr)
+
+
+def _replicate(src: str, out: str, table: str, mult: int,
+               key_offsets: dict[str, int],
+               transform=None) -> int:
+    t0 = pq.read_table(f"{src}/{table}.parquet")
+    reps = []
+    for i in range(mult):
+        t = t0
+        for col, base in key_offsets.items():
+            if i:
+                t = _shift_col(t, col, i * base)
+        if transform is not None:
+            t = transform(t, i)
+        reps.append(t)
+    full = pa.concat_tables(reps)
+    pq.write_table(full, f"{out}/{table}.parquet")
+    return full.num_rows
+
+
+def _doc_transform(t: pa.Table, i: int) -> pa.Table:
+    if i == 0:
+        return t
+    texts = t.column("text").to_pylist()
+    new_texts = []
+    for s in texts:
+        words = s.split(" ")
+        for j in range(0, len(words), 3):
+            words[j] = f"{words[j]}~{i}"
+        new_texts.append(" ".join(words))
+    sch = t.schema
+    t = t.set_column(sch.get_field_index("text"), sch.field("text"),
+                     pa.array(new_texts, type=sch.field("text").type))
+    t = t.set_column(sch.get_field_index("n_chars"), sch.field("n_chars"),
+                     pa.array([len(s) for s in new_texts],
+                              type=sch.field("n_chars").type))
+    return t
+
+
+def _emb_transform(t: pa.Table, i: int) -> pa.Table:
+    if i == 0:
+        return t
+    col = t.column("embedding")
+    flat = col.combine_chunks()
+    vecs = [np.roll(v, i).tolist() if v is not None else None
+            for v in flat.to_pylist()]
+    sch = t.schema
+    return t.set_column(sch.get_field_index("embedding"),
+                        sch.field("embedding"),
+                        pa.array(vecs, type=sch.field("embedding").type))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/dhs_scale")
+    args = ap.parse_args()
+
+    out = os.path.join(args.out, f"x{args.mult}")
+    os.makedirs(out, exist_ok=True)
+    t_start = time.perf_counter()
+
+    def key_max(table: str, col: str) -> int:
+        return int(pc.max(
+            pq.read_table(f"{args.src}/{table}.parquet", columns=[col])
+            .column(col)).as_py()) + 1
+
+    doc_off = key_max("documents", "doc_id")
+    vec_off = key_max("embeddings", "vec_id")
+    evt_off = key_max("events", "event_id")
+    usr_off = key_max("events", "user_id")
+    ord_off = key_max("orders", "o_orderkey")
+    cust_off = key_max("customer", "c_custkey")
+
+    rows = {}
+    rows["documents"] = _replicate(
+        args.src, out, "documents", args.mult,
+        {"doc_id": doc_off}, _doc_transform)
+    rows["embeddings"] = _replicate(
+        args.src, out, "embeddings", args.mult,
+        {"vec_id": vec_off}, _emb_transform)
+    rows["events"] = _replicate(
+        args.src, out, "events", args.mult,
+        {"event_id": evt_off, "user_id": usr_off})
+    rows["lineitem"] = _replicate(
+        args.src, out, "lineitem", args.mult, {"l_orderkey": ord_off})
+    rows["orders"] = _replicate(
+        args.src, out, "orders", args.mult,
+        {"o_orderkey": ord_off, "o_custkey": cust_off})
+    rows["customer"] = _replicate(
+        args.src, out, "customer", args.mult, {"c_custkey": cust_off})
+    for tab in TABLES_VERBATIM:
+        t = pq.read_table(f"{args.src}/{tab}.parquet")
+        pq.write_table(t, f"{out}/{tab}.parquet")
+        rows[tab] = t.num_rows
+
+    print(json.dumps({
+        "out": out, "mult": args.mult, "src": args.src,
+        "rows": rows,
+        "gen_seconds": round(time.perf_counter() - t_start, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Measure how the heaviest registered queries scale with corpus size —
+the evidence behind PERF.md's 100 TB design claims (VERDICT r6/r7: plan
+shape alone is an argument, not a measurement).
+
+Runs each query at the base sf dir AND at an N× replica corpus built by
+tools/gen_scale_corpus.py, with bench.py's exact methodology (isolated
+cache, noop sink, min over repeats), and reports per-query:
+
+  * seconds at each scale and the time ratio;
+  * OUTPUT ROWS at each scale and the row ratio — the candidate-growth
+    diagnostic: a banded/bucketed candidate generator whose output grows
+    ~linearly is scale-safe, one whose output grows ~quadratically has a
+    fan-out problem no partitioning will save.
+
+A time ratio near or below the data ratio (after subtracting fixed
+startup/stage-scheduling overhead, which dominates sub-second queries at
+sf0.1) is the pass bar; super-linear growth names the query to fix.
+
+Run:  python tools/scale_bench.py [--mult 10] [--repeats 2]
+          [--queries name1,name2,...]
+Prints one JSON line; paste the table into PERF.md via --markdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The heaviest cost classes by BENCH_r07 plus the named VERDICT r7 set:
+# inverted-index all-pairs + kNN, the full DIRT pipeline, iterative graph
+# (PageRank + star components), the 5-stage curation funnel, exact
+# tercile tiering, cross-split contamination (MinHash chain), and two
+# non-document anchors (heavy agg over lineitem, stateful sessionize
+# over events) so fact-table scaling is covered too.
+DEFAULT_QUERIES = [
+    "text_cosine_pairs",
+    "text_cosine_topk",
+    "dirt_full_pipeline",
+    "dedup_pagerank",
+    "dedup_components_ls",
+    "curation_funnel",
+    "lm_perplexity_tiers",
+    "split_contamination",
+    "q1_pricing_summary",
+    "sessionize",
+]
+
+
+def _time_queries(spark, queries, sf_dir: str, repeats: int):
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    secs: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for _ in range(repeats):
+        for name in queries:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            secs[name] = min(secs.get(name, el), el)
+    for name in queries:
+        spark.catalog.clearCache()
+        rows[name] = QUERIES[name].fn(spark, sf_dir).count()
+    return secs, rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--scaled", default=None,
+                    help="default: /tmp/dhs_scale/x<mult>")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--markdown", action="store_true",
+                    help="also print the PERF.md table")
+    args = ap.parse_args()
+    scaled = args.scaled or f"/tmp/dhs_scale/x{args.mult}"
+    queries = args.queries.split(",")
+
+    from dirt_hadoop_similarity_spark.session import get_spark
+    from dirt_hadoop_similarity_spark.plans import (  # noqa: F401
+        queries_analytics,
+        queries_ext,
+        queries_more,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Spark's 1g driver-memory default is the LOCAL-MODE heap for all N
+    # task threads — fine at sf0.1, GCLocker-thrash death at 10×.  Size
+    # the heap like a real executor would be sized (must be set before
+    # the JVM launches, so it cannot ride spark.conf.set).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(app_name="dhs-scale-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus),
+                      extra_conf={"spark.driver.memory": mem})
+    spark.read.parquet(f"{scaled}/lineitem.parquet").count()  # warm up
+
+    base_s, base_r = _time_queries(spark, queries, args.base, args.repeats)
+    scaled_s, scaled_r = _time_queries(spark, queries, scaled, args.repeats)
+    spark.stop()
+
+    report = {
+        name: {
+            "base_sec": base_s[name], "scaled_sec": scaled_s[name],
+            "time_ratio": round(scaled_s[name] / max(base_s[name], 1e-9), 2),
+            "base_rows": base_r[name], "scaled_rows": scaled_r[name],
+            "row_ratio": round(scaled_r[name] / max(base_r[name], 1), 2),
+        }
+        for name in queries
+    }
+    print(json.dumps({
+        "metric": "scale_ratio", "mult": args.mult, "base": args.base,
+        "scaled": scaled, "repeats": args.repeats, "queries": report,
+    }))
+    if args.markdown:
+        print()
+        print("| query | sf0.1 s | %dx s | time ratio | sf0.1 rows | "
+              "%dx rows | row ratio |" % (args.mult, args.mult))
+        print("|---|---|---|---|---|---|---|")
+        for n, r in report.items():
+            print(f"| {n} | {r['base_sec']} | {r['scaled_sec']} | "
+                  f"{r['time_ratio']}x | {r['base_rows']} | "
+                  f"{r['scaled_rows']} | {r['row_ratio']}x |")
+
+
+if __name__ == "__main__":
+    main()
