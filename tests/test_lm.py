@@ -116,3 +116,25 @@ class TestPerplexityTiers:
              for r in lm.perplexity_tiers(df.repartition(7)).collect()}
         assert a == b
         assert all(i % 5 != 0 for i, _ in a)  # n_transitions=0 excluded
+
+
+def test_floordiv_full_int64_domain(spark):
+    """ADVICE r7: lm._floordiv must floor exactly across the FULL int64
+    domain — including dividends within b of the domain minimum, where
+    the old subtract-remainder-first spelling underflowed (ANSI mode
+    raised ARITHMETIC_OVERFLOW) — under both ANSI settings."""
+    from pyspark.sql import functions as F
+
+    from dirt_hadoop_similarity_spark.operators.lm import _floordiv
+
+    vals = [(-(1 << 63), 7), (-(1 << 63) + 3, 1000000), ((1 << 62) + 5, 3),
+            (-8_000_001, 2), (0, 5), (9, 4), (-9, 4)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    for ansi in ("false", "true"):
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        try:
+            got = [r.q for r in df.select(
+                _floordiv(F.col("a"), F.col("b")).alias("q")).collect()]
+            assert got == [a // b for a, b in vals], f"ansi={ansi}"
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
