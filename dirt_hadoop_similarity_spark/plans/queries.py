@@ -155,10 +155,17 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx", "dirt_full_pipeline"}
 # r7 + 4 changed in r8 + 25 r4-era + 13 oldest-r5 fillers); _DEFERRED
 # enumerates every other name — all r5/r7-green, code-unchanged since
 # their row, oracle-backed (or whitelisted rows-only above).  The
-# contract is machine-checked: tests/test_oracle_all.py recomputes
-# per-query freshness from the committed CORRECTNESS_r*.json files and
-# fails if any never-driver-checked query sits past the window.  Safety
-# net for the tail remains the same test file's full oracle sweep.
+# contract is machine-checked on BOTH failure modes:
+# tests/test_oracle_all.py recomputes per-query freshness from the
+# committed CORRECTNESS_r*.json files and fails if any
+# never-driver-checked query sits past the window; and
+# test_deferred_plans_unchanged compares every deferred query's
+# analyzed-plan fingerprint against the committed snapshot
+# (tests/plan_fingerprints.json, regenerated at rotation by
+# tools/plan_fingerprints.py), so an operator edit that changes a
+# deferred query's plan fails the suite until the query is rotated in.
+# Safety net for the tail remains the same test file's full oracle
+# sweep.
 _DEFERRED = [
     # r7-green (hash) — the entire round-7 driver window, minus the
     # components-backed queries rotated back in above
