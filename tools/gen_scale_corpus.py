@@ -63,19 +63,22 @@ def _shift_col(t: pa.Table, col: str, off: int) -> pa.Table:
 def _replicate(src: str, out: str, table: str, mult: int,
                key_offsets: dict[str, int],
                transform=None) -> int:
+    """Write ``mult`` replicas as successive row groups through ONE
+    ParquetWriter — memory stays O(one replica) no matter the
+    multiplier, so 100x runs don't need 100x RAM."""
     t0 = pq.read_table(f"{src}/{table}.parquet")
-    reps = []
-    for i in range(mult):
-        t = t0
-        for col, base in key_offsets.items():
-            if i:
-                t = _shift_col(t, col, i * base)
-        if transform is not None:
-            t = transform(t, i)
-        reps.append(t)
-    full = pa.concat_tables(reps)
-    pq.write_table(full, f"{out}/{table}.parquet")
-    return full.num_rows
+    rows = 0
+    with pq.ParquetWriter(f"{out}/{table}.parquet", t0.schema) as w:
+        for i in range(mult):
+            t = t0
+            for col, base in key_offsets.items():
+                if i:
+                    t = _shift_col(t, col, i * base)
+            if transform is not None:
+                t = transform(t, i)
+            w.write_table(t)
+            rows += t.num_rows
+    return rows
 
 
 def _doc_transform(t: pa.Table, i: int) -> pa.Table:
@@ -115,7 +118,11 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/dhs_scale")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (default: all); dims "
+                         "are always copied so loads never 404")
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
 
     out = os.path.join(args.out, f"x{args.mult}")
     os.makedirs(out, exist_ok=True)
@@ -133,23 +140,19 @@ def main() -> None:
     ord_off = key_max("orders", "o_orderkey")
     cust_off = key_max("customer", "c_custkey")
 
+    plans = {
+        "documents": ({"doc_id": doc_off}, _doc_transform),
+        "embeddings": ({"vec_id": vec_off}, _emb_transform),
+        "events": ({"event_id": evt_off, "user_id": usr_off}, None),
+        "lineitem": ({"l_orderkey": ord_off}, None),
+        "orders": ({"o_orderkey": ord_off, "o_custkey": cust_off}, None),
+        "customer": ({"c_custkey": cust_off}, None),
+    }
     rows = {}
-    rows["documents"] = _replicate(
-        args.src, out, "documents", args.mult,
-        {"doc_id": doc_off}, _doc_transform)
-    rows["embeddings"] = _replicate(
-        args.src, out, "embeddings", args.mult,
-        {"vec_id": vec_off}, _emb_transform)
-    rows["events"] = _replicate(
-        args.src, out, "events", args.mult,
-        {"event_id": evt_off, "user_id": usr_off})
-    rows["lineitem"] = _replicate(
-        args.src, out, "lineitem", args.mult, {"l_orderkey": ord_off})
-    rows["orders"] = _replicate(
-        args.src, out, "orders", args.mult,
-        {"o_orderkey": ord_off, "o_custkey": cust_off})
-    rows["customer"] = _replicate(
-        args.src, out, "customer", args.mult, {"c_custkey": cust_off})
+    for tab, (offs, tf) in plans.items():
+        if only is not None and tab not in only:
+            continue
+        rows[tab] = _replicate(args.src, out, tab, args.mult, offs, tf)
     for tab in TABLES_VERBATIM:
         t = pq.read_table(f"{args.src}/{tab}.parquet")
         pq.write_table(t, f"{out}/{tab}.parquet")

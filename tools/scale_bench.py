@@ -100,7 +100,7 @@ def main() -> None:
     spark = get_spark(app_name="dhs-scale-bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus),
                       extra_conf={"spark.driver.memory": mem})
-    spark.read.parquet(f"{scaled}/lineitem.parquet").count()  # warm up
+    spark.read.parquet(f"{scaled}/documents.parquet").count()  # warm up
 
     base_s, base_r = _time_queries(spark, queries, args.base, args.repeats)
     scaled_s, scaled_r = _time_queries(spark, queries, scaled, args.repeats)
