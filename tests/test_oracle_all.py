@@ -114,12 +114,29 @@ def test_deferred_plans_unchanged(oracle_spark, sf_dir):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    from tools.plan_fingerprints import SF_DIR, fingerprint
+    from tools.plan_fingerprints import (
+        SF_DIR,
+        fingerprint,
+        udf_source_hashes,
+    )
 
     from dirt_hadoop_similarity_spark.plans.queries import _DEFERRED
 
     with open(os.path.join(repo, "tests", "plan_fingerprints.json")) as f:
         snapshot = json.load(f)
+    # UDF bodies execute outside the plan text — their modules are
+    # hashed whole: an edit demands rotating that module's queries even
+    # though no plan changed
+    got_udf = udf_source_hashes()
+    changed_udf = [
+        rel for rel, h in got_udf.items()
+        if snapshot.get("__udf_sources__", {}).get(rel) != h
+    ]
+    assert not changed_udf, (
+        "UDF-bearing modules changed since the snapshot — rotate their "
+        "queries into _PRIORITY and regenerate plan_fingerprints.json: "
+        f"{changed_udf}"
+    )
     stale = []
     for name in _DEFERRED:
         if name not in REGISTRY:

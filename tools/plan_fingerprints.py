@@ -19,11 +19,12 @@ by hash-set iteration).  Canonicalization strips the remaining
 session-dependent counters: expression ids (``#123``), lambda variable
 ids (``lambda x_17#``), CTE definition ids (``CTERelationDef 3``).
 
-Known limitation (documented, accepted): a change INSIDE a Python UDF
-body does not alter the plan text, so UDF-backed queries (extraction
-UDTF, media_*, stateful streaming) need their pytest suites — which
-they have — not this check.  Plan-shape changes, new columns, changed
-literals, reordered stages: all caught.
+A change INSIDE a Python UDF body does not alter the plan text, so the
+snapshot additionally records a source hash of every UDF-bearing module
+(``UDF_SOURCE_FILES``) under the ``__udf_sources__`` key — an edit to
+any of them fails the same test with the module named, coarser than the
+per-query plan check but closing the blind spot.  Plan-shape changes,
+new columns, changed literals, reordered stages: caught per query.
 
 Regenerate (after every rotation, or when a PRIORITY query's plan
 legitimately changes):  python tools/plan_fingerprints.py
@@ -39,9 +40,30 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SNAPSHOT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "tests", "plan_fingerprints.json")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SNAPSHOT = os.path.join(_REPO, "tests", "plan_fingerprints.json")
 SF_DIR = "/root/testdata/sf0.001"
+
+#: modules whose Python-UDF bodies execute OUTSIDE the plan text —
+#: grep-maintained: every file whose pandas_udf/mapInPandas/
+#: applyInPandas match is real code, not a docstring (the plans/
+#: queries_*.py matches are docstring mentions; their UDF bodies live
+#: in these operator modules)
+UDF_SOURCE_FILES = [
+    "dirt_hadoop_similarity_spark/functions/_udf_wrappers.py",
+    "dirt_hadoop_similarity_spark/operators/_extraction_udf.py",
+    "dirt_hadoop_similarity_spark/operators/multimodal.py",
+    "dirt_hadoop_similarity_spark/operators/similarity.py",
+    "dirt_hadoop_similarity_spark/streaming/events.py",
+]
+
+
+def udf_source_hashes() -> dict[str, str]:
+    out = {}
+    for rel in UDF_SOURCE_FILES:
+        with open(os.path.join(_REPO, rel), "rb") as f:
+            out[rel] = hashlib.sha256(f.read()).hexdigest()[:16]
+    return out
 
 
 def canonical_plan(df) -> str:
@@ -78,10 +100,12 @@ def main() -> None:
                       shuffle_partitions=8)
     fps = compute_all(spark)
     spark.stop()
+    fps["__udf_sources__"] = udf_source_hashes()
     with open(SNAPSHOT, "w") as f:
         json.dump(fps, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"wrote {len(fps)} fingerprints to {SNAPSHOT}")
+    print(f"wrote {len(fps) - 1} fingerprints + "
+          f"{len(fps['__udf_sources__'])} UDF source hashes to {SNAPSHOT}")
 
 
 if __name__ == "__main__":
