@@ -66,6 +66,12 @@ def _ckpt(df: DataFrame, release: int | None = None) -> tuple[DataFrame, int]:
     driver RPC per round, negligible next to the round's shuffle, and it
     makes storage accounting deterministic for tests and memory-pressure
     reasoning alike.
+
+    Each release logs Spark's "RDD was locally checkpointed, its
+    lineage has been truncated and cannot be recomputed" WARN — that is
+    the expected message for unpersisting any localCheckpoint, not an
+    error: nothing references the superseded round, so nothing will
+    ever ask for the recomputation the warning is about.
     """
     jsc = df.sparkSession.sparkContext._jsc
     before = {int(k) for k in jsc.getPersistentRDDs().keySet()}
