@@ -46,9 +46,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _ckpt(df: DataFrame, release: int | None = None) -> tuple[DataFrame, int]:
+def _ckpt(df: DataFrame, release=None) -> tuple[DataFrame, object]:
     """Eagerly ``localCheckpoint`` ``df``, release the storage of a
-    superseded prior checkpoint, and return ``(checkpointed_df, rdd_id)``.
+    superseded prior checkpoint, and return ``(checkpointed_df, jrdd)``
+    where ``jrdd`` is the Java RDD handle backing the new checkpoint.
 
     ``DataFrame.localCheckpoint`` persists an internal RDD at
     MEMORY_AND_DISK that ``spark.catalog.clearCache()`` does NOT clear
@@ -59,13 +60,18 @@ def _ckpt(df: DataFrame, release: int | None = None) -> tuple[DataFrame, int]:
     dropped (localCheckpoint is eager by default), so releasing the
     superseded round is safe: nothing can re-read it.
 
-    The persisted RDD is not reachable from the returned DataFrame
-    (``queryExecution.toRdd`` wraps it in a fresh RDD), so it is
-    identified by diffing ``sc.getPersistentRDDs()`` keys around the
-    call and released through that same map.  Blocking unpersist — one
-    driver RPC per round, negligible next to the round's shuffle, and it
-    makes storage accounting deterministic for tests and memory-pressure
-    reasoning alike.
+    The persisted RDD is read straight off the checkpointed frame's own
+    plan: ``localCheckpoint`` analyzes to a ``LogicalRDD`` wrapping
+    exactly the RDD it persisted.  Holding that handle (rather than
+    diffing the session-global ``getPersistentRDDs`` map, as an earlier
+    revision did) makes the release safe under concurrency: another
+    thread persisting anything on the same SparkContext between the
+    checkpoint and the diff could otherwise be mis-identified as "our"
+    checkpoint and blocking-unpersisted — unrecoverable for a
+    lineage-truncated RDD some other job still reads.  Blocking
+    unpersist — one driver RPC per round, negligible next to the
+    round's shuffle, and it makes storage accounting deterministic for
+    tests and memory-pressure reasoning alike.
 
     Each release logs Spark's "RDD was locally checkpointed, its
     lineage has been truncated and cannot be recomputed" WARN — that is
@@ -73,17 +79,11 @@ def _ckpt(df: DataFrame, release: int | None = None) -> tuple[DataFrame, int]:
     error: nothing references the superseded round, so nothing will
     ever ask for the recomputation the warning is about.
     """
-    jsc = df.sparkSession.sparkContext._jsc
-    before = {int(k) for k in jsc.getPersistentRDDs().keySet()}
     ck = df.localCheckpoint()
-    after = jsc.getPersistentRDDs()
-    new_ids = [int(k) for k in after.keySet() if int(k) not in before]
-    ckpt_id = max(new_ids) if new_ids else -1
-    if release is not None and release >= 0:
-        prior = after.get(release)
-        if prior is not None:
-            prior.unpersist(True)
-    return ck, ckpt_id
+    jrdd = ck._jdf.queryExecution().analyzed().rdd()
+    if release is not None:
+        release.unpersist(True)
+    return ck, jrdd
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -102,7 +102,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # seed = min(self, neighbors): the first propagation step fused into
     # the init aggregate — star-shaped clusters (the common dedup case)
     # converge immediately, saving one full join round
-    labels, ck_id = _ckpt(
+    labels, ck_rdd = _ckpt(
         und.groupBy(F.col("u").alias("node"))
         .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("component"))
     )
@@ -116,11 +116,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # each round's checkpoint supersedes the previous round's, whose
         # storage _ckpt releases once the new one has materialized —
         # storage stays O(1) per call instead of O(rounds)
-        labels, ck_id = _ckpt(
+        labels, ck_rdd = _ckpt(
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component")),
-            release=ck_id,
+            release=ck_rdd,
         )
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:  # min-propagation is monotone; fixpoint
@@ -187,7 +187,7 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
         return (row["n"], row["s"])
 
     prev = _fingerprint(e)
-    ck_id = None  # first e is SQL-cached, not checkpointed
+    ck_rdd = None  # first e is SQL-cached, not checkpointed
 
     for _ in range(max_iter):
         # LARGE-STAR over the undirected view: m(u) = min(N(u) ∪ {u});
@@ -221,17 +221,17 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
                 F.col("m"),
             )
         )
-        new_e, new_id = _ckpt(
+        new_e, new_rdd = _ckpt(
             small.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(small.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct(),
-            release=ck_id,
+            release=ck_rdd,
         )
         cur = _fingerprint(new_e)
-        if ck_id is None:
+        if ck_rdd is None:
             e.unpersist(blocking=True)  # release the SQL-cached seed
-        e, ck_id = new_e, new_id
+        e, ck_rdd = new_e, new_rdd
         if cur == prev:
             break
         prev = cur
@@ -315,7 +315,7 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     nodes = deg.select("node")
     base = ((100 - damping_pct) * scale) // 100
     pr = nodes.select("node", F.lit(int(scale)).cast("long").alias("pr"))
-    ck_id = None
+    ck_rdd = None
     for _ in range(iters):
         msgs = (
             pr.join(deg, "node")
@@ -328,7 +328,7 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         # each round's checkpoint supersedes the previous round's; _ckpt
         # releases the superseded storage once the new one materializes,
         # so a k-round run holds ONE rank relation, not k
-        pr, ck_id = _ckpt(
+        pr, ck_rdd = _ckpt(
             nodes.join(msgs, "node", "left")
             .select(
                 "node",
@@ -337,7 +337,7 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                     + F.expr(f"({damping_pct} * coalesce(c, 0)) div 100")
                 ).cast("long").alias("pr"),
             ),
-            release=ck_id,
+            release=ck_rdd,
         )
     # the final localCheckpoint materialized pr, so the returned plan no
     # longer references `und` — release its storage now (long sessions

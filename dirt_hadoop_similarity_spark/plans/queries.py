@@ -81,83 +81,87 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # ROUND-8 ROTATION (VERDICT r7 task 2).  Never driver-sampled —
-    # registered in round 7 past the window:
-    "sql_below_avg",
-    "sql_running_total",
-    "sql_grouping_sets",
-    "stream_interval_join",
-    "ann_ivfpq_trained",
-    # code changed in round 7 (76879cb: int64-exact div rewrites and the
-    # reserved-column guard) after their last driver-green row:
-    "lm_perplexity_tiers",
-    "zorder_events",
-    "mixture_resample",
-    # code changed in round 8 (components.py checkpoint-storage release):
+    # ROUND-9 ROTATION (VERDICT r8 task 1).
+    # Code changed in round 9 (components.py _ckpt: concurrency-safe
+    # checkpoint release — ADVICE r8 medium):
     "dedup_pagerank",
     "dedup_components",
     "dedup_components_ls",
     "dedup_cluster_keepers",
-    # r4-era rows — the oldest hard evidence in the registry, all
-    # code-unchanged since their green row and locally oracle-green:
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_rh_topk",
-    "corpus_diff",
-    "dedup_ngram_jaccard",
-    "dirt_mi",
-    "dirt_sim",
-    "doc_chunking",
-    "dsir_importance",
-    "duplicate_spans",
-    "join_orders_lineitem",
-    "join_salted_skew",
-    "lm_quality",
-    "media_features",
-    "media_frames",
-    "media_frames_text",
-    "media_metadata",
-    "q1_pricing_summary",
-    "quality_classifier",
-    "semantic_dedup",
-    "set_ops_cohorts",
-    "skew_profile",
-    "text_repetition",
-    "vocab_oov_rate",
-    # oldest r5 rows, filling the window to exactly 50:
-    "dirt_pipeline_exact",
-    "bpe_train_merges",
-    "curation_funnel",
-    "ann_hard_negatives",
-    "ann_recall_eval",
-    "ann_gemm_topk",
-    "reservoir_per_group",
-    "asof_join_events",
-    "window_range_frame",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "dedup_minhash_lsh",
-    "dedup_lsh_verified",
+    # code changed in round 9 (queries_analytics._sql_frontend: conf
+    # replay guard widened to PySparkException — ADVICE r8 low):
+    "sql_below_avg",
+    "sql_running_total",
+    "sql_grouping_sets",
+    "sql_monthly_top_orders",
+    # gained a real oracle in round 9 (stemmer vocabulary materialized;
+    # VERDICT r8 task 5) — has rows-only history but no hash-green row:
+    "dirt_full_pipeline",
+    # the 25 r5-era rows — the oldest hash-green evidence left, all
+    # code-unchanged since their green row (fingerprint-guarded) and
+    # locally oracle-green:
+    "ann_filtered_topk",
+    "ann_ivfpq_rerank",
+    "bpe_encode_corpus",
+    "cluster_balanced_sample",
+    "cohort_retention",
+    "corr_price_quantity",
+    "decimal_revenue_exact",
+    "dedup_incremental",
+    "dedup_threshold_sweep",
+    "dirt_extract_counts",
+    "event_interarrival",
+    "event_user_outliers",
+    "funnel_conversion",
+    "grouping_sets_status",
+    "join_region_revenue",
+    "rolling_distinct_users",
+    "snapshot_upsert",
+    "source_budget_waterfill",
+    "source_cap_keepers",
+    "split_contamination",
+    "subquery_below_avg",
+    "text_normalize",
+    "text_rolling_hash",
+    "text_token_budget",
+    "timeseries_gapfill",
+    # oldest-r7 fillers to exactly 50 (alphabetical head of the r7 set):
+    "anti_join_customers",
+    "bpe_pair_counts",
+    "bpe_train_batched",
+    "cube_status_priority",
+    "dataset_split",
+    "decontaminate",
+    "dedup_distinct",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_near_dups",
+    "global_scalar",
+    "join_broadcast_part",
+    "join_top_spenders",
+    "json_props_extract",
+    "least_greatest_pairs",
+    "left_join_coalesce",
 ]
 
 # Rows-only-by-design queries that may sit past the window:
 #   * profile_approx — engine-specific sketch outputs cannot value-match
-#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc);
-#   * dirt_full_pipeline — stemmer-active vocabulary no SQL oracle can
-#     reproduce (documented, r5 rows-only driver row); its value-checked
-#     twin dirt_pipeline_exact is hash-green (r5) and stays oracle-backed.
-_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx", "dirt_full_pipeline"}
+#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc).
+# (dirt_full_pipeline left this set in round 9: its oracle materializes
+# the live stemmer vocabulary as an inline lookup — queries_more.py.)
+_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # Rotation policy: entries whose last driver-green row is OLDEST (or
 # whose code changed, or that never had a row) fill the window; the
 # deferred tail is drawn from the MOST recently checked rounds.
-# Round 8: _PRIORITY is exactly 50 names (5 never-checked + 3 changed in
-# r7 + 4 changed in r8 + 25 r4-era + 13 oldest-r5 fillers); _DEFERRED
-# enumerates every other name — all r5/r7-green, code-unchanged since
-# their row, oracle-backed (or whitelisted rows-only above).  The
-# contract is machine-checked on BOTH failure modes:
-# tests/test_oracle_all.py recomputes per-query freshness from the
-# committed CORRECTNESS_r*.json files and fails if any
+# Round 9: _PRIORITY is exactly 50 names (4 changed by the components
+# _ckpt fix + 4 changed by the _sql_frontend fix + dirt_full_pipeline's
+# first oracle-backed row + the 25 r5-era names + 16 oldest-r7
+# fillers); _DEFERRED enumerates every other name — all r7/r8
+# hash-green, code-unchanged since their row, oracle-backed (or
+# whitelisted rows-only above).  The contract is machine-checked on
+# BOTH failure modes: tests/test_oracle_all.py recomputes per-query
+# freshness from the committed CORRECTNESS_r*.json files (hash-green
+# rows only — rows_match alone is not value evidence) and fails if any
 # never-driver-checked query sits past the window; and
 # test_deferred_plans_unchanged compares every deferred query's
 # analyzed-plan fingerprint against the committed snapshot
@@ -167,85 +171,86 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx", "dirt_full_pipeline"}
 # Safety net for the tail remains the same test file's full oracle
 # sweep.
 _DEFERRED = [
-    # r7-green (hash) — the entire round-7 driver window, minus the
-    # components-backed queries rotated back in above
-    "bpe_train_batched",
-    "stream_dedup_events",
-    "stream_windowed_counts",
-    "stream_sessionize",
-    "temperature_mixture",
+    # r8-green (hash) — last round's driver window, minus the
+    # code-changed queries rotated back in above
+    "ann_cosine_topk",
+    "ann_gemm_topk",
+    "ann_hard_negatives",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "ann_rh_topk",
+    "asof_join_events",
+    "bpe_train_merges",
+    "corpus_diff",
+    "curation_funnel",
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dirt_mi",
+    "dirt_pipeline_exact",
+    "dirt_sim",
+    "doc_chunking",
+    "dsir_importance",
+    "duplicate_spans",
+    "join_orders_lineitem",
+    "join_salted_skew",
+    "lm_perplexity_tiers",
+    "lm_quality",
+    "media_features",
+    "media_frames",
+    "media_frames_text",
+    "media_metadata",
+    "mixture_resample",
+    "q1_pricing_summary",
+    "quality_classifier",
+    "reservoir_per_group",
+    "semantic_dedup",
+    "set_ops_cohorts",
+    "skew_profile",
+    "stream_interval_join",
+    "text_repetition",
+    "vocab_oov_rate",
+    "window_range_frame",
+    "zorder_events",
+    # r7-green (hash), code-unchanged, oracle-backed
+    "mi_expression",
     "ntile_quartiles",
-    "join_top_spenders",
-    "sql_monthly_top_orders",
+    "percentile_exact",
+    "pii_redact",
+    "pivot_orderstatus",
+    "profile_columns",
+    "q3_shipping_priority",
+    "range_join_events",
+    "rollup_returnflag",
+    "self_join_lineitem",
+    "semi_join_orders",
+    "sequence_packing",
+    "sessionize",
+    "stratified_sample",
+    "stream_dedup_events",
+    "stream_sessionize",
+    "stream_windowed_counts",
+    "temperature_mixture",
+    "text_boilerplate",
     "text_cosine_pairs",
     "text_cosine_topk",
     "text_fingerprint",
-    "text_quality",
-    "self_join_lineitem",
     "text_langid",
-    "dedup_simhash",
-    "mi_expression",
-    "topk_per_group",
-    "dedup_exact",
-    "global_scalar",
-    "join_broadcast_part",
-    "semi_join_orders",
-    "anti_join_customers",
-    "left_join_coalesce",
-    "pivot_orderstatus",
-    "least_greatest_pairs",
-    "rollup_returnflag",
-    "bpe_pair_counts",
-    "decontaminate",
-    "stratified_sample",
-    "text_boilerplate",
-    "dataset_split",
+    "text_quality",
     "text_tfidf_top_terms",
-    "embedding_near_dups",
-    "q3_shipping_priority",
-    "dedup_distinct",
+    "topk_per_group",
     "training_shards",
-    "pii_redact",
-    "sequence_packing",
-    "unpivot_orderstatus",
-    "percentile_exact",
-    "profile_columns",
-    "cube_status_priority",
-    "window_sliding",
-    "sessionize",
-    "range_join_events",
-    "window_cumsum",
-    "window_tumbling",
     "union_label",
-    "json_props_extract",
-    # r5-green (hash), code-unchanged, oracle-backed
-    "dedup_incremental",
-    "dedup_threshold_sweep",
-    "dirt_full_pipeline",
-    "dirt_extract_counts",
-    "source_cap_keepers",
-    "cluster_balanced_sample",
-    "split_contamination",
-    "source_budget_waterfill",
-    "event_user_outliers",
-    "ann_ivfpq_rerank",
-    "bpe_encode_corpus",
-    "ann_filtered_topk",
-    "cohort_retention",
-    "funnel_conversion",
-    "text_normalize",
-    "join_region_revenue",
-    "grouping_sets_status",
-    "event_interarrival",
-    "subquery_below_avg",
-    "rolling_distinct_users",
-    "corr_price_quantity",
-    "decimal_revenue_exact",
-    "timeseries_gapfill",
-    "snapshot_upsert",
+    "unpivot_orderstatus",
+    "window_cumsum",
+    "window_sliding",
+    "window_tumbling",
+    # rows-only-by-design (whitelisted above), r5 rows-only row
     "profile_approx",
-    "text_rolling_hash",
-    "text_token_budget",
 ]
 
 

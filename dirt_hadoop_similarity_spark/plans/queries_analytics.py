@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
+from pyspark.errors import PySparkException
 
 from dirt_hadoop_similarity_spark.operators import textsim
 from dirt_hadoop_similarity_spark.plans.queries import load, register
@@ -655,8 +655,14 @@ def _sql_frontend(spark: SparkSession, sf_dir: str,
         try:
             if s.conf.get(row["key"], None) != row["value"]:
                 s.conf.set(row["key"], row["value"])
-        except AnalysisException:
-            pass  # static/unsettable conf (e.g. warehouse.dir) — keep default
+        except PySparkException:
+            # static/unsettable/validation-rejecting conf (e.g.
+            # warehouse.dir raises AnalysisException, a value-validated
+            # conf raises IllegalArgumentException) — the replay is
+            # best-effort, so skip the entry and keep the default
+            # (ADVICE r8: narrowing to AnalysisException alone aborted
+            # the whole query on any other conf error type)
+            pass
     for t in tables:
         load(s, sf_dir, t).createOrReplaceTempView(t)
     return s.sql(sql)

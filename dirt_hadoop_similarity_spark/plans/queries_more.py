@@ -249,13 +249,149 @@ def dirt_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stemmer's live vocabulary, materialized for the oracle (VERDICT r8
+# task 5): the pipeline stems exactly the words at token positions
+# 0,1,2,3,5 of each >=6-token document, a 30-word closed set across every
+# shipped sf dir.  Stems come from the engine's own Porter implementation
+# (functions/porter.py, Java-parity pinned by its rule-table test), so
+# the oracle trusts the STEMMER as input data and value-checks everything
+# downstream of it — the parse, extraction, MI, top-path selection, pair
+# fan-out, and Lin scoring.  tests/test_pipeline.py asserts this mapping
+# covers the live vocabulary and agrees with porter_stem, so a testdata
+# regeneration that widens the vocabulary fails loudly there, not as a
+# silent oracle mismatch.
+FULL_PIPE_STEMS: dict[str, str] = {
+    "a": "a", "agg": "agg", "batch": "batch", "big": "big",
+    "column": "column", "customer": "custom", "data": "data",
+    "fast": "fast", "filter": "filter", "group": "group", "hash": "hash",
+    "join": "join", "key": "kei", "line": "line", "merge": "merg",
+    "order": "order", "part": "part", "query": "queri", "row": "row",
+    "scan": "scan", "slow": "slow", "small": "small", "sort": "sort",
+    "spark": "spark", "stream": "stream", "table": "tabl", "the": "the",
+    "value": "valu", "vector": "vector", "window": "window",
+}
+
+_AUX_STOPLIST_SQL = (
+    "('be','am','is','are','was','were','been','being','do','does','did',"
+    "'have','has','had','will','would','shall','should','can','could',"
+    "'may','might','must')"
+)
+
+_FULL_PIPE_SQL = f"""
+WITH stems(word, stem) AS (VALUES {", ".join(
+    f"('{w}', '{s}')" for w, s in sorted(FULL_PIPE_STEMS.items())
+)}),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, w[1] AS w0, w[2] AS w1, w[3] AS w2,
+         w[4] AS w3, w[5] AS w4, w[6] AS w5,
+         CAST(1 + doc_id % 5 AS BIGINT) AS n1,
+         CAST(1 + doc_id % 3 AS BIGINT) AS n2
+  FROM toks WHERE len(w) >= 6
+),
+verbs AS (
+  SELECT * FROM base WHERE lower(w1) NOT IN {_AUX_STOPLIST_SQL}
+),
+exts AS (
+  SELECT 'N:<nsubj:V:' || sv.stem || ':>dobj:N' AS path,
+         sx.stem AS x, sy.stem AS y, n1 AS n
+  FROM verbs
+  JOIN stems sv ON sv.word = w1
+  JOIN stems sx ON sx.word = w0
+  JOIN stems sy ON sy.word = w2
+  UNION ALL
+  SELECT 'N:<nsubj:V:' || sv.stem || ':>prep:P:' || lower(w4) || ':>pobj:N',
+         sx.stem, sy.stem, n2
+  FROM verbs
+  JOIN stems sv ON sv.word = w1
+  JOIN stems sx ON sx.word = w3
+  JOIN stems sy ON sy.word = w5
+),
+words AS (
+  SELECT path, 'X' AS slot, x AS word, n FROM exts
+  UNION ALL
+  SELECT path, 'Y' AS slot, y AS word, n FROM exts
+),
+triples AS (
+  SELECT path, slot, word, CAST(sum(n) AS BIGINT) AS n
+  FROM words GROUP BY path, slot, word
+),
+sw AS (SELECT slot, word, CAST(sum(n) AS BIGINT) AS sw_n FROM triples GROUP BY slot, word),
+ps AS (SELECT path, slot, CAST(sum(n) AS BIGINT) AS ps_n FROM triples GROUP BY path, slot),
+nn AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM triples),
+mi AS (
+  SELECT * FROM (
+    SELECT t.path, t.slot, t.word,
+           ln((CAST(t.n AS DOUBLE) * nn.n_total) / (CAST(ps.ps_n AS DOUBLE) * sw.sw_n)) AS mi
+    FROM triples t
+    JOIN sw ON sw.slot = t.slot AND sw.word = t.word
+    JOIN ps ON ps.path = t.path AND ps.slot = t.slot
+    CROSS JOIN nn
+  ) WHERE mi > 0.001
+),
+toppaths AS (
+  SELECT path FROM (
+    SELECT path, sum(n) AS pn FROM triples GROUP BY path
+    ORDER BY pn DESC, path LIMIT 10)
+),
+pairs AS (
+  SELECT a.path AS p1, b.path AS p2 FROM toppaths a JOIN toppaths b ON a.path < b.path
+),
+nums AS (
+  SELECT p.p1, p.p2,
+         SUM(CASE WHEN m1.slot = 'X' THEN m1.mi + m2.mi END) AS num_x,
+         SUM(CASE WHEN m1.slot = 'Y' THEN m1.mi + m2.mi END) AS num_y
+  FROM pairs p
+  JOIN mi m1 ON m1.path = p.p1
+  JOIN mi m2 ON m2.path = p.p2 AND m2.slot = m1.slot AND m2.word = m1.word
+  GROUP BY p.p1, p.p2
+),
+smi AS (SELECT path, slot, sum(mi) AS s FROM mi GROUP BY path, slot),
+piv AS (
+  SELECT path,
+         COALESCE(sum(CASE WHEN slot = 'X' THEN s END), 0) AS sx,
+         COALESCE(sum(CASE WHEN slot = 'Y' THEN s END), 0) AS sy
+  FROM smi GROUP BY path
+),
+emitted AS (
+  SELECT p1, p2 FROM pairs
+  WHERE p1 IN (SELECT DISTINCT path FROM mi) OR p2 IN (SELECT DISTINCT path FROM mi)
+),
+scored AS (
+  SELECT e.p1, e.p2,
+         sqrt(
+           (CASE WHEN COALESCE(d1.sx, 0) + COALESCE(d2.sx, 0) > 0
+                 THEN COALESCE(n.num_x, 0) / (COALESCE(d1.sx, 0) + COALESCE(d2.sx, 0))
+                 ELSE 0 END) *
+           (CASE WHEN COALESCE(d1.sy, 0) + COALESCE(d2.sy, 0) > 0
+                 THEN COALESCE(n.num_y, 0) / (COALESCE(d1.sy, 0) + COALESCE(d2.sy, 0))
+                 ELSE 0 END)) AS score
+  FROM emitted e
+  LEFT JOIN nums n ON n.p1 = e.p1 AND n.p2 = e.p2
+  LEFT JOIN piv d1 ON d1.path = e.p1
+  LEFT JOIN piv d2 ON d2.path = e.p2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs_scored,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       round(max(score), 6) AS max_score
+FROM scored
+"""
+
+
 @register(
     "dirt_full_pipeline",
-    None,  # path identities involve the Porter stemmer → rows-only check
+    _FULL_PIPE_SQL,
     "The COMPLETE DIRT DAG in one query: biarc synthesis → token parse → "
     "path-extraction UDTF → marginals → MI → pair fan-out → feature "
     "intersection → Lin scores. Pairs come from the corpus's own most "
-    "frequent paths; output is the deterministic score summary.",
+    "frequent paths; output is the deterministic score summary.  The "
+    "oracle replays every stage in SQL, with the live stemmer vocabulary "
+    "materialized as an inline lookup (FULL_PIPE_STEMS, coverage-pinned "
+    "by tests/test_pipeline.py) — closing the last closable rows-only "
+    "gap (VERDICT r8 task 5).",
 )
 def dirt_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dirt_hadoop_similarity_spark.plans.pipeline import run_pipeline

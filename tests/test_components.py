@@ -281,3 +281,28 @@ def test_components_storage_is_o1_per_call(spark):
         # und/e/nodes SQL caches are all released (blocking) before return
         assert not sql_caches, (fn.__name__, names)
         spark.catalog.clearCache()
+
+
+def test_ckpt_release_is_concurrency_safe(spark):
+    """_ckpt must identify the checkpoint RDD from the checkpointed
+    frame's OWN plan, never from a session-global diff (ADVICE r8
+    medium): with a foreign RDD persisted between the checkpoint and the
+    release — what a concurrent job on a shared session does — the
+    release must free exactly the superseded checkpoint and leave the
+    foreign RDD's storage untouched."""
+    sc = spark.sparkContext
+    df1 = spark.range(100).selectExpr("id % 7 AS k").groupBy("k").count()
+    ck1, h1 = components._ckpt(df1)
+    # a concurrent thread persists something AFTER our checkpoint — under
+    # the old max(new-ids) diff this could be mistaken for the checkpoint
+    foreign = sc.parallelize(range(1000), 2).cache()
+    foreign.count()
+    df2 = spark.range(50).selectExpr("id % 3 AS k").groupBy("k").count()
+    ck2, h2 = components._ckpt(df2, release=h1)
+    persisted = {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+    assert foreign.id() in persisted, "foreign RDD was wrongly unpersisted"
+    assert int(h1.id()) not in persisted, "superseded checkpoint leaked"
+    assert int(h2.id()) in persisted, "live checkpoint missing"
+    assert ck2.count() == 3
+    foreign.unpersist(True)
+    h2.unpersist(True)

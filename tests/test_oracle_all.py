@@ -43,7 +43,8 @@ def test_query_matches_oracle(name, oracle_spark, sf_dir):
 
 def _driver_checked_queries() -> set[str]:
     """Names with at least one driver row across ALL committed
-    CORRECTNESS_r*.json files — a hash-green oracle row, or (for the
+    CORRECTNESS_r*.json files — a HASH-green oracle row (rows_match
+    alone is not evidence the values matched; ADVICE r8), or (for the
     whitelisted rows-only queries) a recorded rows-only run."""
     import glob
     import json
@@ -53,7 +54,7 @@ def _driver_checked_queries() -> set[str]:
     seen: set[str] = set()
     for p in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(p)).items():
-            green = bool(row.get("rows_match")) or (
+            green = bool(row.get("hash_match")) or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             )
@@ -99,7 +100,7 @@ def test_driver_window_contract():
     )
 
 
-def test_deferred_plans_unchanged(oracle_spark, sf_dir):
+def test_deferred_plans_unchanged(oracle_spark):
     """The contract's second failure mode, machine-checked (VERDICT r7
     found it could only be a review rule — it no longer is): a deferred
     query's analyzed-plan fingerprint must match the committed snapshot
@@ -153,6 +154,53 @@ def test_deferred_plans_unchanged(oracle_spark, sf_dir):
         "driver-green rows no longer cover the current code; move them "
         f"into _PRIORITY and regenerate the snapshot: {stale}"
     )
+
+
+def test_fingerprint_canonicalizer_is_session_stable(spark):
+    """Guard for the canonicalizer itself (VERDICT r8 task 7): the same
+    query fingerprinted in two FRESH sessions must hash identically —
+    every session-dependent counter Spark injects into the analyzed
+    plan (expression ids, lambda variable ids, CTE ids, split counts)
+    must be stripped by tools.plan_fingerprints.canonical_plan.  If
+    Spark grows a NEW nondeterminism source, this test fails as
+    "canonicalizer gap" with the first differing plan line, instead of
+    the rotation contract failing spuriously as "stale plan".
+
+    The sample set exercises each strip rule: joins/aggregates
+    (expression ids), higher-order functions (lambda ids), the SQL
+    front-end (CTE ids), and a repartition-bearing plan (split counts).
+    """
+    import difflib
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from tools.plan_fingerprints import SF_DIR, canonical_plan
+
+    samples = [
+        "dirt_sim",              # joins, aggregates, caches
+        "dedup_minhash_lsh",     # transform/filter lambdas
+        "sql_monthly_top_orders",  # SQL front-end: CTEs, window
+        "dirt_extract_counts",   # repartition + pandas-UDF extraction
+    ]
+    for name in samples:
+        plans = [
+            canonical_plan(REGISTRY[name].fn(spark.newSession(), SF_DIR))
+            for _ in range(2)
+        ]
+        if plans[0] != plans[1]:
+            diff = "\n".join(
+                difflib.unified_diff(
+                    plans[0].splitlines(), plans[1].splitlines(), lineterm=""
+                )
+            )[:2000]
+            raise AssertionError(
+                f"canonicalizer gap: {name} fingerprints differently in "
+                f"two fresh sessions — a new nondeterminism source needs "
+                f"a strip rule in tools/plan_fingerprints.canonical_plan:\n"
+                f"{diff}"
+            )
 
 
 def test_entry_contract(oracle_spark, sf_dir):

@@ -166,3 +166,49 @@ def test_mi_threshold_filters(spark):
         (see, "X", "dog"),
         (see, "Y", "mice"),
     }
+
+
+def test_full_pipeline_stem_table_covers_live_vocab(sf_dir):
+    """dirt_full_pipeline's oracle inlines the stemmer vocabulary as a
+    VALUES lookup (FULL_PIPE_STEMS).  Two invariants keep that oracle
+    honest against testdata changes:
+
+      * COVERAGE — every word the pipeline will stem (token positions
+        0,1,2,3,5 of each >=6-token document) appears in the mapping, at
+        every shipped sf dir; a regenerated corpus with new words fails
+        HERE, not as a silent inner-join row loss in the oracle;
+      * FIDELITY — each mapped stem equals the engine's own porter_stem,
+        so the lookup is exactly the tested stemmer materialized.
+    """
+    import os
+
+    import duckdb
+
+    from dirt_hadoop_similarity_spark.functions.porter import porter_stem
+    from dirt_hadoop_similarity_spark.plans.queries_more import (
+        FULL_PIPE_STEMS,
+    )
+
+    for word, stem in FULL_PIPE_STEMS.items():
+        assert porter_stem(word) == stem, word
+
+    dirs = {sf_dir} | {
+        f"/root/testdata/sf{s}"
+        for s in ("0.001", "0.01", "0.1")
+        if os.path.isdir(f"/root/testdata/sf{s}")
+    }
+    for d in sorted(dirs):
+        vocab = {
+            w
+            for (w,) in duckdb.connect().execute(
+                f"""
+                WITH t AS (SELECT list_filter(string_split(text, ' '),
+                                              w -> w <> '') AS w
+                           FROM '{d}/documents.parquet')
+                SELECT DISTINCT unnest([w[1], w[2], w[3], w[4], w[6]])
+                FROM t WHERE len(w) >= 6
+                """
+            ).fetchall()
+        }
+        missing = vocab - set(FULL_PIPE_STEMS)
+        assert not missing, f"{d}: vocabulary not in FULL_PIPE_STEMS: {missing}"

@@ -33,9 +33,29 @@ Everything is pyarrow-native (no pandas round-trip), preserving the
 source parquet logical types — notably events' TIMESTAMP(NANOS), which
 the engine's read path special-cases and must still see at scale.
 
+``--skew`` (VERDICT r8 task 3) produces the SAME total volume with a
+zipf-head key distribution — the scale risk SURVEY §7.3 names (frequent
+paths `have`/`be in` dominating groups) that uniform replication cannot
+exhibit:
+
+  * events — ~50% of all events (selected by a Knuth-hash of event_id,
+    so the choice is deterministic and replica-independent) are remapped
+    onto 8 globally-hot users: at 10× that is ~62k events per hot user
+    vs ~67 for the uniform tail (~900× average) — the straggler shape
+    for sessionize windows and per-user aggregation;
+  * documents — every 7th word position becomes one of 4 globally-hot
+    tokens (``zz0``-``zz3``, document frequency ≈ corpus size — the
+    `have`/`the` analogue) ON TOP of the per-replica dialect suffix, so
+    cross-replica texts stay distinct (no welded duplicate clusters)
+    while shingle/band/df hot keys appear;
+  * lineitem — ~30% of lines (same deterministic hash selection) remap
+    l_partkey to hot key 0: at 10× that is ~1.8M lines on one part
+    (~60,000× average) — the salted-join / AQE-skew-split stressor.
+    The key stays inside the part domain, so FK joins remain valid.
+
 Run:  python tools/gen_scale_corpus.py [--mult 10] [--src /root/testdata/sf0.1]
-          [--out /tmp/dhs_scale]
-Writes <out>/x<mult>/<table>.parquet and prints one JSON summary line.
+          [--out /tmp/dhs_scale] [--skew]
+Writes <out>/x<mult>[skew]/<table>.parquet and prints one JSON summary line.
 """
 
 from __future__ import annotations
@@ -100,6 +120,62 @@ def _doc_transform(t: pa.Table, i: int) -> pa.Table:
     return t
 
 
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(2**32)
+
+
+def _hash_pct(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 0-99 bucket per id (Knuth multiplicative hash) —
+    the replica-independent coin for skew-subset selection."""
+    return ((ids.astype(np.uint64) * _KNUTH) % _M32) % np.uint64(100)
+
+
+def _skew_events(t: pa.Table, i: int) -> pa.Table:
+    """~50% of events onto 8 globally-hot users, volume unchanged."""
+    ev = t.column("event_id").to_numpy(zero_copy_only=False)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).copy()
+    mask = _hash_pct(ev) < 50
+    uid[mask] = ev[mask] % 8
+    idx = t.schema.get_field_index("user_id")
+    return t.set_column(idx, t.schema.field("user_id"),
+                        pa.array(uid, type=t.schema.field("user_id").type))
+
+
+def _skew_lineitem(t: pa.Table, i: int) -> pa.Table:
+    """~30% of lines onto hot part key 0, volume unchanged."""
+    ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+    ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+    lpk = t.column("l_partkey").to_numpy(zero_copy_only=False).copy()
+    mask = _hash_pct(ok.astype(np.uint64) * np.uint64(7) +
+                     ln.astype(np.uint64)) < 30
+    lpk[mask] = 0
+    idx = t.schema.get_field_index("l_partkey")
+    return t.set_column(idx, t.schema.field("l_partkey"),
+                        pa.array(lpk, type=t.schema.field("l_partkey").type))
+
+
+def _skew_doc_transform(t: pa.Table, i: int) -> pa.Table:
+    """Dialect suffix (cross-replica distinctness preserved) + hot-token
+    injection at every 7th word position (global df ≈ corpus size)."""
+    texts = t.column("text").to_pylist()
+    new_texts = []
+    for s in texts:
+        words = s.split(" ")
+        if i:
+            for j in range(0, len(words), 3):
+                words[j] = f"{words[j]}~{i}"
+        for j in range(1, len(words), 7):
+            words[j] = f"zz{(j // 7) % 4}"
+        new_texts.append(" ".join(words))
+    sch = t.schema
+    t = t.set_column(sch.get_field_index("text"), sch.field("text"),
+                     pa.array(new_texts, type=sch.field("text").type))
+    t = t.set_column(sch.get_field_index("n_chars"), sch.field("n_chars"),
+                     pa.array([len(s) for s in new_texts],
+                              type=sch.field("n_chars").type))
+    return t
+
+
 def _emb_transform(t: pa.Table, i: int) -> pa.Table:
     if i == 0:
         return t
@@ -121,10 +197,13 @@ def main() -> None:
     ap.add_argument("--tables", default=None,
                     help="comma-separated subset (default: all); dims "
                          "are always copied so loads never 404")
+    ap.add_argument("--skew", action="store_true",
+                    help="zipf-head key skew at constant volume "
+                         "(hot users/tokens/part keys — see module doc)")
     args = ap.parse_args()
     only = set(args.tables.split(",")) if args.tables else None
 
-    out = os.path.join(args.out, f"x{args.mult}")
+    out = os.path.join(args.out, f"x{args.mult}{'skew' if args.skew else ''}")
     os.makedirs(out, exist_ok=True)
     t_start = time.perf_counter()
 
@@ -141,10 +220,13 @@ def main() -> None:
     cust_off = key_max("customer", "c_custkey")
 
     plans = {
-        "documents": ({"doc_id": doc_off}, _doc_transform),
+        "documents": ({"doc_id": doc_off},
+                      _skew_doc_transform if args.skew else _doc_transform),
         "embeddings": ({"vec_id": vec_off}, _emb_transform),
-        "events": ({"event_id": evt_off, "user_id": usr_off}, None),
-        "lineitem": ({"l_orderkey": ord_off}, None),
+        "events": ({"event_id": evt_off, "user_id": usr_off},
+                   _skew_events if args.skew else None),
+        "lineitem": ({"l_orderkey": ord_off},
+                     _skew_lineitem if args.skew else None),
         "orders": ({"o_orderkey": ord_off, "o_custkey": cust_off}, None),
         "customer": ({"c_custkey": cust_off}, None),
     }
@@ -160,7 +242,7 @@ def main() -> None:
 
     print(json.dumps({
         "out": out, "mult": args.mult, "src": args.src,
-        "rows": rows,
+        "skew": bool(args.skew), "rows": rows,
         "gen_seconds": round(time.perf_counter() - t_start, 3),
     }))
 

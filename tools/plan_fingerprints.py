@@ -42,7 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT = os.path.join(_REPO, "tests", "plan_fingerprints.json")
-SF_DIR = "/root/testdata/sf0.001"
+# Same derivation as tests/conftest.py, so the fingerprint check runs
+# against whatever corpus the test run uses (ADVICE r8: a hard-coded
+# path broke the suite on machines with the corpus elsewhere).  The
+# fingerprints themselves are sf-dir-INDEPENDENT: no analyzed plan
+# embeds the parquet path (measured 0/126 queries — relations print as
+# `Relation [cols] parquet`), and the schema is identical across dirs.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 #: modules whose Python-UDF bodies execute OUTSIDE the plan text —
 #: grep-maintained: every file whose pandas_udf/mapInPandas/

@@ -100,7 +100,16 @@ def main() -> None:
     spark = get_spark(app_name="dhs-scale-bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus),
                       extra_conf={"spark.driver.memory": mem})
-    spark.read.parquet(f"{scaled}/documents.parquet").count()  # warm up
+    # Warm up the JVM/codegen on whatever table the scaled dir actually
+    # has — gen_scale_corpus --tables can omit documents (ADVICE r8), and
+    # the dims are always present, so fall back to any parquet found.
+    import glob as _glob
+    warm = sorted(
+        _glob.glob(os.path.join(scaled, "documents.parquet"))
+        or _glob.glob(os.path.join(scaled, "*.parquet"))
+    )
+    if warm:
+        spark.read.parquet(warm[0]).count()
 
     base_s, base_r = _time_queries(spark, queries, args.base, args.repeats)
     scaled_s, scaled_r = _time_queries(spark, queries, scaled, args.repeats)
@@ -120,9 +129,11 @@ def main() -> None:
         "scaled": scaled, "repeats": args.repeats, "queries": report,
     }))
     if args.markdown:
+        base_lbl = os.path.basename(args.base.rstrip("/"))
+        scaled_lbl = os.path.basename(scaled.rstrip("/"))
         print()
-        print("| query | sf0.1 s | %dx s | time ratio | sf0.1 rows | "
-              "%dx rows | row ratio |" % (args.mult, args.mult))
+        print(f"| query | {base_lbl} s | {scaled_lbl} s | time ratio | "
+              f"{base_lbl} rows | {scaled_lbl} rows | row ratio |")
         print("|---|---|---|---|---|---|---|")
         for n, r in report.items():
             print(f"| {n} | {r['base_sec']} | {r['scaled_sec']} | "
