@@ -3,8 +3,12 @@ the evidence behind PERF.md's 100 TB design claims (VERDICT r6/r7: plan
 shape alone is an argument, not a measurement).
 
 Runs each query at the base sf dir AND at an N× replica corpus built by
-tools/gen_scale_corpus.py, with bench.py's exact methodology (isolated
-cache, noop sink, min over repeats), and reports per-query:
+tools/gen_scale_corpus.py, with bench.py's methodology (isolated cache,
+noop sink, min over repeats) plus INTERLEAVED legs — each pass times
+(query@base, query@scaled) adjacently with leg order alternating across
+passes, because running one leg to completion first hands the other all
+the JVM warm-up (measured 1.3-4.2× first-leg bias on identical data).
+Reports per-query:
 
   * seconds at each scale and the time ratio;
   * OUTPUT ROWS at each scale and the row ratio — the candidate-growth
@@ -51,23 +55,48 @@ DEFAULT_QUERIES = [
 ]
 
 
-def _time_queries(spark, queries, sf_dir: str, repeats: int):
+def _time_queries_interleaved(spark, queries, base_dir: str,
+                              scaled_dir: str, repeats: int):
+    """Time every query at BOTH scales with the legs interleaved.
+
+    Running one leg to completion before the other (the round-8 shape)
+    hands the second leg all the JVM/JIT/codegen warmth the first leg
+    paid for: a base-vs-base control run measured the first leg 1.3-4.2x
+    slower on IDENTICAL data (curation_funnel 16.7s -> 3.95s), which is
+    bias larger than the effect being measured.  Instead, each pass runs
+    (query@base, query@scaled) adjacently, and the leg order flips on
+    alternating passes, so with min-over->=2-passes each leg's minimum
+    comes from an equally warm position.
+    """
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
-    secs: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for _ in range(repeats):
-        for name in queries:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            secs[name] = min(secs.get(name, el), el)
-    for name in queries:
+    secs: dict[tuple[str, str], float] = {}
+    rows: dict[tuple[str, str], int] = {}
+
+    def one(name: str, sf_dir: str) -> None:
         spark.catalog.clearCache()
-        rows[name] = QUERIES[name].fn(spark, sf_dir).count()
-    return secs, rows
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        el = round(time.perf_counter() - t0, 3)
+        key = (name, sf_dir)
+        secs[key] = min(secs.get(key, el), el)
+
+    for i in range(repeats):
+        legs = (base_dir, scaled_dir) if i % 2 == 0 else (
+            scaled_dir, base_dir)
+        for name in queries:
+            for sf_dir in legs:
+                one(name, sf_dir)
+    for name in queries:
+        for sf_dir in (base_dir, scaled_dir):
+            spark.catalog.clearCache()
+            rows[(name, sf_dir)] = QUERIES[name].fn(spark, sf_dir).count()
+    base_s = {n: secs[(n, base_dir)] for n in queries}
+    base_r = {n: rows[(n, base_dir)] for n in queries}
+    scaled_s = {n: secs[(n, scaled_dir)] for n in queries}
+    scaled_r = {n: rows[(n, scaled_dir)] for n in queries}
+    return base_s, base_r, scaled_s, scaled_r
 
 
 def main() -> None:
@@ -111,8 +140,8 @@ def main() -> None:
     if warm:
         spark.read.parquet(warm[0]).count()
 
-    base_s, base_r = _time_queries(spark, queries, args.base, args.repeats)
-    scaled_s, scaled_r = _time_queries(spark, queries, scaled, args.repeats)
+    base_s, base_r, scaled_s, scaled_r = _time_queries_interleaved(
+        spark, queries, args.base, scaled, args.repeats)
     spark.stop()
 
     report = {

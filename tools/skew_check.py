@@ -46,8 +46,14 @@ def main() -> None:
                       shuffle_partitions=int(cpus),
                       extra_conf={"spark.driver.memory": mem})
 
+    # Carry real payload columns through the join: with the key alone,
+    # column pruning leaves 1.8M IDENTICAL longs in the hot partition,
+    # which compress to under every skew threshold — AQE (correctly, by
+    # its bytes-based criterion) saw nothing to split in the round-8 run.
+    # A production skewed join carries payload; so does the harness.
     li = spark.read.parquet(f"{args.dir}/lineitem.parquet").select(
-        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+        F.col("l_partkey").alias("p_partkey"), "l_quantity",
+        "l_extendedprice"
     )
     part = spark.read.parquet(f"{args.dir}/part.parquet").select(
         "p_partkey", "p_brand"
@@ -61,16 +67,29 @@ def main() -> None:
 
     # 2. plain shuffle join under AQE: does skew-split fire?
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # make the skew unmistakable to AQE's thresholds at local-test sizes
+    # Scale AQE's skew thresholds down to local-test partition sizes:
+    # the defaults (256m threshold, 5x median) are tuned for production
+    # shuffle partitions; here the hot partition is ~10MB compressed, so
+    # without rescaling the check can only ever report "not engaged".
+    # The question answered is MECHANISM (does the split fire when the
+    # bytes criterion classifies the partition as skewed), not absolute
+    # thresholds.
     spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
     )
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                   "2.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
     t0 = time.perf_counter()
     plain = li.join(part, "p_partkey").groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n_items")
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("rev")
     )
-    plain_rows = plain.count()
+    # Execute THIS DataFrame (collect), not .count(): Dataset.count()
+    # wraps the plan in a fresh global-aggregate QueryExecution, so the
+    # plan hanging off plain._jdf would never have run and AQE's
+    # `skew=true` marker (stamped only on the final adaptive plan after
+    # execution) could not appear — the round-8 run's false negative.
+    plain_rows = len(plain.collect())
     plain_sec = round(time.perf_counter() - t0, 3)
     final_plan = plain._jdf.queryExecution().executedPlan().toString()
     aqe_skew_engaged = "skew=true" in final_plan
@@ -78,6 +97,7 @@ def main() -> None:
     spark.conf.unset(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
     )
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
     spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
     # 3. explicit salting: worst reducer load before vs after
