@@ -197,3 +197,46 @@ def test_sql_monthly_top_orders_propagates_runtime_confs(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+
+
+def test_scale_bench_interleaves_legs(spark, monkeypatch):
+    """tools/scale_bench must time the base and scaled legs INTERLEAVED
+    (per query, adjacent legs; leg order alternating across passes) —
+    running one leg to completion first hands the second all the JVM
+    warm-up: a base-vs-base control measured the first leg 1.3-4.2x
+    slower on identical data, bias larger than the scaling effect the
+    tool exists to measure.  Pin the call order with stub queries."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.scale_bench import _time_queries_interleaved
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES, QueryDef
+
+    calls: list[tuple[str, str]] = []
+
+    def stub(name):
+        def fn(sp, sf_dir):
+            calls.append((name, sf_dir))
+            return sp.range(1)
+        return QueryDef(fn=fn, oracle=None)
+
+    monkeypatch.setitem(QUERIES, "__ileave_a__", stub("a"))
+    monkeypatch.setitem(QUERIES, "__ileave_b__", stub("b"))
+
+    base_s, base_r, scaled_s, scaled_r = _time_queries_interleaved(
+        spark, ["__ileave_a__", "__ileave_b__"], "BASE", "SCALED",
+        repeats=2)
+
+    assert calls[:8] == [
+        ("a", "BASE"), ("a", "SCALED"), ("b", "BASE"), ("b", "SCALED"),
+        ("a", "SCALED"), ("a", "BASE"), ("b", "SCALED"), ("b", "BASE"),
+    ]
+    # the row-count pass follows, per query x leg
+    assert sorted(calls[8:]) == sorted(
+        [("a", "BASE"), ("a", "SCALED"), ("b", "BASE"), ("b", "SCALED")])
+    for d in (base_s, scaled_s):
+        assert set(d) == {"__ileave_a__", "__ileave_b__"}
+        assert all(v >= 0 for v in d.values())
+    assert base_r == scaled_r == {"__ileave_a__": 1, "__ileave_b__": 1}
