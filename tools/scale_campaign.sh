@@ -1,0 +1,75 @@
+#!/bin/bash
+# Reproduce the full PERF.md scaling-evidence campaign in one command.
+#
+# Builds the 10x/30x/100x dialect-replica corpora plus the 10x zipf-skew
+# corpus under $SCALE_DIR, then runs every measurement the PERF.md
+# round-9 tables came from: interleaved scale benches at all three
+# multipliers (plus the indexed-vs-brute ANN/MinHash contrast set), the
+# skew engagement checks (skewed + uniform control), the
+# skewed-vs-uniform constant-volume timing, and streaming-state growth
+# at 10x and 100x.  Results land as one file per leg in $OUT.
+#
+# Total wall time on an otherwise-idle local[32] box: ~1.5 h, most of it
+# the x100 leg.  Run nothing else concurrently: the harnesses are
+# min-of-2 interleaved (robust to brief disturbances, not to sustained
+# load).
+#
+# Usage:  bash tools/scale_campaign.sh [OUT_DIR]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/dhs_campaign}
+SCALE_DIR=${SCALE_DIR:-/tmp/dhs_scale}
+BASE=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+mkdir -p "$OUT"
+step() { echo "[$(date +%H:%M:%S)] $1" | tee -a "$OUT/STATUS"; }
+
+for m in 10 30 100; do
+  if [ ! -d "$SCALE_DIR/x$m" ]; then
+    step "gen x$m corpus"
+    python tools/gen_scale_corpus.py --mult "$m" --src "$BASE" \
+      --out "$SCALE_DIR" >> "$OUT/gen.log" 2>&1 || exit 1
+  fi
+done
+if [ ! -d "$SCALE_DIR/x10skew" ]; then
+  step "gen x10 skew corpus"
+  python tools/gen_scale_corpus.py --mult 10 --skew --src "$BASE" \
+    --out "$SCALE_DIR" >> "$OUT/gen.log" 2>&1 || exit 1
+fi
+
+step "scale x10"
+python tools/scale_bench.py --mult 10 --repeats 2 --markdown \
+  > "$OUT/x10.txt" 2> "$OUT/x10.err"
+step "scale x30"
+python tools/scale_bench.py --mult 30 --repeats 2 --markdown \
+  > "$OUT/x30.txt" 2> "$OUT/x30.err"
+step "scale x30 ann/minhash contrast"
+python tools/scale_bench.py --mult 30 --repeats 2 --markdown \
+  --queries ann_gemm_topk,ann_ivfpq_topk,ann_cosine_topk,dedup_minhash_lsh,dedup_ngram_jaccard \
+  > "$OUT/x30_ann.txt" 2> "$OUT/x30_ann.err"
+
+step "skew check (skewed — expect engaged, exit 0)"
+python tools/skew_check.py --dir "$SCALE_DIR/x10skew" \
+  > "$OUT/skew.txt" 2> "$OUT/skew.err"
+echo "exit=$?" >> "$OUT/skew.txt"
+step "skew check (uniform control — expect NOT engaged, exit 1)"
+python tools/skew_check.py --dir "$SCALE_DIR/x10" \
+  > "$OUT/skew_uniform.txt" 2> "$OUT/skew_uniform.err"
+echo "exit=$?" >> "$OUT/skew_uniform.txt"
+step "skewed vs uniform timing at constant volume"
+python tools/scale_bench.py --base "$SCALE_DIR/x10" \
+  --scaled "$SCALE_DIR/x10skew" --repeats 2 --markdown \
+  --queries join_salted_skew,sessionize,text_cosine_pairs,dedup_minhash_lsh \
+  > "$OUT/skew_vs_uniform.txt" 2> "$OUT/skew_vs_uniform.err"
+
+step "streaming state x10"
+python tools/stream_state_bench.py --dirs "$BASE,$SCALE_DIR/x10" \
+  --markdown > "$OUT/stream_x10.txt" 2> "$OUT/stream_x10.err"
+step "streaming state x100"
+python tools/stream_state_bench.py --dirs "$BASE,$SCALE_DIR/x100" \
+  --markdown > "$OUT/stream_x100.txt" 2> "$OUT/stream_x100.err"
+
+step "scale x100 (the long leg)"
+python tools/scale_bench.py --mult 100 --repeats 2 --markdown \
+  --queries text_cosine_pairs,text_cosine_topk,lm_perplexity_tiers,dedup_pagerank,dedup_components_ls,split_contamination,sessionize,ann_cosine_topk,ann_ivfpq_topk,q1_pricing_summary \
+  > "$OUT/x100.txt" 2> "$OUT/x100.err"
+step "DONE — results in $OUT"
