@@ -111,6 +111,10 @@ HEADLINE = [
     # second streaming entry: stream-stream interval join (watermarked
     # state both sides), next to the dedup-state entry
     "stream_interval_join",
+    # round-9: skew-immune sessionization (gap-aligned tumbling buckets;
+    # the straggler-free cost class next to the plain window entry —
+    # tools/sessionize_stress.py measures the crossover)
+    "sessionize_skewsafe",
 ]
 
 

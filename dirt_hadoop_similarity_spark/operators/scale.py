@@ -302,3 +302,97 @@ def zorder_frame(df: DataFrame, col_a: str, col_b: str,
         .withColumn("zval", zvalue(F.col("zx"), F.col("zy"), bits))
         .drop("_mina", "_maxa", "_minb", "_maxb")
     )
+
+
+def sessionize_counts_bucketed(events: DataFrame, user_col: str = "user_id",
+                               ts_col: str = "ts",
+                               gap_minutes: int = 30) -> DataFrame:
+    """Per-user ``(n_sessions, n_events)`` with EXACTLY the semantics of
+    the lag-window sessionization (plans.queries.sessionize), computed
+    without ever co-locating one user's full event history in a task.
+
+    The window formulation partitions by user, so one hot user (a
+    crawler emitting millions of events — at 100 TB weblog scale, a
+    certainty) serializes into a single straggler task; PERF.md's
+    round-9 skew table measures the penalty at ~1.9× with just 50% of
+    events on 8 users.  This variant tumbles time into buckets exactly
+    one gap wide (``floor(epoch / gap)``):
+
+      * two events in the same bucket are STRICTLY less than one gap
+        apart (bucket width == gap), so no event with a same-bucket
+        predecessor can ever start a session;
+      * therefore only each (user, bucket)'s FIRST event is a session-
+        start candidate, and its verdict needs only the PREVIOUS
+        bucket's max timestamp — an empty previous bucket means the
+        nearest earlier event is necessarily more than a gap away.
+
+    Cost shape: one groupBy (user, bucket) whose map-side partial
+    aggregation collapses the hot user to one row per bucket per input
+    partition BEFORE the shuffle, then one per-user window + sum over
+    the BUCKET relation — which is time-bounded (a year of events is
+    ~17.5k bucket rows per user at a 30-minute gap, regardless of event
+    count), so the per-user partition that made the raw-event window a
+    straggler is harmless here.  A previous non-empty bucket that is
+    not ADJACENT implies a gap greater than one bucket width by
+    construction, so only adjacent-bucket neighbors need the exact
+    interval comparison.
+
+    Routing guidance: on a corpus with no hot users this variant costs
+    ~2-3x the plain window (the bucket relation stays near event
+    cardinality when every user is sparse); diagnose first with
+    :func:`key_skew_profile` and use this variant when any single
+    user's event count is task-sort-sized (tools/sessionize_stress.py
+    measures the crossover: 20x faster at 20M events with one 80%%
+    user, 41x at 50M).
+
+    Tie/boundary semantics match the window version exactly: equal
+    timestamps always share a bucket (gap 0 → same session), and a gap
+    of exactly ``gap_minutes`` does NOT start a session (strict ``>``,
+    applied with the same interval arithmetic on the un-truncated
+    timestamps).
+    """
+    from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
+
+    require_fixed_offset_tz(events.sparkSession)
+    gap_s = int(gap_minutes) * 60
+    # NTZ or TZ input both reduce to epoch seconds under the session's
+    # fixed-offset zone (guarded above); a constant offset shifts every
+    # bucket boundary uniformly, so the grid stays gap-aligned.  The
+    # second-level truncation is safe: it can only move two same-bucket
+    # events closer, never push a < gap pair into different-bucket
+    # territory without the exact interval check below re-deciding it.
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    per_bucket = (
+        events.groupBy(
+            F.col(user_col).alias("_u"),
+            F.floor(epoch / F.lit(gap_s)).alias("_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(ts_col).alias("_min_ts"),
+            F.max(ts_col).alias("_max_ts"),
+        )
+    )
+    wb = Window.partitionBy("_u").orderBy("_bucket")
+    prev_bucket = F.lag("_bucket").over(wb)
+    prev_max = F.lag("_max_ts").over(wb)
+    starts = F.when(
+        prev_bucket.isNull()
+        # a previous NON-ADJACENT non-empty bucket leaves at least one
+        # whole empty bucket between: prev_max < (b-1)*gap <= min_ts -
+        # gap, so the time gap strictly exceeds the threshold
+        | (prev_bucket != F.col("_bucket") - 1)
+        | (
+            F.col("_min_ts") - prev_max
+            > F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        per_bucket.select("_u", starts.alias("_starts"), "_n")
+        .groupBy(F.col("_u").alias(user_col))
+        .agg(
+            F.sum("_starts").cast("long").alias("n_sessions"),
+            F.sum("_n").alias("n_events"),
+        )
+    )

@@ -141,7 +141,10 @@ _PRIORITY = [
     "join_top_spenders",
     "json_props_extract",
     "least_greatest_pairs",
-    "left_join_coalesce",
+    # new in round 9 (never driver-checked → must sit in the window;
+    # displaced the last r7 filler, left_join_coalesce, into the
+    # deferred tail):
+    "sessionize_skewsafe",
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -155,8 +158,9 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # deferred tail is drawn from the MOST recently checked rounds.
 # Round 9: _PRIORITY is exactly 50 names (4 changed by the components
 # _ckpt fix + 4 changed by the _sql_frontend fix + dirt_full_pipeline's
-# first oracle-backed row + the 25 r5-era names + 16 oldest-r7
-# fillers); _DEFERRED enumerates every other name — all r7/r8
+# first oracle-backed row + the 25 r5-era names + 15 oldest-r7 fillers
+# + the new sessionize_skewsafe); _DEFERRED enumerates every other
+# name — all r7/r8
 # hash-green, code-unchanged since their row, oracle-backed (or
 # whitelisted rows-only above).  The contract is machine-checked on
 # BOTH failure modes: tests/test_oracle_all.py recomputes per-query
@@ -217,6 +221,7 @@ _DEFERRED = [
     "window_range_frame",
     "zorder_events",
     # r7-green (hash), code-unchanged, oracle-backed
+    "left_join_coalesce",
     "mi_expression",
     "ntile_quartiles",
     "percentile_exact",
@@ -811,9 +816,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sessionize",
-    """
+_SESSIONIZE_ORACLE = """
     WITH gaps AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -825,7 +828,12 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
            CAST(count(*) AS BIGINT) AS n_events
     FROM gaps GROUP BY user_id
-    """,
+    """
+
+
+@register(
+    "sessionize",
+    _SESSIONIZE_ORACLE,
     "Sessionization: lag + gap threshold + cumulative session ids.",
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,3 +856,17 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "sessionize_skewsafe",
+    _SESSIONIZE_ORACLE,
+    "Skew-immune sessionization: gap-aligned tumbling buckets replace "
+    "the per-user window, so a hot user never serializes into one task "
+    "(operators/scale.sessionize_counts_bucketed); same oracle — the "
+    "semantics are identical by construction.",
+)
+def sessionize_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import scale
+
+    return scale.sessionize_counts_bucketed(load(spark, sf_dir, "events"))

@@ -307,3 +307,120 @@ def test_exact_ntile_on_microsecond_epoch_values(spark):
         else:
             want[(v, t)] = rem + (rank0 - boundary) // q + 1
     assert out == want
+
+
+class TestSessionizeBucketed:
+    """sessionize_counts_bucketed must equal the per-user lag-window
+    sessionization EXACTLY — including the boundary semantics a bucket
+    scheme could plausibly get wrong (gap of exactly 30 min, ties,
+    bucket-edge neighbors, empty intermediate buckets)."""
+
+    GAP_MIN = 30
+
+    def _window_reference(self, spark, rows):
+        """The lag-window spec, computed independently in Python."""
+        out = {}
+        byuser: dict = {}
+        for u, ts, eid in rows:
+            byuser.setdefault(u, []).append((ts, eid))
+        for u, evs in byuser.items():
+            evs.sort()
+            n_sessions = 0
+            prev = None
+            for ts, _ in evs:
+                if prev is None or (ts - prev) > self.GAP_MIN * 60:
+                    n_sessions += 1
+                prev = ts
+            out[u] = (n_sessions, len(evs))
+        return out
+
+    def _run(self, spark, rows):
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame(
+            [(u, ts, eid) for u, ts, eid in rows],
+            T.StructType([
+                T.StructField("user_id", T.StringType()),
+                T.StructField("epoch", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+            ]),
+        ).select(
+            "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id"
+        )
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in scale.sessionize_counts_bucketed(
+                df, gap_minutes=self.GAP_MIN
+            ).collect()
+        }
+        assert got == self._window_reference(spark, rows)
+
+    def test_boundary_cases(self, spark):
+        g = self.GAP_MIN * 60
+        b = 10_000_000 // g * g  # a bucket boundary
+        rows = [
+            # exactly one gap apart -> SAME session (strict >)
+            ("exact", 1_000_000, 1), ("exact", 1_000_000 + g, 2),
+            # one second over -> new session
+            ("over", 2_000_000, 1), ("over", 2_000_000 + g + 1, 2),
+            # tie on ts -> same session
+            ("tie", 3_000_000, 1), ("tie", 3_000_000, 2),
+            # adjacent across a bucket edge, 2 s apart -> same session
+            ("edge", b - 1, 1), ("edge", b + 1, 2),
+            # an empty bucket between events barely > gap apart
+            ("hole", b, 1), ("hole", b + g + 1, 2),
+            # events in far-apart buckets -> 3 sessions
+            ("far", 0, 1), ("far", 10 * g, 2), ("far", 20 * g, 3),
+            # single event
+            ("solo", 5_000_000, 1),
+        ]
+        self._run(spark, rows)
+
+    def test_randomized_equivalence(self, spark):
+        import random
+
+        rng = random.Random(0xD1E7)
+        g = self.GAP_MIN * 60
+        rows = []
+        eid = 0
+        for u in range(12):
+            t = rng.randrange(0, 5 * g)
+            for _ in range(rng.randrange(1, 60)):
+                # mix sub-gap jitters, exact-gap steps, and long holes
+                t += rng.choice([rng.randrange(0, g), g, g + 1,
+                                 rng.randrange(g, 5 * g)])
+                eid += 1
+                rows.append((f"u{u}", t, eid))
+        self._run(spark, rows)
+
+    def test_matches_registered_sessionize(self, spark, sf_dir):
+        from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+        plain = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in QUERIES["sessionize"].fn(spark, sf_dir).collect()
+        }
+        safe = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in QUERIES["sessionize_skewsafe"].fn(
+                spark, sf_dir).collect()
+        }
+        assert safe == plain
+
+    def test_window_runs_over_bucket_relation_not_events(self, spark,
+                                                         sf_dir):
+        """The point of the variant: the per-user Window runs over the
+        COLLAPSED (user, bucket) relation — an Aggregate must sit below
+        it in the plan — never over the raw event relation, where a hot
+        user would serialize into one task's sort."""
+        from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+        lines = (
+            QUERIES["sessionize_skewsafe"].fn(spark, sf_dir)
+            ._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+        win = [i for i, ln in enumerate(lines) if "Window" in ln]
+        assert len(win) == 1
+        # plan text is top-down: the bucket Aggregate (the collapse)
+        # must appear BELOW the window operator
+        assert any("Aggregate" in ln for ln in lines[win[0] + 1:]), lines

@@ -1,0 +1,145 @@
+"""Demonstrate the sessionize straggler and its bucketed fix at the
+event concentration where it actually bites.
+
+The x10skew corpus (8 hot users x ~190k events) is far below the
+straggler threshold: a window-sessionize task sorts 190k rows in
+milliseconds, so plans/queries.sessionize and sessionize_skewsafe tie
+there (PERF.md round-9 skew table), and at uniform sf0.1 scale the
+window version is outright cheaper — that small-scale verdict is
+disclosed, not hidden.
+
+This harness generates the 100 TB-shaped failure case directly: N
+synthetic events with fraction ``hot_frac`` belonging to ONE user (a
+crawler/bot — at weblog scale, a certainty), timestamps spread over a
+year.  The per-user window then serializes hot_frac*N rows through a
+single task's sort, while the gap-bucket variant
+(operators/scale.sessionize_counts_bucketed) collapses the hot user to
+one row per 30-minute bucket per input partition BEFORE the shuffle.
+Both outputs are asserted equal before timing is reported.
+
+Run:  python tools/sessionize_stress.py [--events 20000000]
+          [--hot-frac 0.8] [--repeats 2]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import Window as W  # noqa: E402
+
+YEAR_S = 365 * 24 * 3600
+
+
+def synth_events(spark, n: int, hot_frac: float, n_cold_users: int = 20000):
+    """n events over one year; ``hot_frac`` of them on user 'hot', the
+    rest uniform over ``n_cold_users`` users.  Deterministic (hash-based
+    jitter, no RNG), generated distributed via range()."""
+    return spark.range(n).select(
+        F.when(
+            (F.col("id") % 1_000_000) < int(hot_frac * 1_000_000),
+            F.lit("hot"),
+        )
+        .otherwise(F.concat(F.lit("u"), (F.xxhash64("id") % n_cold_users)))
+        .alias("user_id"),
+        F.timestamp_seconds(
+            (F.abs(F.xxhash64("id", F.lit(1))) % YEAR_S)
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+
+
+def window_sessionize(ev):
+    """plans.queries.sessionize's exact expression, inlined so the
+    harness needs no sf_dir."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=20_000_000)
+    ap.add_argument("--hot-frac", type=float, default=0.8)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    from dirt_hadoop_similarity_spark.operators import scale
+    from dirt_hadoop_similarity_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(app_name="dhs-sessionize-stress",
+                      master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus),
+                      extra_conf={"spark.driver.memory": mem})
+
+    ev = synth_events(spark, args.events, args.hot_frac)
+
+    # correctness first: identical outputs on a 1% slice (full-size
+    # equality would just re-run the straggler three times)
+    slice_ = synth_events(spark, max(args.events // 100, 100_000),
+                          args.hot_frac)
+    a = {r.user_id: (r.n_sessions, r.n_events)
+         for r in window_sessionize(slice_).collect()}
+    b = {r.user_id: (r.n_sessions, r.n_events)
+         for r in scale.sessionize_counts_bucketed(slice_).collect()}
+    assert a == b, "variant outputs diverged on the synthetic corpus"
+
+    def timed(df) -> float:
+        best = None
+        for _ in range(args.repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    # interleave the two variants (same rationale as scale_bench)
+    win_s = buck_s = None
+    for i in range(args.repeats):
+        pair = [("window", window_sessionize(ev)),
+                ("bucketed", scale.sessionize_counts_bucketed(ev))]
+        if i % 2:
+            pair.reverse()
+        for kind, df in pair:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            if kind == "window":
+                win_s = el if win_s is None else min(win_s, el)
+            else:
+                buck_s = el if buck_s is None else min(buck_s, el)
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "sessionize_stress", "events": args.events,
+        "hot_frac": args.hot_frac, "repeats": args.repeats,
+        "window_sec": round(win_s, 3), "bucketed_sec": round(buck_s, 3),
+        "speedup": round(win_s / max(buck_s, 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
