@@ -58,7 +58,7 @@ echo "exit=$?" >> "$OUT/skew_uniform.txt"
 step "skewed vs uniform timing at constant volume"
 python tools/scale_bench.py --base "$SCALE_DIR/x10" \
   --scaled "$SCALE_DIR/x10skew" --repeats 2 --markdown \
-  --queries join_salted_skew,sessionize,text_cosine_pairs,dedup_minhash_lsh \
+  --queries join_salted_skew,sessionize,sessionize_skewsafe,text_cosine_pairs,dedup_minhash_lsh \
   > "$OUT/skew_vs_uniform.txt" 2> "$OUT/skew_vs_uniform.err"
 
 step "streaming state x10"
