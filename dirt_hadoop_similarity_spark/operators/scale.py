@@ -354,6 +354,12 @@ def sessionize_counts_bucketed(events: DataFrame, user_col: str = "user_id",
     from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
 
     require_fixed_offset_tz(events.sparkSession)
+    if int(gap_minutes) <= 0:
+        raise ValueError(
+            f"gap_minutes must be positive, got {gap_minutes!r}: a "
+            "non-positive gap degenerates the bucket grid (and the "
+            "session semantics it mirrors are undefined)"
+        )
     gap_s = int(gap_minutes) * 60
     # NTZ or TZ input both reduce to epoch seconds under the session's
     # fixed-offset zone (guarded above); a constant offset shifts every
@@ -361,11 +367,14 @@ def sessionize_counts_bucketed(events: DataFrame, user_col: str = "user_id",
     # second-level truncation is safe: it can only move two same-bucket
     # events closer, never push a < gap pair into different-bucket
     # territory without the exact interval check below re-deciding it.
+    # _floordiv_long keeps the grid in pure int64 arithmetic — floor
+    # (not truncate) for pre-1970 timestamps, and no double round-trip
+    # that could misplace a bucket edge at extreme epochs (ADVICE r9).
     epoch = F.col(ts_col).cast("timestamp").cast("long")
     per_bucket = (
         events.groupBy(
             F.col(user_col).alias("_u"),
-            F.floor(epoch / F.lit(gap_s)).alias("_bucket"),
+            _floordiv_long(epoch, gap_s).alias("_bucket"),
         )
         .agg(
             F.count(F.lit(1)).alias("_n"),

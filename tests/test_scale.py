@@ -373,8 +373,23 @@ class TestSessionizeBucketed:
             ("far", 0, 1), ("far", 10 * g, 2), ("far", 20 * g, 3),
             # single event
             ("solo", 5_000_000, 1),
+            # pre-1970 epochs: bucket ids must FLOOR (not truncate
+            # toward zero) for negative timestamps — 2 s apart across
+            # the epoch-0 bucket edge is one session
+            ("neg", -1, 1), ("neg", 1, 2),
+            ("negfar", -10 * g, 1), ("negfar", -10 * g + g + 1, 2),
         ]
         self._run(spark, rows)
+
+    def test_rejects_nonpositive_gap(self, spark):
+        df = spark.range(1).select(
+            F.lit("u").alias("user_id"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            F.col("id").alias("event_id"),
+        )
+        for bad in (0, -30):
+            with pytest.raises(ValueError, match="gap_minutes"):
+                scale.sessionize_counts_bucketed(df, gap_minutes=bad)
 
     def test_randomized_equivalence(self, spark):
         import random

@@ -70,6 +70,17 @@ def _time_queries_interleaved(spark, queries, base_dir: str,
     """
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
+    if repeats < 2:
+        # with one pass the leg order never alternates (base always
+        # first), silently reintroducing the exact first-leg warm-up
+        # bias the interleaving exists to remove (ADVICE r9)
+        print(
+            "WARNING: --repeats 1 never alternates leg order; the "
+            "first-timed leg eats the 1.3-4.2x JVM warm-up bias. Use "
+            "--repeats >= 2 for comparable ratios.",
+            file=sys.stderr,
+        )
+
     secs: dict[tuple[str, str], float] = {}
     rows: dict[tuple[str, str], int] = {}
 
@@ -105,7 +116,11 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--scaled", default=None,
                     help="default: /tmp/dhs_scale/x<mult>")
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="timing passes per leg; MINIMUM 2 for unbiased "
+                         "ratios (leg order alternates across passes — "
+                         "a single pass re-admits first-leg warm-up "
+                         "bias)")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--markdown", action="store_true",
                     help="also print the PERF.md table")

@@ -47,7 +47,13 @@ def synth_events(spark, n: int, hot_frac: float, n_cold_users: int = 20000):
             (F.col("id") % 1_000_000) < int(hot_frac * 1_000_000),
             F.lit("hot"),
         )
-        .otherwise(F.concat(F.lit("u"), (F.xxhash64("id") % n_cold_users)))
+        # pmod, not %: xxhash64 is signed and Spark's % follows the
+        # dividend's sign, so a bare modulo would mint BOTH u-123 and
+        # u123 — roughly 2x n_cold_users distinct users, halving the
+        # documented per-cold-user density (ADVICE r9)
+        .otherwise(
+            F.concat(F.lit("u"), F.pmod(F.xxhash64("id"), F.lit(n_cold_users)))
+        )
         .alias("user_id"),
         F.timestamp_seconds(
             (F.abs(F.xxhash64("id", F.lit(1))) % YEAR_S)
@@ -104,16 +110,6 @@ def main() -> None:
     b = {r.user_id: (r.n_sessions, r.n_events)
          for r in scale.sessionize_counts_bucketed(slice_).collect()}
     assert a == b, "variant outputs diverged on the synthetic corpus"
-
-    def timed(df) -> float:
-        best = None
-        for _ in range(args.repeats):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        return round(best, 3)
 
     # interleave the two variants (same rationale as scale_bench)
     win_s = buck_s = None

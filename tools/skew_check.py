@@ -140,8 +140,18 @@ def main() -> None:
     agg = li.groupBy("p_partkey").agg(F.sum("l_quantity").alias("qty"))
     agg_rows = len(agg.collect())
     agg_sec = round(time.perf_counter() - t0, 3)
-    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
-    agg_partial = "partial_sum" in agg_plan
+    # Position check, not substring presence (ADVICE r9): the plan text
+    # prints top-down (parent first), so the PARTIAL aggregate sitting
+    # below the shuffle means "partial_sum" must first appear on a line
+    # AFTER the first Exchange line — a final-only aggregate above the
+    # exchange would put it before.
+    plan_lines = (
+        agg._jdf.queryExecution().executedPlan().toString().splitlines()
+    )
+    exch = [i for i, ln in enumerate(plan_lines) if "Exchange" in ln]
+    agg_partial = bool(exch) and any(
+        "partial_sum" in ln for ln in plan_lines[exch[0] + 1:]
+    )
     spark.stop()
 
     report = {
