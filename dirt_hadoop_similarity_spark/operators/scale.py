@@ -304,6 +304,97 @@ def zorder_frame(df: DataFrame, col_a: str, col_b: str,
     )
 
 
+def sessionize_counts_window(events: DataFrame, user_col: str = "user_id",
+                             ts_col: str = "ts", id_col: str = "event_id",
+                             gap_minutes: int = 30) -> DataFrame:
+    """Per-user ``(n_sessions, n_events)`` via the classic lag-window
+    formulation — THE semantic spec both other variants must match
+    (and the shape the registry oracle mirrors in SQL).
+
+    Scale shape: one per-user window (partition-by-user sort) + one
+    partial-agg groupBy.  Cheapest on uniform traffic; on a corpus
+    where one user is task-sort-sized (a crawler at weblog scale) the
+    window serializes that user through a single task — route such
+    corpora to :func:`sessionize_counts_bucketed`, or let
+    :func:`sessionize_counts_auto` probe and decide.
+    """
+    if int(gap_minutes) <= 0:
+        raise ValueError(
+            f"gap_minutes must be positive, got {gap_minutes!r}"
+        )
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    lag_ts = F.lag(ts_col).over(w)
+    # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ
+    # inputs (the parquet `ts` column infers as NTZ under Spark 4) and
+    # is timezone-free, matching the oracle's naive `ts - lag(ts)`.
+    new_session = F.when(
+        lag_ts.isNull()
+        | (
+            F.col(ts_col) - lag_ts
+            > F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        events.select(user_col, new_session.alias("_new_session"))
+        .groupBy(user_col)
+        .agg(
+            F.sum("_new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# The measured window-vs-bucketed crossover on local[32] (PERF.md round
+# 9, tools/sessionize_stress.py): below ~2M events for the hottest user
+# the plain window's single-task sort is still cheap and the bucket
+# relation's extra groupBy costs more than it saves; above it the
+# window task becomes the straggler (31-49x at 16-40M hot-user events).
+SESSIONIZE_HOT_USER_EVENTS = 2_000_000
+
+
+def sessionize_counts_auto(events: DataFrame, user_col: str = "user_id",
+                           ts_col: str = "ts", id_col: str = "event_id",
+                           gap_minutes: int = 30,
+                           hot_user_events: int = SESSIONIZE_HOT_USER_EVENTS,
+                           ) -> DataFrame:
+    """Self-routing sessionization (VERDICT r9 task 2): probe the
+    hottest user's event count, then pick the variant — the window
+    formulation on uniform traffic, the gap-bucket formulation when any
+    single user is task-sort-sized.  Both variants are exactly
+    equivalent semantically (same oracle), so routing changes only the
+    physical plan.
+
+    The probe is one map-side-combined count (groupBy user → max), the
+    same partial-aggregation shape :func:`key_skew_profile` uses — it
+    collapses the hot user to one row per input partition before the
+    shuffle, so the probe itself cannot straggle.  Cost: one extra scan
+    of ``events``; worth paying when the skew profile is unknown
+    (callers that already know their corpus call a variant directly).
+
+    ``hot_user_events`` defaults to the measured crossover
+    (:data:`SESSIONIZE_HOT_USER_EVENTS`); tune per cluster — the real
+    threshold is "would sorting this many rows in ONE task straggle
+    the stage", a function of task memory and the timestamp width.
+    """
+    mx_row = (
+        events.groupBy(user_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_mx"))
+        .first()
+    )
+    mx = mx_row["_mx"] if mx_row is not None else None
+    if mx is not None and mx >= int(hot_user_events):
+        return sessionize_counts_bucketed(
+            events, user_col=user_col, ts_col=ts_col,
+            gap_minutes=gap_minutes,
+        )
+    return sessionize_counts_window(
+        events, user_col=user_col, ts_col=ts_col, id_col=id_col,
+        gap_minutes=gap_minutes,
+    )
+
+
 def sessionize_counts_bucketed(events: DataFrame, user_col: str = "user_id",
                                ts_col: str = "ts",
                                gap_minutes: int = 30) -> DataFrame:

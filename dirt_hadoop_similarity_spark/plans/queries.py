@@ -81,102 +81,51 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # ROUND-9 ROTATION (VERDICT r8 task 1).
-    # Code changed in round 9 (components.py _ckpt: concurrency-safe
-    # checkpoint release — ADVICE r8 medium):
-    "dedup_pagerank",
-    "dedup_components",
-    "dedup_components_ls",
-    "dedup_cluster_keepers",
-    # code changed in round 9 (queries_analytics._sql_frontend: conf
-    # replay guard widened to PySparkException — ADVICE r8 low):
-    "sql_below_avg",
-    "sql_running_total",
-    "sql_grouping_sets",
-    "sql_monthly_top_orders",
-    # gained a real oracle in round 9 (stemmer vocabulary materialized;
-    # VERDICT r8 task 5) — has rows-only history but no hash-green row:
-    "dirt_full_pipeline",
-    # the 25 r5-era rows — the oldest hash-green evidence left, all
-    # code-unchanged since their green row (fingerprint-guarded) and
-    # locally oracle-green:
-    "ann_filtered_topk",
-    "ann_ivfpq_rerank",
-    "bpe_encode_corpus",
-    "cluster_balanced_sample",
-    "cohort_retention",
-    "corr_price_quantity",
-    "decimal_revenue_exact",
-    "dedup_incremental",
-    "dedup_threshold_sweep",
-    "dirt_extract_counts",
-    "event_interarrival",
-    "event_user_outliers",
-    "funnel_conversion",
-    "grouping_sets_status",
-    "join_region_revenue",
-    "rolling_distinct_users",
-    "snapshot_upsert",
-    "source_budget_waterfill",
-    "source_cap_keepers",
-    "split_contamination",
-    "subquery_below_avg",
-    "text_normalize",
-    "text_rolling_hash",
-    "text_token_budget",
-    "timeseries_gapfill",
-    # oldest-r7 fillers to exactly 50 (alphabetical head of the r7 set):
-    "anti_join_customers",
-    "bpe_pair_counts",
-    "bpe_train_batched",
-    "cube_status_priority",
-    "dataset_split",
-    "decontaminate",
-    "dedup_distinct",
-    "dedup_exact",
-    "dedup_simhash",
-    "embedding_near_dups",
-    "global_scalar",
-    "join_broadcast_part",
-    "join_top_spenders",
-    "json_props_extract",
-    "least_greatest_pairs",
-    # new in round 9 (never driver-checked → must sit in the window;
-    # displaced the last r7 filler, left_join_coalesce, into the
-    # deferred tail):
+    # ROUND-10 ROTATION (VERDICT r9 task 1).
+    # New in round 10 (never driver-checked → must sit in the window):
+    "sessionize_auto",
+    # code changed in round 10 — sessionize_counts_bucketed moved to
+    # exact int64 floor-division bucket ids (ADVICE r9), and sessionize
+    # now calls the shared scale.sessionize_counts_window operator the
+    # auto-router reuses, so both plans changed:
     "sessionize_skewsafe",
-]
-
-# Rows-only-by-design queries that may sit past the window:
-#   * profile_approx — engine-specific sketch outputs cannot value-match
-#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc).
-# (dirt_full_pipeline left this set in round 9: its oracle materializes
-# the live stemmer vocabulary as an inline lookup — queries_more.py.)
-_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
-# Rotation policy: entries whose last driver-green row is OLDEST (or
-# whose code changed, or that never had a row) fill the window; the
-# deferred tail is drawn from the MOST recently checked rounds.
-# Round 9: _PRIORITY is exactly 50 names (4 changed by the components
-# _ckpt fix + 4 changed by the _sql_frontend fix + dirt_full_pipeline's
-# first oracle-backed row + the 25 r5-era names + 15 oldest-r7 fillers
-# + the new sessionize_skewsafe); _DEFERRED enumerates every other
-# name — all r7/r8
-# hash-green, code-unchanged since their row, oracle-backed (or
-# whitelisted rows-only above).  The contract is machine-checked on
-# BOTH failure modes: tests/test_oracle_all.py recomputes per-query
-# freshness from the committed CORRECTNESS_r*.json files (hash-green
-# rows only — rows_match alone is not value evidence) and fails if any
-# never-driver-checked query sits past the window; and
-# test_deferred_plans_unchanged compares every deferred query's
-# analyzed-plan fingerprint against the committed snapshot
-# (tests/plan_fingerprints.json, regenerated at rotation by
-# tools/plan_fingerprints.py), so an operator edit that changes a
-# deferred query's plan fails the suite until the query is rotated in.
-# Safety net for the tail remains the same test file's full oracle
-# sweep.
-_DEFERRED = [
-    # r8-green (hash) — last round's driver window, minus the
-    # code-changed queries rotated back in above
+    "sessionize",
+    # the 32 remaining r7-era rows — the oldest hash-green evidence
+    # left, all code-unchanged since their green row (fingerprint-
+    # guarded) and locally oracle-green:
+    "left_join_coalesce",
+    "mi_expression",
+    "ntile_quartiles",
+    "percentile_exact",
+    "pii_redact",
+    "pivot_orderstatus",
+    "profile_columns",
+    "q3_shipping_priority",
+    "range_join_events",
+    "rollup_returnflag",
+    "self_join_lineitem",
+    "semi_join_orders",
+    "sequence_packing",
+    "stratified_sample",
+    "stream_dedup_events",
+    "stream_sessionize",
+    "stream_windowed_counts",
+    "temperature_mixture",
+    "text_boilerplate",
+    "text_cosine_pairs",
+    "text_cosine_topk",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "topk_per_group",
+    "training_shards",
+    "union_label",
+    "unpivot_orderstatus",
+    "window_cumsum",
+    "window_sliding",
+    "window_tumbling",
+    # oldest-r8 fillers to exactly 50 (alphabetical head of the r8 set):
     "ann_cosine_topk",
     "ann_gemm_topk",
     "ann_hard_negatives",
@@ -192,6 +141,88 @@ _DEFERRED = [
     "corpus_diff",
     "curation_funnel",
     "dedup_lsh_verified",
+]
+
+# Rows-only-by-design queries that may sit past the window:
+#   * profile_approx — engine-specific sketch outputs cannot value-match
+#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc).
+# (dirt_full_pipeline left this set in round 9: its oracle materializes
+# the live stemmer vocabulary as an inline lookup — queries_more.py.)
+_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
+# Rotation policy: entries whose last driver-green row is OLDEST (or
+# whose code changed, or that never had a row) fill the window; the
+# deferred tail is drawn from the MOST recently checked rounds.
+# Round 10: _PRIORITY is exactly 50 names (the new sessionize_auto +
+# the 2 sessionize variants whose plans changed with the shared-
+# operator refactor and the int64 bucket-grid fix + all 32 remaining
+# r7-era names + 15 oldest-r8 fillers); _DEFERRED enumerates every
+# other name — all r8/r9 hash-green, code-unchanged since their row,
+# oracle-backed (or whitelisted rows-only above).  The contract is
+# machine-checked on BOTH failure modes: tests/test_oracle_all.py
+# recomputes per-query freshness from the committed
+# CORRECTNESS_r*.json files (hash-green rows only — rows_match alone
+# is not value evidence) and fails if any never-driver-checked query
+# sits past the window; and test_deferred_plans_unchanged compares
+# every deferred query's analyzed-plan fingerprint against the
+# committed snapshot (tests/plan_fingerprints.json, regenerated at
+# rotation by tools/plan_fingerprints.py), so an operator edit that
+# changes a deferred query's plan fails the suite until the query is
+# rotated in.  Safety net for the tail remains the same test file's
+# full oracle sweep.
+_DEFERRED = [
+    # r9-green (hash) — last round's driver window, minus the
+    # code-changed sessionize_skewsafe rotated back in above
+    "ann_filtered_topk",
+    "ann_ivfpq_rerank",
+    "anti_join_customers",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "bpe_train_batched",
+    "cluster_balanced_sample",
+    "cohort_retention",
+    "corr_price_quantity",
+    "cube_status_priority",
+    "dataset_split",
+    "decimal_revenue_exact",
+    "decontaminate",
+    "dedup_cluster_keepers",
+    "dedup_components",
+    "dedup_components_ls",
+    "dedup_distinct",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_pagerank",
+    "dedup_simhash",
+    "dedup_threshold_sweep",
+    "dirt_extract_counts",
+    "dirt_full_pipeline",
+    "embedding_near_dups",
+    "event_interarrival",
+    "event_user_outliers",
+    "funnel_conversion",
+    "global_scalar",
+    "grouping_sets_status",
+    "join_broadcast_part",
+    "join_region_revenue",
+    "join_top_spenders",
+    "json_props_extract",
+    "least_greatest_pairs",
+    "rolling_distinct_users",
+    "snapshot_upsert",
+    "source_budget_waterfill",
+    "source_cap_keepers",
+    "split_contamination",
+    "sql_below_avg",
+    "sql_grouping_sets",
+    "sql_monthly_top_orders",
+    "sql_running_total",
+    "subquery_below_avg",
+    "text_normalize",
+    "text_rolling_hash",
+    "text_token_budget",
+    "timeseries_gapfill",
+    # r8-green (hash), code-unchanged, oracle-backed — the 28 names not
+    # pulled forward as fillers
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dirt_mi",
@@ -220,40 +251,6 @@ _DEFERRED = [
     "vocab_oov_rate",
     "window_range_frame",
     "zorder_events",
-    # r7-green (hash), code-unchanged, oracle-backed
-    "left_join_coalesce",
-    "mi_expression",
-    "ntile_quartiles",
-    "percentile_exact",
-    "pii_redact",
-    "pivot_orderstatus",
-    "profile_columns",
-    "q3_shipping_priority",
-    "range_join_events",
-    "rollup_returnflag",
-    "self_join_lineitem",
-    "semi_join_orders",
-    "sequence_packing",
-    "sessionize",
-    "stratified_sample",
-    "stream_dedup_events",
-    "stream_sessionize",
-    "stream_windowed_counts",
-    "temperature_mixture",
-    "text_boilerplate",
-    "text_cosine_pairs",
-    "text_cosine_topk",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_tfidf_top_terms",
-    "topk_per_group",
-    "training_shards",
-    "union_label",
-    "unpivot_orderstatus",
-    "window_cumsum",
-    "window_sliding",
-    "window_tumbling",
     # rows-only-by-design (whitelisted above), r5 rows-only row
     "profile_approx",
 ]
@@ -837,25 +834,9 @@ _SESSIONIZE_ORACLE = """
     "Sessionization: lag + gap threshold + cumulative session ids.",
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
-    # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ inputs
-    # (the parquet `ts` column infers as NTZ under Spark 4) and is
-    # timezone-free, matching the oracle's naive `ts - lag(ts)` exactly.
-    new_session = F.when(
-        lag_ts.isNull()
-        | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
-    return (
-        ev.select("user_id", new_session.alias("new_session"))
-        .groupBy("user_id")
-        .agg(
-            F.sum("new_session").cast("long").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
+    from dirt_hadoop_similarity_spark.operators import scale
+
+    return scale.sessionize_counts_window(load(spark, sf_dir, "events"))
 
 
 @register(
@@ -870,3 +851,19 @@ def sessionize_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dirt_hadoop_similarity_spark.operators import scale
 
     return scale.sessionize_counts_bucketed(load(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize_auto",
+    _SESSIONIZE_ORACLE,
+    "Self-routing sessionization: a map-side-combined max-events-per-"
+    "user probe picks the window variant on uniform traffic and the "
+    "gap-bucket variant when any user is task-sort-sized "
+    "(operators/scale.sessionize_counts_auto; crossover measured by "
+    "tools/sessionize_stress.py — PERF.md round 9); same oracle — the "
+    "variants are semantically identical, routing is physical only.",
+)
+def sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import scale
+
+    return scale.sessionize_counts_auto(load(spark, sf_dir, "events"))

@@ -422,6 +422,15 @@ class TestSessionizeBucketed:
         }
         assert safe == plain
 
+    def test_rejects_nonpositive_gap_window_variant(self, spark):
+        df = spark.range(1).select(
+            F.lit("u").alias("user_id"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            F.col("id").alias("event_id"),
+        )
+        with pytest.raises(ValueError, match="gap_minutes"):
+            scale.sessionize_counts_window(df, gap_minutes=0)
+
     def test_window_runs_over_bucket_relation_not_events(self, spark,
                                                          sf_dir):
         """The point of the variant: the per-user Window runs over the
@@ -439,3 +448,78 @@ class TestSessionizeBucketed:
         # plan text is top-down: the bucket Aggregate (the collapse)
         # must appear BELOW the window operator
         assert any("Aggregate" in ln for ln in lines[win[0] + 1:]), lines
+
+
+class TestSessionizeAuto:
+    """sessionize_counts_auto must pick the bucketed variant exactly
+    when the hottest user's event count reaches the threshold — decided
+    by probing the data, verified here on the EXECUTED plan (the
+    skew_check discipline: trust the plan that ran, not the router's
+    intent), with output equality against the window spec on both
+    routes."""
+
+    def _corpus(self, spark, n: int, hot_frac: float):
+        """Miniature tools/sessionize_stress.py corpus: ``hot_frac`` of
+        ``n`` events on one user, the rest uniform over 50 cold users,
+        timestamps spread over 30 days."""
+        return spark.range(n).select(
+            F.when(
+                (F.col("id") % 100) < int(hot_frac * 100), F.lit("hot")
+            )
+            .otherwise(
+                F.concat(F.lit("u"), F.pmod(F.xxhash64("id"), F.lit(50)))
+            )
+            .alias("user_id"),
+            F.timestamp_seconds(
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(30 * 86400))
+            ).alias("ts"),
+            F.col("id").alias("event_id"),
+        )
+
+    @staticmethod
+    def _executed_plan(df) -> str:
+        # under AQE the final plan exists only after execution
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_routes_bucketed_on_hot_corpus(self, spark):
+        ev = self._corpus(spark, 20_000, hot_frac=0.8)
+        df = scale.sessionize_counts_auto(ev, hot_user_events=10_000)
+        plan = self._executed_plan(df)
+        # the gap-bucket collapse key is the variant's signature
+        assert "_bucket" in plan, plan
+
+    def test_routes_window_on_uniform_corpus(self, spark):
+        ev = self._corpus(spark, 20_000, hot_frac=0.0)
+        df = scale.sessionize_counts_auto(ev, hot_user_events=10_000)
+        plan = self._executed_plan(df)
+        assert "_bucket" not in plan, plan
+        assert "Window" in plan, plan
+
+    def test_outputs_equal_window_spec_on_both_routes(self, spark):
+        for frac in (0.0, 0.8):
+            ev = self._corpus(spark, 5_000, hot_frac=frac)
+            got = {
+                r.user_id: (r.n_sessions, r.n_events)
+                for r in scale.sessionize_counts_auto(
+                    ev, hot_user_events=2_000
+                ).collect()
+            }
+            want = {
+                r.user_id: (r.n_sessions, r.n_events)
+                for r in scale.sessionize_counts_window(ev).collect()
+            }
+            assert got == want, f"hot_frac={frac}"
+
+    def test_registered_query_matches_sessionize(self, spark, sf_dir):
+        from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+        auto = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in QUERIES["sessionize_auto"].fn(spark, sf_dir).collect()
+        }
+        plain = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in QUERIES["sessionize"].fn(spark, sf_dir).collect()
+        }
+        assert auto == plain

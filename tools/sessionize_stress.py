@@ -33,7 +33,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql import Window as W  # noqa: E402
 
 YEAR_S = 365 * 24 * 3600
 
@@ -63,23 +62,11 @@ def synth_events(spark, n: int, hot_frac: float, n_cold_users: int = 20000):
 
 
 def window_sessionize(ev):
-    """plans.queries.sessionize's exact expression, inlined so the
-    harness needs no sf_dir."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        lag_ts.isNull()
-        | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
-    return (
-        ev.select("user_id", new_session.alias("new_session"))
-        .groupBy("user_id")
-        .agg(
-            F.sum("new_session").cast("long").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
+    """plans.queries.sessionize's exact operator (shared implementation
+    since round 10 — operators/scale.sessionize_counts_window)."""
+    from dirt_hadoop_similarity_spark.operators import scale
+
+    return scale.sessionize_counts_window(ev)
 
 
 def main() -> None:
