@@ -20,6 +20,13 @@ Queries:
     never exceed it.
   * ``interval_join`` — the stream-stream purchases-before-errors join;
     state = both sides' rows within the join horizon.
+  * ``sessionize`` — the custom applyInPandasWithState session counter
+    (VERDICT r9 task 3): state = ONE fixed-width row per user, so rows
+    are bounded by |active users|, never event volume.  Measured two
+    ways: across the replica corpora (users scale with volume →
+    state_rows == distinct_users exactly at every scale), and — the
+    sharper leg — on a ``--constant-user-mult`` derived corpus with the
+    SAME users and N× the events, where state rows must stay FLAT.
 
 Pass ``--dirs`` base and scaled corpus dirs; ratios print alongside so
 "state grows like volume within the horizon, not superlinearly" is a
@@ -41,13 +48,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _drain(df, name: str):
+def _drain(df, name: str, mode: str = "append"):
     """Run a streaming frame to a memory sink until exhausted; return
     (seconds, output_rows, state_rows, state_bytes)."""
     spark = df.sparkSession
     t0 = time.perf_counter()
     q = (
-        df.writeStream.outputMode("append")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -96,7 +103,71 @@ def run_one(spark, sf_dir: str) -> dict:
     )
     res["interval_join"] = {"sec": s, "out_rows": o, "state_rows": sr,
                             "state_bytes": sb}
+
+    # session windows (VERDICT r9 task 3) — the state class whose
+    # growth law differs from both others: applyInPandasWithState keeps
+    # ONE fixed-width row per user (last_ts + two counters), so state
+    # rows are bounded by |active users|, never by event volume.  The
+    # replica corpora scale users WITH volume (gen_scale_corpus shifts
+    # user_id per replica), so rows grow with the user count — the
+    # measured claim is state_rows == distinct_users EXACTLY at every
+    # scale (rows_per_user 1.0), while dedup's state grows with
+    # in-horizon EVENTS.
+    s, o, sr, sb = _drain(
+        sev.sessionize_stateful(sev.stream_events(spark, sf_dir)),
+        "ssb_sessionize", mode="update",
+    )
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    res["sessionize"] = {"sec": s, "out_rows": o, "state_rows": sr,
+                         "state_bytes": sb, "distinct_users": users}
     return res
+
+
+def build_constant_user_events(spark, sf_dir: str, mult: int,
+                               out_root: str) -> str:
+    """Derive a corpus with the SAME user population and ``mult``× the
+    events: each event replicated with a +r-seconds jitter and a shifted
+    event_id, user_id untouched.  Isolates the state-growth variable the
+    replica corpora can't (they scale users WITH volume)."""
+    import glob
+    import shutil
+
+    out = os.path.join(out_root, f"const_users_x{mult}")
+    # stream_events pathGlob-filters for a FILE literally named
+    # events.parquet (the testdata layout), so land exactly one file
+    dest = os.path.join(out, "events.parquet")
+    if not os.path.isfile(dest):
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        rep = ev.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+        )
+        build = dest + "_build"
+        (
+            rep.withColumn(
+                "event_id",
+                (F.col("event_id") * mult + F.col("_r")).cast("long"),
+            )
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.col("ts").cast("timestamp").cast("long") + F.col("_r")
+                ).cast("timestamp_ntz"),
+            )
+            .drop("_r")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(build)
+        )
+        (part,) = glob.glob(os.path.join(build, "part-*.parquet"))
+        os.makedirs(out, exist_ok=True)
+        shutil.move(part, dest)
+        shutil.rmtree(build)
+    return out
 
 
 def main() -> None:
@@ -104,6 +175,10 @@ def main() -> None:
     ap.add_argument("--dirs",
                     default="/root/testdata/sf0.1,/tmp/dhs_scale/x10")
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--constant-user-mult", type=int, default=0,
+                    help="if > 1, also run the sessionize leg on a "
+                         "derived corpus with the FIRST dir's users and "
+                         "N x its events (state rows must stay flat)")
     args = ap.parse_args()
     dirs = args.dirs.split(",")
 
@@ -117,9 +192,29 @@ def main() -> None:
                       extra_conf={"spark.driver.memory": mem})
 
     report = {d: run_one(spark, d) for d in dirs}
+
+    const_leg = None
+    if args.constant_user_mult > 1:
+        from dirt_hadoop_similarity_spark.streaming import events as sev
+
+        cdir = build_constant_user_events(
+            spark, dirs[0], args.constant_user_mult, "/tmp/dhs_scale"
+        )
+        s, o, sr, sb = _drain(
+            sev.sessionize_stateful(sev.stream_events(spark, cdir)),
+            "ssb_sessionize_const", mode="update",
+        )
+        users = (
+            spark.read.parquet(f"{cdir}/events.parquet")
+            .select("user_id").distinct().count()
+        )
+        const_leg = {"dir": cdir, "mult": args.constant_user_mult,
+                     "sec": s, "out_rows": o, "state_rows": sr,
+                     "state_bytes": sb, "distinct_users": users}
     spark.stop()
     print(json.dumps({"metric": "stream_state", "dirs": dirs,
-                      "report": report}))
+                      "report": report,
+                      "sessionize_constant_users": const_leg}))
     if args.markdown and len(dirs) == 2:
         base, scaled = dirs
         print()
@@ -135,6 +230,23 @@ def main() -> None:
                   f"{s['state_rows']} | {ratio}x | "
                   f"{round(b['state_bytes'] / 2**20, 1)} | "
                   f"{round(s['state_bytes'] / 2**20, 1)} |")
+        for qn in report[base]:
+            b, s = report[base][qn], report[scaled][qn]
+            if "distinct_users" in b:
+                print(f"\nsession-window state law ({qn}): state rows / "
+                      f"distinct users = "
+                      f"{b['state_rows']}/{b['distinct_users']} at base, "
+                      f"{s['state_rows']}/{s['distinct_users']} scaled — "
+                      "one fixed-width row per user, independent of "
+                      "events per user")
+        if const_leg:
+            base_sr = report[base]["sessionize"]["state_rows"]
+            print(f"constant-user leg (x{const_leg['mult']} events, same "
+                  f"users): state rows {base_sr} -> "
+                  f"{const_leg['state_rows']}, "
+                  f"users {const_leg['distinct_users']}, "
+                  f"{const_leg['sec']} s — event volume does not move "
+                  "session state")
 
 
 if __name__ == "__main__":
