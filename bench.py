@@ -115,7 +115,32 @@ HEADLINE = [
     # the straggler-free cost class next to the plain window entry —
     # tools/sessionize_stress.py measures the crossover)
     "sessionize_skewsafe",
+    # round-10: the self-routing variant — its delta over `sessionize`
+    # IS the router's probe cost (one map-side-combined count pass)
+    "sessionize_auto",
 ]
+
+
+def _cpu_steal_snapshot() -> tuple[int, int] | None:
+    """(total_jiffies, steal_jiffies) from /proc/stat, or None where
+    unavailable — the drift meter's raw material."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _time_control(spark) -> float:
+    """A fixed synthetic job (no IO, no registry code): 200M-row range
+    scan + modular sum through the noop sink.  Its round-over-round
+    stability separates host drift from code changes — when a query's
+    ratio moves but the control's doesn't, the code moved."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id % 7) AS s").write.format(
+        "noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
 
 
 def _time_ivfpq_split(spark, sf_dir: str) -> dict[str, float]:
@@ -213,7 +238,20 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     t_loop = time.perf_counter()
+    # Drift control (VERDICT r9 task 5): a fixed synthetic job timed at
+    # the start of every pass + /proc/stat steal over the whole loop.
+    # Round-over-round comparisons read these FIRST: control spread or
+    # steal well above the documented band means the box moved, not the
+    # code — no more multi-run forensics to establish that.
+    steal0 = _cpu_steal_snapshot()
+    control_runs: list[float] = []
+    # discard one control execution first: the control must measure the
+    # HOST, so it cannot carry the one-time codegen/JIT warm-up the
+    # queries pay separately
+    _time_control(spark)
     for _ in range(repeats):
+        spark.catalog.clearCache()
+        control_runs.append(_time_control(spark))
         for name in headline:
             # each query is timed in isolation: it pays its own cache
             # population (internal .cache() points count as its cost)
@@ -241,6 +279,21 @@ def main() -> None:
             el = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, el), el)
 
+    steal1 = _cpu_steal_snapshot()
+    steal_pct = None
+    if steal0 and steal1 and steal1[0] > steal0[0]:
+        steal_pct = round(
+            100.0 * (steal1[1] - steal0[1]) / (steal1[0] - steal0[0]), 2
+        )
+    drift = {
+        "control_sec": min(control_runs),
+        "control_runs": control_runs,
+        "control_spread": round(
+            max(control_runs) / max(min(control_runs), 1e-9), 2
+        ),
+        "steal_pct": steal_pct,
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -259,6 +312,9 @@ def main() -> None:
                 "repeats": repeats,
                 "methodology": "min_per_query_isolated_cache_noop_sink",
                 "elapsed_seconds": round(time.perf_counter() - t_loop, 3),
+                # fixed-control + steal drift meter; interpret ratios
+                # only after checking these (PERF.md round 10)
+                "drift": drift,
             }
         )
     )
