@@ -3,16 +3,20 @@
 #
 # Builds the 10x/30x/100x dialect-replica corpora plus the 10x zipf-skew
 # corpus under $SCALE_DIR, then runs every measurement the PERF.md
-# round-9 tables came from: interleaved scale benches at all three
+# round-9/10 tables came from: interleaved scale benches at all three
 # multipliers (plus the indexed-vs-brute ANN/MinHash contrast set), the
 # skew engagement checks (skewed + uniform control), the
-# skewed-vs-uniform constant-volume timing, and streaming-state growth
-# at 10x and 100x.  Results land as one file per leg in $OUT.
+# skewed-vs-uniform constant-volume timing, streaming-state growth at
+# 10x and 100x (incl. the session-window constant-user leg), the DIRT
+# path-skew leg, the graph degree-skew leg, and the sessionize
+# straggler stress run.  Results land as one file per leg in $OUT.
 #
-# Total wall time on an otherwise-idle local[32] box: ~1.5 h, most of it
+# Total wall time on an otherwise-idle local[32] box: ~2 h, most of it
 # the x100 leg.  Run nothing else concurrently: the harnesses are
 # min-of-2 interleaved (robust to brief disturbances, not to sustained
-# load).
+# load).  Drift disclosure: bench.py's control/steal block and the
+# interleaved estimators make sustained contamination visible in the
+# artifacts themselves.
 #
 # Usage:  bash tools/scale_campaign.sh [OUT_DIR]
 set -u
@@ -61,12 +65,25 @@ python tools/scale_bench.py --base "$SCALE_DIR/x10" \
   --queries join_salted_skew,sessionize,sessionize_skewsafe,text_cosine_pairs,dedup_minhash_lsh \
   > "$OUT/skew_vs_uniform.txt" 2> "$OUT/skew_vs_uniform.err"
 
-step "streaming state x10"
+step "streaming state x10 (+ session-window constant-user leg)"
 python tools/stream_state_bench.py --dirs "$BASE,$SCALE_DIR/x10" \
+  --constant-user-mult 10 \
   --markdown > "$OUT/stream_x10.txt" 2> "$OUT/stream_x10.err"
 step "streaming state x100"
 python tools/stream_state_bench.py --dirs "$BASE,$SCALE_DIR/x100" \
   --markdown > "$OUT/stream_x100.txt" 2> "$OUT/stream_x100.err"
+
+step "DIRT path-skew leg (uniform vs 50%-hot-paths, constant volume)"
+python tools/dirt_skew_check.py --docs 500000 --repeats 2 --markdown \
+  > "$OUT/dirt_skew.txt" 2> "$OUT/dirt_skew.err"
+echo "exit=$?" >> "$OUT/dirt_skew.txt"
+step "graph degree-skew leg (uniform vs one-hub-30%)"
+python tools/graph_skew_bench.py --nodes 1000000 --edges 5000000 \
+  --repeats 2 --markdown \
+  > "$OUT/graph_skew.txt" 2> "$OUT/graph_skew.err"
+step "sessionize straggler stress (20M events, 80% one user)"
+python tools/sessionize_stress.py --events 20000000 --hot-frac 0.8 \
+  --repeats 2 > "$OUT/sessionize_stress.txt" 2> "$OUT/sessionize_stress.err"
 
 step "scale x100 (the long leg)"
 python tools/scale_bench.py --mult 100 --repeats 2 --markdown \
