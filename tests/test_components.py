@@ -196,6 +196,24 @@ class TestPagerank:
         with pytest.raises(ValueError, match="damping_pct"):
             components.pagerank(df, damping_pct=101)
 
+    def test_salted_join_bit_identical(self, spark):
+        """salt only re-routes rows through extra tasks — the integer
+        algebra must produce bit-for-bit the same ranks, hub or not."""
+        from dirt_hadoop_similarity_spark.operators import components
+
+        # a hub (node 0 touches everyone) plus a sparse tail
+        edges = [(0, i) for i in range(1, 12)] + [(3, 7), (8, 9), (5, 11)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        plain = {
+            r.node: (r.d, r.pr)
+            for r in components.pagerank(df, iters=5).collect()
+        }
+        salted = {
+            r.node: (r.d, r.pr)
+            for r in components.pagerank(df, iters=5, salt=8).collect()
+        }
+        assert salted == plain
+
     def test_random_graphs_match_reference(self, spark):
         """Property: on arbitrary random graphs the distributed integer
         iteration equals the pure-Python replica exactly (no float, so

@@ -19,7 +19,11 @@ Why the hub should be absorbed, per round, by design:
 The measured pass bar: skew/uniform time ratio stays near 1 (no
 straggler), while the degree profile confirms the hub is real (x_avg in
 the thousands).  A ratio well above the documented environmental band
-names the operator to fix.
+names the operator to fix — which round 10 did: the plain pagerank's
+per-round SMJ measured 1.47x on the hub graph (AQE skew split silent —
+the hot partition sits below its production bytes threshold at this
+absolute size), so ``pagerank(salt=8)`` wires the salted-join
+mitigation and is timed here alongside the plain variant.
 
 Run:  python tools/graph_skew_bench.py [--nodes 1000000]
           [--edges 5000000] [--hub-pct 30] [--repeats 2] [--markdown]
@@ -109,6 +113,11 @@ def main() -> None:
     ops = {
         "components_star": lambda e: components.connected_components_star(e),
         "pagerank": lambda e: components.pagerank(e, iters=5),
+        # the wired mitigation for the hub straggler the plain variant
+        # measures: per-round salted rank->edge join (bit-identical
+        # output; operators/components.pagerank docstring)
+        "pagerank_salted": lambda e: components.pagerank(e, iters=5,
+                                                         salt=8),
     }
     secs: dict[tuple[str, str], float] = {}
     for i in range(args.repeats):
