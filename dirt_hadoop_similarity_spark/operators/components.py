@@ -272,9 +272,19 @@ def duplicate_clusters(edges: DataFrame, src: str = "id_a",
     )
 
 
+def _auto_salt(deg: DataFrame, slots: int, salt: int = 8) -> int:
+    """The pagerank salt router: salting engages when the max degree
+    reaches ``slots`` × the average degree — key_skew_profile's
+    straggler rule (a key at N-slots-times-average load serializes one
+    stage task).  One aggregate over the already-cached (node, d)
+    relation, so the probe is near-free inside pagerank."""
+    mx, avg = deg.agg(F.max("d"), F.avg("d")).first()
+    return salt if mx is not None and mx >= slots * avg else 0
+
+
 def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
              iters: int = 5, damping_pct: int = 85,
-             scale: int = 1_000_000, salt: int = 0) -> DataFrame:
+             scale: int = 1_000_000, salt: int | str = 0) -> DataFrame:
     """Integer-exact PageRank over the undirected pair graph — link
     analysis for duplicate-cluster centrality (which member is the
     best-connected "canonical" doc) and general graph scoring.
@@ -303,14 +313,20 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     (operators/scale.salted_join: edge side salted, the one-row-per-
     node rank side replicated ``salt`` times), spreading a HUB node's
     edge rows over ``salt`` tasks.  The per-round SMJ otherwise sorts
-    every edge of the hottest node in ONE task — measured 1.47x at one
-    hub holding 30% of 5M edges, where AQE's skew split stays silent
+    every edge of the hottest node in ONE task — measured 1.5-1.6x at
+    one hub holding 30% of 5M edges (salted: 1.07x, uniform-graph
+    replication overhead 1.19x), where AQE's skew split stays silent
     because the hot partition (~50MB) is below its production-tuned
     bytes threshold (tools/graph_skew_bench.py).  Output is bit-for-bit
     identical either way (integer-exact algebra; salting only re-routes
     rows); diagnose with :func:`operators.scale.key_skew_profile` on
     the edge endpoints and pay the ~|nodes|·salt replication only on
-    degree-skewed graphs.
+    degree-skewed graphs.  ``salt="auto"`` makes that call itself: the
+    degree relation is already computed (and cached) for the iteration,
+    so the probe is one aggregate over it — salting engages when the
+    max degree exceeds slots × average (the key_skew_profile straggler
+    rule: a key at N-slots-times-average load serializes one stage
+    task).
 
     Returns (node, d, pr): node id, degree, final integer PageRank.
     """
@@ -318,6 +334,8 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
+    if salt != "auto" and not isinstance(salt, int):
+        raise ValueError(f"salt must be an int or 'auto', got {salt!r}")
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = fwd.union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -326,6 +344,11 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         F.col("u").alias("node"), "d"
     ).cache()
     nodes = deg.select("node")
+    if salt == "auto":
+        salt = _auto_salt(
+            deg,
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
     base = ((100 - damping_pct) * scale) // 100
     pr = nodes.select("node", F.lit(int(scale)).cast("long").alias("pr"))
     ck_rdd = None

@@ -214,6 +214,43 @@ class TestPagerank:
         }
         assert salted == plain
 
+    def test_auto_salt_routes_by_degree_skew(self, spark):
+        """salt='auto' must engage salting exactly when the max degree
+        crosses slots x average (the key_skew_profile straggler rule).
+        The per-round checkpoint severs the returned frame's lineage,
+        so the decision helper is tested directly on degree relations,
+        plus end-to-end output equality on the auto path."""
+        import pytest
+
+        from dirt_hadoop_similarity_spark.operators import components
+
+        def deg_frame(degrees):
+            return spark.createDataFrame(
+                [(i, d) for i, d in enumerate(degrees)], "node long, d long"
+            )
+
+        # one hub at 200 vs avg ~2.9 -> 200 >= 8 slots x avg: salt
+        assert components._auto_salt(
+            deg_frame([200] + [2] * 100), slots=8) == 8
+        # ring: every degree 2, max == avg -> no salt
+        assert components._auto_salt(deg_frame([2] * 40), slots=8) == 0
+
+        # end-to-end: the auto route (salting engaged) is bit-identical
+        hub = [(0, i) for i in range(1, 201)] + [(5, 9), (30, 31)]
+        df = spark.createDataFrame(hub, "id_a long, id_b long")
+        auto = {
+            r.node: (r.d, r.pr)
+            for r in components.pagerank(df, iters=2, salt="auto").collect()
+        }
+        plain = {
+            r.node: (r.d, r.pr)
+            for r in components.pagerank(df, iters=2).collect()
+        }
+        assert auto == plain
+
+        with pytest.raises(ValueError, match="salt"):
+            components.pagerank(df, salt="both")
+
     def test_random_graphs_match_reference(self, spark):
         """Property: on arbitrary random graphs the distributed integer
         iteration equals the pure-Python replica exactly (no float, so

@@ -20,10 +20,11 @@ The measured pass bar: skew/uniform time ratio stays near 1 (no
 straggler), while the degree profile confirms the hub is real (x_avg in
 the thousands).  A ratio well above the documented environmental band
 names the operator to fix — which round 10 did: the plain pagerank's
-per-round SMJ measured 1.47x on the hub graph (AQE skew split silent —
-the hot partition sits below its production bytes threshold at this
-absolute size), so ``pagerank(salt=8)`` wires the salted-join
-mitigation and is timed here alongside the plain variant.
+per-round SMJ measured 1.5-1.6x on the hub graph (AQE skew split
+silent — the hot partition sits below its production bytes threshold
+at this absolute size), so ``pagerank(salt=8)`` wires the salted-join
+mitigation (hub ratio 1.07x measured) and is timed here alongside the
+plain variant; ``salt="auto"`` routes by probing the degree relation.
 
 Run:  python tools/graph_skew_bench.py [--nodes 1000000]
           [--edges 5000000] [--hub-pct 30] [--repeats 2] [--markdown]
