@@ -62,7 +62,7 @@ echo "exit=$?" >> "$OUT/skew_uniform.txt"
 step "skewed vs uniform timing at constant volume"
 python tools/scale_bench.py --base "$SCALE_DIR/x10" \
   --scaled "$SCALE_DIR/x10skew" --repeats 2 --markdown \
-  --queries join_salted_skew,sessionize,sessionize_skewsafe,text_cosine_pairs,dedup_minhash_lsh \
+  --queries join_salted_skew,sessionize,sessionize_skewsafe,sessionize_auto,text_cosine_pairs,dedup_minhash_lsh \
   > "$OUT/skew_vs_uniform.txt" 2> "$OUT/skew_vs_uniform.err"
 
 step "streaming state x10 (+ session-window constant-user leg)"
@@ -81,9 +81,10 @@ step "graph degree-skew leg (uniform vs one-hub-30%)"
 python tools/graph_skew_bench.py --nodes 1000000 --edges 5000000 \
   --repeats 2 --markdown \
   > "$OUT/graph_skew.txt" 2> "$OUT/graph_skew.err"
-step "sessionize straggler stress (20M events, 80% one user)"
+step "sessionize straggler stress (20M events, 80% one user, + auto router)"
 python tools/sessionize_stress.py --events 20000000 --hot-frac 0.8 \
-  --repeats 2 > "$OUT/sessionize_stress.txt" 2> "$OUT/sessionize_stress.err"
+  --repeats 2 --with-auto \
+  > "$OUT/sessionize_stress.txt" 2> "$OUT/sessionize_stress.err"
 
 step "scale x100 (the long leg)"
 python tools/scale_bench.py --mult 100 --repeats 2 --markdown \

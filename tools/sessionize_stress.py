@@ -74,6 +74,9 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=20_000_000)
     ap.add_argument("--hot-frac", type=float, default=0.8)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--with-auto", action="store_true",
+                    help="also time sessionize_counts_auto (probe + "
+                         "routed variant) on the stress corpus")
     args = ap.parse_args()
 
     from dirt_hadoop_similarity_spark.operators import scale
@@ -115,12 +118,26 @@ def main() -> None:
             else:
                 buck_s = el if buck_s is None else min(buck_s, el)
 
+    # the self-routing variant, timed once (probe + whichever variant it
+    # picks — on a straggler-shaped corpus it must land near bucketed_sec,
+    # never near window_sec)
+    auto_s = None
+    if args.with_auto:
+        for _ in range(args.repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            scale.sessionize_counts_auto(ev).write.format("noop").mode(
+                "overwrite").save()
+            el = time.perf_counter() - t0
+            auto_s = el if auto_s is None else min(auto_s, el)
+
     spark.stop()
     print(json.dumps({
         "metric": "sessionize_stress", "events": args.events,
         "hot_frac": args.hot_frac, "repeats": args.repeats,
         "window_sec": round(win_s, 3), "bucketed_sec": round(buck_s, 3),
         "speedup": round(win_s / max(buck_s, 1e-9), 2),
+        "auto_sec": round(auto_s, 3) if auto_s is not None else None,
     }))
 
 
