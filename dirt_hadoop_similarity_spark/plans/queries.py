@@ -84,6 +84,7 @@ _PRIORITY = [
     # ROUND-10 ROTATION (VERDICT r9 task 1).
     # New in round 10 (never driver-checked → must sit in the window):
     "sessionize_auto",
+    "session_windows",
     # code changed in round 10 — sessionize_counts_bucketed moved to
     # exact int64 floor-division bucket ids (ADVICE r9), and sessionize
     # now calls the shared scale.sessionize_counts_window operator the
@@ -140,7 +141,6 @@ _PRIORITY = [
     "bpe_train_merges",
     "corpus_diff",
     "curation_funnel",
-    "dedup_lsh_verified",
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -152,10 +152,11 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # Rotation policy: entries whose last driver-green row is OLDEST (or
 # whose code changed, or that never had a row) fill the window; the
 # deferred tail is drawn from the MOST recently checked rounds.
-# Round 10: _PRIORITY is exactly 50 names (the new sessionize_auto +
-# the 2 sessionize variants whose plans changed with the shared-
-# operator refactor and the int64 bucket-grid fix + all 32 remaining
-# r7-era names + 15 oldest-r8 fillers); _DEFERRED enumerates every
+# Round 10: _PRIORITY is exactly 50 names (the new sessionize_auto and
+# session_windows + the 2 sessionize variants whose plans changed with
+# the shared-operator refactor and the int64 bucket-grid fix + all 32
+# remaining r7-era names + 14 oldest-r8 fillers); _DEFERRED enumerates
+# every
 # other name — all r8/r9 hash-green, code-unchanged since their row,
 # oracle-backed (or whitelisted rows-only above).  The contract is
 # machine-checked on BOTH failure modes: tests/test_oracle_all.py
@@ -221,8 +222,10 @@ _DEFERRED = [
     "text_rolling_hash",
     "text_token_budget",
     "timeseries_gapfill",
-    # r8-green (hash), code-unchanged, oracle-backed — the 28 names not
-    # pulled forward as fillers
+    # r8-green (hash), code-unchanged, oracle-backed — the 29 names not
+    # pulled forward as fillers (dedup_lsh_verified returned here when
+    # the new session_windows displaced it from the filler slot)
+    "dedup_lsh_verified",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dirt_mi",

@@ -809,6 +809,65 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', min(ts))
+                AS BIGINT) AS session_start_us,
+           CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+                          max(ts) + INTERVAL 30 MINUTE)
+                AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    "Native session_window aggregation: one row PER SESSION (start, "
+    "end = last event + gap, event count) — the idiomatic Spark session "
+    "operator next to the hand-rolled per-user sessionize counts. "
+    "Boundary semantics probed and pinned: a gap of exactly 30 minutes "
+    "MERGES (strict >), matching sessionize/sessionize_skewsafe. "
+    "Streaming note: the same groupBy runs under readStream with a "
+    "watermark (state evicted per closed session — bounded by ACTIVE "
+    "sessions in the horizon); the registered streaming entry stays the "
+    "applyInPandasWithState counter because append-mode emission "
+    "withholds sessions the replay's final watermark never passes, "
+    "which a value-checked oracle cannot tolerate.",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # cast NTZ → TIMESTAMP under the fixed-offset guard (ts_micros
+    # discipline); absolute epoch values match the oracle's naive
+    # micros at offset 0, the same contract stream_interval_join pins
+    from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
+
+    require_fixed_offset_tz(spark)
+    w = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        ev.groupBy("user_id", w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "window_sliding",
     """
     SELECT make_timestamp((epoch_us(ts) // 1800000000 - o.off) * 1800000000)

@@ -240,3 +240,44 @@ def test_scale_bench_interleaves_legs(spark, monkeypatch):
         assert set(d) == {"__ileave_a__", "__ileave_b__"}
         assert all(v >= 0 for v in d.values())
     assert base_r == scaled_r == {"__ileave_a__": 1, "__ileave_b__": 1}
+
+
+def test_session_windows_consistent_with_sessionize(spark, sf_dir):
+    """The per-session relation must aggregate to exactly the per-user
+    sessionize counts (rows per user == n_sessions; events sum per user
+    == n_events), and the exactly-one-gap boundary must MERGE — the
+    strict-> rule shared by all sessionization entries, probed against
+    Spark's own session_window semantics."""
+    from dirt_hadoop_similarity_spark.plans import queries_more  # noqa: F401 — registers
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    sw = QUERIES["session_windows"].fn(spark, sf_dir)
+    per_user = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in sw.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in QUERIES["sessionize"].fn(spark, sf_dir).collect()
+    }
+    assert per_user == want
+
+    # boundary: events exactly one gap apart share a session window
+    g = 1800
+    df = spark.createDataFrame(
+        [("a", 0), ("a", g), ("b", 0), ("b", g + 1)], "user_id string, e long"
+    ).select("user_id", F.timestamp_seconds("e").alias("ts"))
+    rows = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    got = {r.user_id: r["count"] for r in rows}
+    assert got == {"a": 1, "b": 2}
