@@ -174,6 +174,47 @@ def run_anomaly_score_stream(
     q.awaitTermination()
 
 
+def session_window_counts(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Native session-window aggregation: one row per (user, session)
+    with start, end (= last event + gap) and the event count — the
+    built-in streaming session operator beside the custom
+    ``sessionize_stateful`` counter.
+
+    Works on batch and streaming inputs (same function, same plan
+    shape — the engine-wide twin discipline).  Streaming mode is
+    APPEND-only (Spark rejects update for session windows): a session
+    emits exactly once, when the watermark passes its end, and its
+    state row is evicted at the same moment — so state is bounded by
+    ACTIVE sessions inside the watermark horizon, the tightest state
+    law of the engine's stateful streaming operators
+    (``sessionize_stateful`` keeps one row per user FOREVER by design;
+    this one forgets a session as soon as it can no longer grow).
+    test_streaming pins both sides on the replayed corpus: emitted
+    rows == the batch relation's closed sessions, and the final state
+    row count == the open-session count at the final watermark.
+    Emission caveat (why the value-oracle registry entry is the batch
+    ``session_windows`` query): sessions still open at replay end are
+    withheld in append mode, so a full-corpus value hash would always
+    miss the tail.
+    """
+    ev = normalize_event_ts(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def purchases_before_errors(events: DataFrame,
                             window_seconds: int = 1800) -> DataFrame:
     """Stream-stream interval join: for each error event, the purchases

@@ -346,3 +346,50 @@ def test_anomaly_score_stream_matches_batch(spark, sf_dir, tmp_path):
                   z_threshold=2.0).collect()}
     assert got == expect
     assert got  # spikes actually flagged
+
+
+def test_session_window_stream_emits_closed_and_evicts(spark, sf_dir):
+    """Native session windows, both laws pinned on the replayed corpus:
+    append-mode emission == the batch relation's CLOSED sessions (end
+    <= final watermark), and the surviving state rows == the OPEN
+    session count — state bounded by active sessions, not users or
+    events."""
+    from pyspark.sql import functions as F
+
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    name = "sw_stream_test"
+    q = (
+        sev.session_window_counts(sev.stream_events(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ops = (q.lastProgress or {}).get("stateOperators") or []
+        state_rows = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    spark.catalog.dropTempView(name)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sev.session_window_counts(ev).collect()
+    }
+    wm_us = (
+        sev.normalize_event_ts(ev)
+        .agg(F.unix_micros(F.max("ts"))).first()[0]
+        - 30 * 60 * 1_000_000
+    )
+    closed = {t for t in batch if t[2] <= wm_us}
+    open_n = len(batch) - len(closed)
+    assert got == closed
+    assert state_rows == open_n
+    assert len(got) > 0 and open_n > 0  # both regimes actually exercised
