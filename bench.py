@@ -118,6 +118,10 @@ HEADLINE = [
     # round-10: the self-routing variant — its delta over `sessionize`
     # IS the router's probe cost (one map-side-combined count pass)
     "sessionize_auto",
+    # round-10: native session-window assembly (per-session rows) — a
+    # sort-based aggregation cost class distinct from the hash-agg
+    # sessionize counts
+    "session_windows",
 ]
 
 

@@ -140,7 +140,10 @@ _PRIORITY = [
     "asof_join_events",
     "bpe_train_merges",
     "corpus_diff",
-    "curation_funnel",
+    # rotated in round 10 because streaming/events.py (a hashed
+    # UDF-bearing module) gained session_window_counts — the module-
+    # granular contract demands its one deferred query re-earn a row:
+    "stream_interval_join",
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -222,9 +225,11 @@ _DEFERRED = [
     "text_rolling_hash",
     "text_token_budget",
     "timeseries_gapfill",
-    # r8-green (hash), code-unchanged, oracle-backed — the 29 names not
-    # pulled forward as fillers (dedup_lsh_verified returned here when
-    # the new session_windows displaced it from the filler slot)
+    # r8-green (hash), code-unchanged, oracle-backed — the names not
+    # pulled forward as fillers (dedup_lsh_verified and curation_funnel
+    # returned here when session_windows and stream_interval_join took
+    # their filler slots)
+    "curation_funnel",
     "dedup_lsh_verified",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -249,7 +254,6 @@ _DEFERRED = [
     "semantic_dedup",
     "set_ops_cohorts",
     "skew_profile",
-    "stream_interval_join",
     "text_repetition",
     "vocab_oov_rate",
     "window_range_frame",
