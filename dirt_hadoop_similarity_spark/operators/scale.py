@@ -98,6 +98,29 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
+                           part_col: str = "event_date") -> None:
+    """Hive-style date-partitioned layout — the 100 TB event-log write
+    path.  A time-ranged query then prunes whole partition DIRECTORIES
+    at planning time from the file index (the scan's
+    ``PartitionFilters``), before any file is opened — a decade of logs
+    costs one day's IO for one day's query.  Complements
+    :func:`write_bucketed` (which pre-shuffles for exchange-free JOINS;
+    this prunes SCANS) and Z-ordering (which clusters WITHIN files for
+    row-group skipping on non-partition columns).
+
+    The partition column is derived, not consumed: the original
+    ``ts_col`` stays in the data files at full resolution.
+    test_scale pins the pruning in the executed plan and the round-trip
+    values."""
+    (
+        df.withColumn(part_col, F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+
+
 def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """The diagnosis that precedes salting: the ``top`` hottest keys with
     their frequency, rank, and multiple-of-average-load.
