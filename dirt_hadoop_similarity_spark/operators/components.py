@@ -313,11 +313,18 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     (operators/scale.salted_join: edge side salted, the one-row-per-
     node rank side replicated ``salt`` times), spreading a HUB node's
     edge rows over ``salt`` tasks.  The per-round SMJ otherwise sorts
-    every edge of the hottest node in ONE task — measured 1.5-1.6x at
-    one hub holding 30% of 5M edges (salted: 1.07x, uniform-graph
-    replication overhead 1.19x), where AQE's skew split stays silent
-    because the hot partition (~50MB) is below its production-tuned
-    bytes threshold (tools/graph_skew_bench.py).  Output is bit-for-bit
+    every edge of the hottest node in ONE task — measured 1.14-1.58x
+    across runs at one hub holding 30% of 5M edges (salted: 1.07-1.10x,
+    uniform-graph replication overhead ~1.2x;
+    tools/graph_skew_bench.py).  AQE's skew split CANNOT rescue this
+    shape at any scale: the edge relation reaches the join as a
+    ReusedExchange (the symmetrize+distinct shuffle also feeds the
+    degree aggregate) and OptimizeSkewedJoin skips reused stages —
+    splitting their partitions would desync the other consumer
+    (verified: `skew=true` stays absent even with the skew thresholds
+    scaled far below the hot partition's size).  Explicit salting is
+    therefore the structural fix for iterative self-referential joins,
+    not a local-bench workaround.  Output is bit-for-bit
     identical either way (integer-exact algebra; salting only re-routes
     rows); diagnose with :func:`operators.scale.key_skew_profile` on
     the edge endpoints and pay the ~|nodes|·salt replication only on
