@@ -95,3 +95,63 @@ def score(rows: DataFrame, stats: DataFrame, z_threshold: float = 2.5,
         )
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def mad_stats(rows: DataFrame, key_col: str = "user_id",
+              value_col: str = "value") -> DataFrame:
+    """Exact per-key ROBUST statistics: (key, med_mv, mad_mv) — the
+    milli-quantized median and median-absolute-deviation.
+
+    The z-score above is the cheap primitive but a single whale event
+    inflates the stddev it divides by, masking every other outlier for
+    that key; MAD has a 50% breakdown point, so it keeps flagging under
+    heavy tails.  Exactness rides the same quantization contract: mv is
+    int64, and exact interpolated medians (Spark ``percentile`` /
+    DuckDB ``quantile_cont``) of int64s land on the 0.5 grid (then the
+    0.25 grid for MAD) — exactly representable doubles, so the fixed
+    comparison ``|mv - med| > k * mad`` is engine-portable bit-for-bit
+    with NO rounding step anywhere.
+
+    Scale shape: two grouped exact percentiles (sort-based aggregates
+    whose groups are per-key, never global) and one key-equi-join
+    between them; keys with mad = 0 (over half the values identical)
+    are dropped here so the scorer's flag rule is total.
+    """
+    mv = quantized(F.col(value_col))
+    base = rows.select(F.col(key_col), mv.alias("_mv"))
+    med = base.groupBy(key_col).agg(
+        F.expr("percentile(_mv, 0.5)").alias("med_mv")
+    )
+    dev = base.join(med, key_col).select(
+        F.col(key_col), "med_mv",
+        F.abs(F.col("_mv") - F.col("med_mv")).alias("_adev"),
+    )
+    return (
+        dev.groupBy(key_col)
+        .agg(
+            F.max("med_mv").alias("med_mv"),  # constant per key
+            F.expr("percentile(_adev, 0.5)").alias("mad_mv"),
+        )
+        .filter(F.col("mad_mv") > 0)
+    )
+
+
+def mad_score(rows: DataFrame, stats: DataFrame, k: float = 3.0,
+              key_col: str = "user_id", value_col: str = "value",
+              id_cols: tuple = ("event_id",)) -> DataFrame:
+    """Flag rows with ``|mv - med| > k·mad`` against (persisted) robust
+    stats — same train-offline / score-at-ingest split as :func:`score`
+    (inner join; keys without stats are unscorable and drop out; stats
+    broadcast at |keys| rows)."""
+    mv = quantized(F.col(value_col))
+    return (
+        rows.join(F.broadcast(stats), key_col)
+        .filter(F.abs(mv - F.col("med_mv")) > k * F.col("mad_mv"))
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.col(key_col),
+            F.col(value_col),
+            F.col("med_mv").alias("med_milli"),
+            F.col("mad_mv").alias("mad_milli"),
+        )
+    )

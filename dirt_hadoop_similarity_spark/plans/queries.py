@@ -85,6 +85,7 @@ _PRIORITY = [
     # New in round 10 (never driver-checked → must sit in the window):
     "sessionize_auto",
     "session_windows",
+    "event_user_outliers_mad",
     # code changed in round 10 — sessionize_counts_bucketed moved to
     # exact int64 floor-division bucket ids (ADVICE r9), and sessionize
     # now calls the shared scale.sessionize_counts_window operator the
@@ -139,7 +140,6 @@ _PRIORITY = [
     "ann_rh_topk",
     "asof_join_events",
     "bpe_train_merges",
-    "corpus_diff",
     # rotated in round 10 because streaming/events.py (a hashed
     # UDF-bearing module) gained session_window_counts — the module-
     # granular contract demands its one deferred query re-earn a row:
@@ -226,9 +226,10 @@ _DEFERRED = [
     "text_token_budget",
     "timeseries_gapfill",
     # r8-green (hash), code-unchanged, oracle-backed — the names not
-    # pulled forward as fillers (dedup_lsh_verified and curation_funnel
-    # returned here when session_windows and stream_interval_join took
-    # their filler slots)
+    # pulled forward as fillers (dedup_lsh_verified, curation_funnel and
+    # corpus_diff returned here when the round's new queries and
+    # stream_interval_join took their filler slots)
+    "corpus_diff",
     "curation_funnel",
     "dedup_lsh_verified",
     "dedup_minhash_lsh",

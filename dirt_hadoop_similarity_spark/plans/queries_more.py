@@ -953,6 +953,54 @@ def event_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly.score(events, stats, z_threshold=_OUTLIER_Z)
 
 
+_MAD_SQL = """
+WITH m AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 1000) AS BIGINT) AS mv
+  FROM events
+),
+med AS (
+  SELECT user_id, quantile_cont(mv, 0.5) AS med_mv FROM m GROUP BY user_id
+),
+dev AS (
+  SELECT m.user_id, m.event_id, m.value, m.mv, med.med_mv,
+         abs(m.mv - med.med_mv) AS adev
+  FROM m JOIN med USING (user_id)
+),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad_mv
+  FROM dev GROUP BY user_id
+)
+SELECT d.event_id, d.user_id, d.value,
+       d.med_mv AS med_milli, mad.mad_mv AS mad_milli
+FROM dev d JOIN mad USING (user_id)
+WHERE mad.mad_mv > 0 AND abs(d.mv - d.med_mv) > 3 * mad.mad_mv
+"""
+
+
+@register(
+    "event_user_outliers_mad",
+    _MAD_SQL,
+    "Per-user MAD (median-absolute-deviation) outlier detection — the "
+    "ROBUST counterpart to event_user_outliers: a single whale event "
+    "inflates the z-score's stddev denominator and masks every other "
+    "outlier for that key, while MAD's 50% breakdown point keeps "
+    "flagging under heavy tails.  Exactness: values milli-quantized to "
+    "int64, then exact interpolated medians (Spark percentile / DuckDB "
+    "quantile_cont) land on the 0.5/0.25 grid — exactly-representable "
+    "doubles, so |mv - med| > 3*mad is engine-portable bit-for-bit "
+    "with no rounding step.  Scale: two per-key exact percentile "
+    "aggregates + key-equi-joins; stats side is |keys| rows "
+    "(broadcast); flags computed in the projection "
+    "(operators/anomaly.mad_stats / mad_score).",
+)
+def event_user_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import anomaly
+
+    events = load(spark, sf_dir, "events")
+    return anomaly.mad_score(events, anomaly.mad_stats(events), k=3.0)
+
+
 _DAY_US = 86_400_000_000
 
 _COHORT_SQL = f"""

@@ -281,3 +281,46 @@ def test_session_windows_consistent_with_sessionize(spark, sf_dir):
     )
     got = {r.user_id: r["count"] for r in rows}
     assert got == {"a": 1, "b": 2}
+
+
+def test_mad_outliers_robust_where_zscore_masks(spark):
+    """The property MAD exists for: one whale event inflates the
+    z-score's stddev and masks a clear moderate outlier; MAD (50%
+    breakdown) flags both.  Plus an exactness check against a pure-
+    Python MAD reference on the same rows."""
+    from dirt_hadoop_similarity_spark.operators import anomaly
+
+    base = [1.0 + 0.1 * (i % 5) for i in range(40)]  # 1.0 .. 1.4 spread
+    rows = [("u", i, v) for i, v in enumerate(base)]
+    rows.append(("u", 100, 5.0))       # moderate outlier
+    rows.append(("u", 101, 100000.0))  # the whale
+    df = spark.createDataFrame(rows, "user_id string, event_id long, value double")
+
+    z_flagged = {
+        r.event_id
+        for r in anomaly.score(
+            df, anomaly.value_stats(df), z_threshold=2.5
+        ).collect()
+    }
+    mad_flagged = {
+        r.event_id
+        for r in anomaly.mad_score(df, anomaly.mad_stats(df), k=3.0).collect()
+    }
+    assert 101 in mad_flagged and 100 in mad_flagged
+    assert 100 not in z_flagged  # the whale masked it
+
+    # exactness vs a pure-Python reference (same quantization + medians)
+    def py_median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        mid = n // 2
+        return float(xs[mid]) if n % 2 else (xs[mid - 1] + xs[mid]) / 2.0
+
+    mv = [round(v * 1000) for _, _, v in rows]
+    med = py_median(mv)
+    mad = py_median([abs(x - med) for x in mv])
+    want = {
+        eid for (_, eid, v), x in zip(rows, mv)
+        if mad > 0 and abs(x - med) > 3 * mad
+    }
+    assert mad_flagged == want
