@@ -282,6 +282,27 @@ def _auto_salt(deg: DataFrame, slots: int, salt: int = 8) -> int:
     return salt if mx is not None and mx >= slots * avg else 0
 
 
+def _task_slots(spark) -> int:
+    """Concurrent reduce-task estimate for the salt router (ADVICE r10).
+
+    ``spark.sql.shuffle.partitions`` alone has two failure modes: the
+    conf may be non-numeric ("auto" on some managed deployments), and
+    under AQE coalescing the static value can far exceed the tasks that
+    actually run at once — a 2048-partition conf on 32 cores still runs
+    32-wide, so a key must only reach 32× average load to serialize a
+    stage, not 2048×.  ``defaultParallelism`` is the scheduler's own
+    numeric slot count, so it caps the estimate (and replaces it when
+    the conf fails to parse).  Both failure modes push the same safe
+    direction: fewer slots → the router salts MORE eagerly, costing at
+    worst the ~1.2× replication overhead on a uniform graph."""
+    dp = int(spark.sparkContext.defaultParallelism)
+    try:
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return dp
+    return max(1, min(conf, dp))
+
+
 def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
              iters: int = 5, damping_pct: int = 85,
              scale: int = 1_000_000, salt: int | str = 0) -> DataFrame:
@@ -333,7 +354,9 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     so the probe is one aggregate over it — salting engages when the
     max degree exceeds slots × average (the key_skew_profile straggler
     rule: a key at N-slots-times-average load serializes one stage
-    task).
+    task), where slots = min(shuffle partitions, defaultParallelism) —
+    see :func:`_task_slots` for why the conf alone over- (AQE
+    coalescing) or mis-estimates (non-numeric "auto").
 
     Returns (node, d, pr): node id, degree, final integer PageRank.
     """
@@ -352,10 +375,7 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     ).cache()
     nodes = deg.select("node")
     if salt == "auto":
-        salt = _auto_salt(
-            deg,
-            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        )
+        salt = _auto_salt(deg, _task_slots(edges.sparkSession))
     base = ((100 - damping_pct) * scale) // 100
     pr = nodes.select("node", F.lit(int(scale)).cast("long").alias("pr"))
     ck_rdd = None
@@ -368,7 +388,7 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                 salted_join,
             )
 
-            routed = salted_join(und, contrib, "u")
+            routed = salted_join(und, contrib, "u", salt=salt)
         else:
             routed = contrib.join(und, "u")
         msgs = (

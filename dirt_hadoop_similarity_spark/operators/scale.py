@@ -380,6 +380,7 @@ def sessionize_counts_auto(events: DataFrame, user_col: str = "user_id",
                            ts_col: str = "ts", id_col: str = "event_id",
                            gap_minutes: int = 30,
                            hot_user_events: int = SESSIONIZE_HOT_USER_EVENTS,
+                           user_counts: DataFrame | None = None,
                            ) -> DataFrame:
     """Self-routing sessionization (VERDICT r9 task 2): probe the
     hottest user's event count, then pick the variant — the window
@@ -399,13 +400,33 @@ def sessionize_counts_auto(events: DataFrame, user_col: str = "user_id",
     (:data:`SESSIONIZE_HOT_USER_EVENTS`); tune per cluster — the real
     threshold is "would sorting this many rows in ONE task straggle
     the stage", a function of task memory and the timestamp width.
+
+    ``user_counts`` (VERDICT r10 task 6) drops the probe's premium to
+    zero for callers that already hold a per-user event count — a
+    :func:`key_skew_profile` run, a prior ``groupBy(user).count()``,
+    or yesterday's profiling table.  Pass any relation with the user
+    column and a ``count`` column (the ``groupBy().count()`` shape);
+    the router then probes ``max(count)`` over that (typically tiny,
+    often cached) relation instead of re-scanning ``events``.  The
+    counts only steer ROUTING — an approximate or slightly stale count
+    can at worst pick the slower-but-correct variant, never change the
+    output (both variants share one semantic spec and oracle).
     """
-    mx_row = (
-        events.groupBy(user_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(F.max("_n").alias("_mx"))
-        .first()
-    )
+    if user_counts is not None:
+        if "count" not in user_counts.columns:
+            raise ValueError(
+                "user_counts needs a `count` column (the "
+                "groupBy(user).count() shape), got columns "
+                f"{user_counts.columns}"
+            )
+        probe = user_counts.agg(F.max("count").alias("_mx"))
+    else:
+        probe = (
+            events.groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_mx"))
+        )
+    mx_row = probe.first()
     mx = mx_row["_mx"] if mx_row is not None else None
     if mx is not None and mx >= int(hot_user_events):
         return sessionize_counts_bucketed(

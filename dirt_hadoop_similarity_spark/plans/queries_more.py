@@ -849,19 +849,29 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # cast NTZ → TIMESTAMP under the fixed-offset guard (ts_micros
-    # discipline); absolute epoch values match the oracle's naive
-    # micros at offset 0, the same contract stream_interval_join pins
+    # discipline).  ADVICE r10: raw unix_micros of the cast value is
+    # offset-DEPENDENT (the cast reads the naive ts as session-local
+    # time), so at +05:30 it would drift from the oracle's naive
+    # micros even though the guard admits that zone.  Subtracting the
+    # cast epoch literal — whose unix_micros is exactly -offset under
+    # any fixed-offset zone — recovers naive micros at every admitted
+    # offset; Catalyst constant-folds the literal, so the plan cost is
+    # nil.  (The streaming twin, streaming/events.session_window_counts,
+    # keeps raw unix_micros: it has no cross-engine value oracle and
+    # its pytest contract compares stream vs batch through the same
+    # expression in one session, where the offset cancels.)
     from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
 
     require_fixed_offset_tz(spark)
+    off = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")))
     w = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
     return (
         ev.groupBy("user_id", w.alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            (F.unix_micros(F.col("w.start")) - off).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - off).alias("session_end_us"),
             "n_events",
         )
     )

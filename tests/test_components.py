@@ -251,6 +251,72 @@ class TestPagerank:
         with pytest.raises(ValueError, match="salt"):
             components.pagerank(df, salt="both")
 
+    def test_salt_value_forwarded_to_salted_join(self, spark, monkeypatch):
+        """ADVICE r10 (medium): pagerank(salt=4) must salt with 4
+        replicas, not salted_join's default of 8 — the knob was
+        silently ignored for any value other than 8.  The per-round
+        localCheckpoint severs the returned plan, so capture the value
+        at the call site instead of grepping the plan."""
+        from dirt_hadoop_similarity_spark.operators import components, scale
+
+        seen = []
+        real = scale.salted_join
+
+        def spy(large, small, key, salt=8, how="inner"):
+            seen.append(salt)
+            return real(large, small, key, salt=salt, how=how)
+
+        monkeypatch.setattr(scale, "salted_join", spy)
+        edges = [(0, i) for i in range(1, 12)] + [(3, 7), (8, 9)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        salted = {
+            r.node: (r.d, r.pr)
+            for r in components.pagerank(df, iters=3, salt=4).collect()
+        }
+        assert seen == [4, 4, 4]  # one salted join per iteration
+        plain = {
+            r.node: (r.d, r.pr)
+            for r in components.pagerank(df, iters=3).collect()
+        }
+        assert salted == plain
+
+    def test_task_slots_estimate(self, spark):
+        """ADVICE r10 / VERDICT r10 task 5: the auto-salt slot estimate
+        is min(shuffle-partitions conf, defaultParallelism), falling
+        back to defaultParallelism when the conf is non-numeric (e.g.
+        'auto' on managed deployments)."""
+        from dirt_hadoop_similarity_spark.operators import components
+
+        dp = spark.sparkContext.defaultParallelism
+        key = "spark.sql.shuffle.partitions"
+        orig = spark.conf.get(key)
+        try:
+            # conf far above real parallelism: AQE coalescing means at
+            # most dp tasks run at once -> estimate capped at dp
+            spark.conf.set(key, str(dp * 64))
+            assert components._task_slots(spark) == dp
+            # conf below: fewer reduce partitions than cores
+            spark.conf.set(key, "2")
+            assert components._task_slots(spark) == min(2, dp)
+        finally:
+            spark.conf.set(key, orig)
+
+        # non-numeric conf must not raise (OSS Spark validates the conf
+        # at set-time, so the managed-deployment 'auto' value is
+        # simulated with a stub session object)
+        class _Conf:
+            def get(self, _key):
+                return "auto"
+
+        class _SC:
+            defaultParallelism = 7
+
+        class _Stub:
+            conf = _Conf()
+            sparkContext = _SC()
+
+        assert components._task_slots(_Stub()) == 7
+
     def test_random_graphs_match_reference(self, spark):
         """Property: on arbitrary random graphs the distributed integer
         iteration equals the pure-Python replica exactly (no float, so

@@ -283,6 +283,26 @@ def test_session_windows_consistent_with_sessionize(spark, sf_dir):
     assert got == {"a": 1, "b": 2}
 
 
+def test_session_windows_offset_independent(spark, sf_dir):
+    """ADVICE r10: the emitted session_{start,end}_us must be NAIVE
+    micros at every fixed offset the tz guard admits, not just offset
+    0 — the epoch-literal subtraction cancels the session offset, so a
+    +05:30 session hashes identically to UTC (the value oracle would
+    otherwise false-fail there)."""
+    from dirt_hadoop_similarity_spark.plans import queries_more  # noqa: F401 — registers
+    from dirt_hadoop_similarity_spark.plans.queries import QUERIES
+
+    key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(key)
+    utc = {tuple(r) for r in QUERIES["session_windows"].fn(spark, sf_dir).collect()}
+    try:
+        spark.conf.set(key, "+05:30")
+        ist = {tuple(r) for r in QUERIES["session_windows"].fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set(key, orig)
+    assert utc == ist
+
+
 def test_mad_outliers_robust_where_zscore_masks(spark):
     """The property MAD exists for: one whale event inflates the
     z-score's stddev and masks a clear moderate outlier; MAD (50%

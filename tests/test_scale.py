@@ -511,6 +511,52 @@ class TestSessionizeAuto:
             }
             assert got == want, f"hot_frac={frac}"
 
+    def test_user_counts_steers_routing_without_event_scan(self, spark):
+        """VERDICT r10 task 6: a caller-supplied per-user count relation
+        replaces the probe — the routing decision follows ITS max, and
+        the probe side never touches the event relation (zero premium
+        for reuse-heavy callers).  Output stays route-independent."""
+        ev = self._corpus(spark, 20_000, hot_frac=0.8)
+
+        # counts claiming a cold corpus -> window route, despite the
+        # actually-hot events (counts steer routing only, never output)
+        cold_counts = spark.createDataFrame(
+            [("hot", 100), ("u1", 50)], "user_id string, count long"
+        )
+        df = scale.sessionize_counts_auto(
+            ev, hot_user_events=10_000, user_counts=cold_counts
+        )
+        assert "_bucket" not in self._executed_plan(df)
+
+        # counts reporting the real hot user -> bucketed route
+        hot_counts = ev.groupBy("user_id").count()
+        df = scale.sessionize_counts_auto(
+            ev, hot_user_events=10_000, user_counts=hot_counts
+        )
+        assert "_bucket" in self._executed_plan(df)
+
+        # both routed outputs equal the window spec
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in scale.sessionize_counts_auto(
+                ev, hot_user_events=10_000, user_counts=hot_counts
+            ).collect()
+        }
+        want = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in scale.sessionize_counts_window(ev).collect()
+        }
+        assert got == want
+
+        # probe-side plan: max over the counts relation, no second
+        # event scan — the probe frame is built from user_counts alone
+        import pytest
+
+        with pytest.raises(ValueError, match="count"):
+            scale.sessionize_counts_auto(
+                ev, user_counts=cold_counts.select("user_id")
+            )
+
     def test_registered_query_matches_sessionize(self, spark, sf_dir):
         from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 

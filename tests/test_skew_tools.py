@@ -55,6 +55,14 @@ def test_dirt_skew_corpora_invariants(spark, tmp_path):
     )
     assert top / 5_000 < 0.05
 
+    # ADVICE r10: a different --docs lands in a DIFFERENT directory, so
+    # the exists-skip can never serve a stale corpus for new parameters
+    dirs2 = gen_corpora(spark, str(tmp_path), 1_000)
+    assert dirs2["skew"] != dirs["skew"]
+    assert spark.read.parquet(
+        f"{dirs2['skew']}/documents.parquet"
+    ).count() == 1_000
+
 
 def test_graph_skew_edges_invariants(spark, tmp_path):
     from graph_skew_bench import gen_edges
@@ -76,6 +84,16 @@ def test_graph_skew_edges_invariants(spark, tmp_path):
         .agg(F.max("count")).first()[0]
     )
     assert uni_top / 20_000 < 0.01
+
+    # ADVICE r10: parameters are path-encoded — a changed hub_pct (or
+    # size) regenerates rather than reusing the stale corpus; uniform
+    # ignores hub_pct and IS legitimately shared across hub_pct values
+    dirs2 = gen_edges(spark, str(tmp_path), n_nodes=2_000, n_edges=20_000,
+                      hub_pct=60)
+    assert dirs2["hub"] != dirs["hub"]
+    assert dirs2["uniform"] == dirs["uniform"]
+    hub2 = spark.read.parquet(f"{dirs2['hub']}/edges.parquet")
+    assert abs(hub2.filter(F.col("id_a") == 0).count() / 20_000 - 0.60) < 0.03
 
 
 def test_constant_user_events_invariants(spark, tmp_path):

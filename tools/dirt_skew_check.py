@@ -61,7 +61,10 @@ def gen_corpora(spark, out_root: str, n_docs: int) -> dict[str, str]:
     n_chars).  Deterministic (hash-derived), constant volume."""
     dirs = {}
     for kind in ("uniform", "skew"):
-        out = os.path.join(out_root, f"dirt_{kind}")
+        # ADVICE r10: the generation parameter lives in the directory
+        # name, so rerunning with a different --docs can never silently
+        # reuse a stale corpus labeled with the new size
+        out = os.path.join(out_root, f"dirt_{kind}_{int(n_docs)}")
         dirs[kind] = out
         if os.path.exists(os.path.join(out, "documents.parquet")):
             continue

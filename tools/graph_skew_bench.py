@@ -50,7 +50,14 @@ def gen_edges(spark, out_root: str, n_nodes: int, n_edges: int,
     deterministic hash-derived endpoints, node 0 is the hub."""
     dirs = {}
     for kind in ("uniform", "hub"):
-        out = os.path.join(out_root, f"graph_{kind}")
+        # ADVICE r10: encode every generation parameter in the path —
+        # a parameter change regenerates instead of silently reusing a
+        # stale corpus labeled with the new parameters (hub_pct only
+        # shapes the hub corpus, so uniform omits it and stays shared)
+        tag = f"{int(n_nodes)}x{int(n_edges)}"
+        if kind == "hub":
+            tag += f"_h{int(hub_pct)}"
+        out = os.path.join(out_root, f"graph_{kind}_{tag}")
         dirs[kind] = out
         dest = os.path.join(out, "edges.parquet")
         if os.path.exists(dest):
