@@ -376,6 +376,37 @@ def sessionize_counts_window(events: DataFrame, user_col: str = "user_id",
 SESSIONIZE_HOT_USER_EVENTS = 2_000_000
 
 
+def _max_user_events(events: DataFrame, user_col: str,
+                     user_counts: DataFrame | None = None) -> int | None:
+    """The sessionize-router probe: the hottest user's event count.
+
+    Without ``user_counts`` this is one map-side-combined count
+    (groupBy user → max) — the hot user collapses to one row per input
+    partition before the shuffle, so the probe itself cannot straggle;
+    cost is one scan of ``events``.  ``user_counts`` (any relation
+    with the user column and a ``count`` column — the
+    ``groupBy().count()`` shape a key_skew_profile run or yesterday's
+    profiling table already holds) drops that premium to zero: the max
+    is probed over the (typically tiny, often cached) counts relation
+    instead."""
+    if user_counts is not None:
+        if "count" not in user_counts.columns:
+            raise ValueError(
+                "user_counts needs a `count` column (the "
+                "groupBy(user).count() shape), got columns "
+                f"{user_counts.columns}"
+            )
+        probe = user_counts.agg(F.max("count").alias("_mx"))
+    else:
+        probe = (
+            events.groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_mx"))
+        )
+    row = probe.first()
+    return row["_mx"] if row is not None else None
+
+
 def sessionize_counts_auto(events: DataFrame, user_col: str = "user_id",
                            ts_col: str = "ts", id_col: str = "event_id",
                            gap_minutes: int = 30,
@@ -412,22 +443,7 @@ def sessionize_counts_auto(events: DataFrame, user_col: str = "user_id",
     can at worst pick the slower-but-correct variant, never change the
     output (both variants share one semantic spec and oracle).
     """
-    if user_counts is not None:
-        if "count" not in user_counts.columns:
-            raise ValueError(
-                "user_counts needs a `count` column (the "
-                "groupBy(user).count() shape), got columns "
-                f"{user_counts.columns}"
-            )
-        probe = user_counts.agg(F.max("count").alias("_mx"))
-    else:
-        probe = (
-            events.groupBy(user_col)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.max("_n").alias("_mx"))
-        )
-    mx_row = probe.first()
-    mx = mx_row["_mx"] if mx_row is not None else None
+    mx = _max_user_events(events, user_col, user_counts)
     if mx is not None and mx >= int(hot_user_events):
         return sessionize_counts_bucketed(
             events, user_col=user_col, ts_col=ts_col,
@@ -486,6 +502,35 @@ def sessionize_counts_bucketed(events: DataFrame, user_col: str = "user_id",
     applied with the same interval arithmetic on the un-truncated
     timestamps).
     """
+    per_bucket = _session_bucket_flags(events, user_col, ts_col, gap_minutes)
+    return (
+        per_bucket.select("_u", "_starts", "_n")
+        .groupBy(F.col("_u").alias(user_col))
+        .agg(
+            F.sum("_starts").cast("long").alias("n_sessions"),
+            F.sum("_n").alias("n_events"),
+        )
+    )
+
+
+def _session_bucket_flags(events: DataFrame, user_col: str, ts_col: str,
+                          gap_minutes: int) -> DataFrame:
+    """The gap-bucket collapse both skew-immune sessionizers share:
+    ``(_u, _bucket, _n, _min_ts, _max_ts, _starts)`` — one row per
+    (user, gap-wide time bucket) with the bucket's event count, exact
+    min/max timestamps, and a 1-flag when the bucket's first event
+    starts a new session.
+
+    The map-side partial aggregation collapses a hot user to one row
+    per bucket per input partition BEFORE the shuffle — the whole
+    point of the family; every window downstream runs over this
+    time-bounded relation, never over raw events.  Correctness
+    invariants (proofs in :func:`sessionize_counts_bucketed`'s
+    docstring): same-bucket events are always < gap apart (width ==
+    gap); a non-adjacent previous bucket implies a gap strictly over
+    the threshold; adjacent buckets get the exact interval comparison
+    on the un-truncated timestamps, so the strict-> boundary rule is
+    preserved to the microsecond."""
     from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
 
     require_fixed_offset_tz(events.sparkSession)
@@ -532,11 +577,99 @@ def sessionize_counts_bucketed(events: DataFrame, user_col: str = "user_id",
         ),
         1,
     ).otherwise(0)
+    return per_bucket.withColumn("_starts", starts)
+
+
+def session_spans_native(events: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         gap_minutes: int = 30) -> DataFrame:
+    """One row PER SESSION via Spark's built-in session_window:
+    ``(user, session_start, session_end, n_events)`` with start = first
+    event, end = last event + gap (timestamps in the input column's
+    type).  Boundary rule: a gap of exactly ``gap_minutes`` MERGES —
+    probed and pinned against the hand-rolled family's strict-> rule.
+
+    Scale shape: the session-window aggregate shuffles on ``user`` and
+    merges one user's sessions inside ONE task's sort — the same
+    per-user co-location that makes the lag-window sessionizer a
+    straggler on a hot-user corpus (measured ~5x at just 5M events with
+    an 80% user, tools/sessionize_stress.py --spans).  Route
+    such corpora to :func:`session_spans_bucketed`, or let
+    :func:`session_spans_auto` probe and decide."""
+    if int(gap_minutes) <= 0:
+        raise ValueError(
+            f"gap_minutes must be positive, got {gap_minutes!r}"
+        )
+    w = F.session_window(F.col(ts_col), f"{int(gap_minutes)} minutes")
     return (
-        per_bucket.select("_u", starts.alias("_starts"), "_n")
-        .groupBy(F.col("_u").alias(user_col))
+        events.groupBy(F.col(user_col), w.alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_spans_bucketed(events: DataFrame, user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           gap_minutes: int = 30) -> DataFrame:
+    """:func:`session_spans_native`'s exact semantics — one row per
+    session with (start, end = last + gap, n_events) — computed over
+    the gap-bucket collapse, so a hot user's raw events are never
+    co-located in one task (VERDICT r10 task 2: the native operator
+    measured a ~5x hot-user straggler; this is the same mitigation
+    sessionize_counts_bucketed applies to the counts shape).
+
+    On top of the shared :func:`_session_bucket_flags` relation the
+    span identity is a per-user running sum of the new-session flags
+    (a window over the time-bounded BUCKET relation), and each span
+    aggregates its buckets' exact min/max timestamps — so boundaries
+    are microsecond-exact even though the grid is second-granular.
+    Output is asserted equal to the native operator by
+    tests/test_scale.py and tools/sessionize_stress.py before any
+    timing is reported."""
+    per_bucket = _session_bucket_flags(events, user_col, ts_col, gap_minutes)
+    wrun = (
+        Window.partitionBy("_u")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = per_bucket.select(
+        "_u", "_n", "_min_ts", "_max_ts",
+        F.sum("_starts").over(wrun).alias("_span"),
+    )
+    return (
+        spans.groupBy(F.col("_u").alias(user_col), F.col("_span"))
         .agg(
-            F.sum("_starts").cast("long").alias("n_sessions"),
+            F.min("_min_ts").alias("session_start"),
+            (
+                F.max("_max_ts")
+                + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+            ).alias("session_end"),
             F.sum("_n").alias("n_events"),
         )
+        .drop("_span")
+    )
+
+
+def session_spans_auto(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", gap_minutes: int = 30,
+                       hot_user_events: int = SESSIONIZE_HOT_USER_EVENTS,
+                       user_counts: DataFrame | None = None) -> DataFrame:
+    """Self-routing per-session spans: the built-in session_window on
+    uniform traffic, the gap-bucket formulation when any single user is
+    task-sort-sized — the :func:`sessionize_counts_auto` discipline
+    applied to the span shape (same probe, same crossover default,
+    same zero-premium ``user_counts`` escape hatch)."""
+    mx = _max_user_events(events, user_col, user_counts)
+    if mx is not None and mx >= int(hot_user_events):
+        return session_spans_bucketed(
+            events, user_col=user_col, ts_col=ts_col,
+            gap_minutes=gap_minutes,
+        )
+    return session_spans_native(
+        events, user_col=user_col, ts_col=ts_col, gap_minutes=gap_minutes,
     )

@@ -834,12 +834,16 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id, sid
     """,
-    "Native session_window aggregation: one row PER SESSION (start, "
-    "end = last event + gap, event count) — the idiomatic Spark session "
-    "operator next to the hand-rolled per-user sessionize counts. "
+    "Auto-routed per-SESSION spans (start, end = last event + gap, "
+    "event count): Spark's native session_window on uniform traffic, "
+    "the gap-bucket span formulation when any single user is "
+    "task-sort-sized (the native aggregate merges one user's sessions "
+    "in ONE task's sort — measured ~5-10x hot-user straggler, "
+    "tools/sessionize_stress.py --spans; operators/scale."
+    "session_spans_auto probes and decides, both routes oracle-equal). "
     "Boundary semantics probed and pinned: a gap of exactly 30 minutes "
     "MERGES (strict >), matching sessionize/sessionize_skewsafe. "
-    "Streaming note: the same groupBy runs under readStream with a "
+    "Streaming note: the native groupBy runs under readStream with a "
     "watermark (state evicted per closed session — bounded by ACTIVE "
     "sessions in the horizon); the registered streaming entry stays the "
     "applyInPandasWithState counter because append-mode emission "
@@ -847,33 +851,33 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "which a value-checked oracle cannot tolerate.",
 )
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dirt_hadoop_similarity_spark.operators import scale
+
     ev = load(spark, sf_dir, "events")
-    # cast NTZ → TIMESTAMP under the fixed-offset guard (ts_micros
-    # discipline).  ADVICE r10: raw unix_micros of the cast value is
+    # ADVICE r10: raw unix_micros of an NTZ→TIMESTAMP cast is
     # offset-DEPENDENT (the cast reads the naive ts as session-local
     # time), so at +05:30 it would drift from the oracle's naive
-    # micros even though the guard admits that zone.  Subtracting the
-    # cast epoch literal — whose unix_micros is exactly -offset under
-    # any fixed-offset zone — recovers naive micros at every admitted
-    # offset; Catalyst constant-folds the literal, so the plan cost is
-    # nil.  (The streaming twin, streaming/events.session_window_counts,
-    # keeps raw unix_micros: it has no cross-engine value oracle and
-    # its pytest contract compares stream vs batch through the same
-    # expression in one session, where the offset cancels.)
+    # micros even though the tz guard admits that zone.  Subtracting
+    # the cast epoch literal — whose unix_micros is exactly -offset
+    # under any fixed-offset zone — recovers naive micros at every
+    # admitted offset; Catalyst constant-folds the literal, so the
+    # plan cost is nil.  (The streaming twin, streaming/events.
+    # session_window_counts, keeps raw unix_micros: it has no
+    # cross-engine value oracle and its pytest contract compares
+    # stream vs batch through the same expression in one session,
+    # where the offset cancels.)
     from dirt_hadoop_similarity_spark.session import require_fixed_offset_tz
 
     require_fixed_offset_tz(spark)
     off = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")))
-    w = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
-    return (
-        ev.groupBy("user_id", w.alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            (F.unix_micros(F.col("w.start")) - off).alias("session_start_us"),
-            (F.unix_micros(F.col("w.end")) - off).alias("session_end_us"),
-            "n_events",
-        )
+    spans = scale.session_spans_auto(ev)
+    return spans.select(
+        "user_id",
+        (F.unix_micros(F.col("session_start").cast("timestamp")) - off)
+        .alias("session_start_us"),
+        (F.unix_micros(F.col("session_end").cast("timestamp")) - off)
+        .alias("session_end_us"),
+        "n_events",
     )
 
 

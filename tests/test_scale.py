@@ -557,6 +557,75 @@ class TestSessionizeAuto:
                 ev, user_counts=cold_counts.select("user_id")
             )
 
+    def test_spans_native_equals_bucketed(self, spark, sf_dir):
+        """VERDICT r10 task 2: the per-SESSION span family — the
+        gap-bucket formulation must reproduce Spark's native
+        session_window rows exactly (start, end = last + gap,
+        n_events), on the hot synthetic corpus AND on the NTZ-typed
+        testdata events, including the exactly-one-gap MERGE rule."""
+        def spans(fn, df):
+            return {
+                (r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in fn(df).collect()
+            }
+
+        hot = self._corpus(spark, 20_000, hot_frac=0.8)
+        assert spans(scale.session_spans_native, hot) == spans(
+            scale.session_spans_bucketed, hot
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+        assert spans(scale.session_spans_native, ev) == spans(
+            scale.session_spans_bucketed, ev
+        )
+
+        # exactly one gap apart MERGES on both variants (strict >)
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 1800), ("b", 0), ("b", 1801)],
+            "user_id string, e long",
+        ).select("user_id", F.timestamp_seconds("e").alias("ts"))
+        for fn in (scale.session_spans_native, scale.session_spans_bucketed):
+            got = sorted(
+                (r.user_id, r.n_events) for r in fn(df).collect()
+            )
+            assert got == [("a", 2), ("b", 1), ("b", 1)], fn.__name__
+
+        import pytest
+
+        with pytest.raises(ValueError, match="gap_minutes"):
+            scale.session_spans_native(df, gap_minutes=0)
+        with pytest.raises(ValueError, match="gap_minutes"):
+            scale.session_spans_bucketed(df, gap_minutes=-1)
+
+    def test_spans_auto_routes_on_executed_plan(self, spark):
+        """session_spans_auto picks the bucketed route exactly when the
+        hottest user crosses the threshold — pinned on the EXECUTED
+        plan (the skew_check discipline), with user_counts steering."""
+        hot = self._corpus(spark, 20_000, hot_frac=0.8)
+        plan = self._executed_plan(
+            scale.session_spans_auto(hot, hot_user_events=10_000)
+        )
+        assert "_bucket" in plan
+
+        uni = self._corpus(spark, 20_000, hot_frac=0.0)
+        plan = self._executed_plan(
+            scale.session_spans_auto(uni, hot_user_events=10_000)
+        )
+        assert "_bucket" not in plan
+        assert "session_window" in plan.lower()
+
+        # caller-supplied counts bypass the event-scan probe and steer
+        cold_counts = spark.createDataFrame(
+            [("hot", 10), ("u1", 5)], "user_id string, count long"
+        )
+        plan = self._executed_plan(
+            scale.session_spans_auto(
+                hot, hot_user_events=10_000, user_counts=cold_counts
+            )
+        )
+        assert "_bucket" not in plan
+
     def test_registered_query_matches_sessionize(self, spark, sf_dir):
         from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 

@@ -77,6 +77,10 @@ def main() -> None:
     ap.add_argument("--with-auto", action="store_true",
                     help="also time sessionize_counts_auto (probe + "
                          "routed variant) on the stress corpus")
+    ap.add_argument("--spans", action="store_true",
+                    help="stress the per-SESSION span family instead "
+                         "of the per-user counts: native session_window "
+                         "vs session_spans_bucketed (VERDICT r10 task 2)")
     args = ap.parse_args()
 
     from dirt_hadoop_similarity_spark.operators import scale
@@ -91,21 +95,35 @@ def main() -> None:
 
     ev = synth_events(spark, args.events, args.hot_frac)
 
+    if args.spans:
+        # the per-session family: Spark's built-in session_window
+        # (shuffles one user's events into ONE task's sort-merge) vs
+        # the gap-bucket span formulation
+        hot_fn = lambda df: scale.session_spans_native(df)  # noqa: E731
+        safe_fn = lambda df: scale.session_spans_bucketed(df)  # noqa: E731
+        auto_fn = lambda df: scale.session_spans_auto(df)  # noqa: E731
+        key = lambda r: (r.user_id, r.session_start,  # noqa: E731
+                         r.session_end, r.n_events)
+        metric = "session_spans_stress"
+    else:
+        hot_fn = window_sessionize
+        safe_fn = lambda df: scale.sessionize_counts_bucketed(df)  # noqa: E731
+        auto_fn = lambda df: scale.sessionize_counts_auto(df)  # noqa: E731
+        key = lambda r: (r.user_id, r.n_sessions, r.n_events)  # noqa: E731
+        metric = "sessionize_stress"
+
     # correctness first: identical outputs on a 1% slice (full-size
     # equality would just re-run the straggler three times)
     slice_ = synth_events(spark, max(args.events // 100, 100_000),
                           args.hot_frac)
-    a = {r.user_id: (r.n_sessions, r.n_events)
-         for r in window_sessionize(slice_).collect()}
-    b = {r.user_id: (r.n_sessions, r.n_events)
-         for r in scale.sessionize_counts_bucketed(slice_).collect()}
+    a = {key(r) for r in hot_fn(slice_).collect()}
+    b = {key(r) for r in safe_fn(slice_).collect()}
     assert a == b, "variant outputs diverged on the synthetic corpus"
 
     # interleave the two variants (same rationale as scale_bench)
     win_s = buck_s = None
     for i in range(args.repeats):
-        pair = [("window", window_sessionize(ev)),
-                ("bucketed", scale.sessionize_counts_bucketed(ev))]
+        pair = [("window", hot_fn(ev)), ("bucketed", safe_fn(ev))]
         if i % 2:
             pair.reverse()
         for kind, df in pair:
@@ -126,14 +144,13 @@ def main() -> None:
         for _ in range(args.repeats):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            scale.sessionize_counts_auto(ev).write.format("noop").mode(
-                "overwrite").save()
+            auto_fn(ev).write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             auto_s = el if auto_s is None else min(auto_s, el)
 
     spark.stop()
     print(json.dumps({
-        "metric": "sessionize_stress", "events": args.events,
+        "metric": metric, "events": args.events,
         "hot_frac": args.hot_frac, "repeats": args.repeats,
         "window_sec": round(win_s, 3), "bucketed_sec": round(buck_s, 3),
         "speedup": round(win_s / max(buck_s, 1e-9), 2),
