@@ -386,7 +386,7 @@ def _max_user_events(events: DataFrame, user_col: str,
     cost is one scan of ``events``.  ``user_counts`` (any relation
     with the user column and a ``count`` column — the
     ``groupBy().count()`` shape a key_skew_profile run or yesterday's
-    profiling table already holds) drops that premium to zero: the max
+    profiling table already holds) drops the extra events scan: the max
     is probed over the (typically tiny, often cached) counts relation
     instead."""
     if user_counts is not None:
@@ -395,6 +395,21 @@ def _max_user_events(events: DataFrame, user_col: str,
                 "user_counts needs a `count` column (the "
                 "groupBy(user).count() shape), got columns "
                 f"{user_counts.columns}"
+            )
+        if user_col not in user_counts.columns:
+            raise ValueError(
+                f"user_counts must be keyed on {user_col!r} (the same "
+                "user column being sessionized) so its per-key counts "
+                f"describe this traffic; got columns {user_counts.columns}"
+            )
+        count_type = dict(user_counts.dtypes)["count"]
+        if count_type not in ("tinyint", "smallint", "int", "bigint",
+                              "float", "double") and \
+                not count_type.startswith("decimal"):
+            raise ValueError(
+                "user_counts.count must be numeric — max() over a "
+                f"{count_type} column compares lexically and would "
+                "silently mis-route (ADVICE r11)"
             )
         probe = user_counts.agg(F.max("count").alias("_mx"))
     else:
@@ -432,8 +447,9 @@ def sessionize_counts_auto(events: DataFrame, user_col: str = "user_id",
     threshold is "would sorting this many rows in ONE task straggle
     the stage", a function of task memory and the timestamp width.
 
-    ``user_counts`` (VERDICT r10 task 6) drops the probe's premium to
-    zero for callers that already hold a per-user event count — a
+    ``user_counts`` (VERDICT r10 task 6) drops the probe's extra
+    events scan for callers that already hold a per-user event count
+    (one 1-row ``first()`` job on the counts relation still runs) — a
     :func:`key_skew_profile` run, a prior ``groupBy(user).count()``,
     or yesterday's profiling table.  Pass any relation with the user
     column and a ``count`` column (the ``groupBy().count()`` shape);
@@ -663,7 +679,8 @@ def session_spans_auto(events: DataFrame, user_col: str = "user_id",
     uniform traffic, the gap-bucket formulation when any single user is
     task-sort-sized — the :func:`sessionize_counts_auto` discipline
     applied to the span shape (same probe, same crossover default,
-    same zero-premium ``user_counts`` escape hatch)."""
+    same scan-skipping ``user_counts`` escape hatch — the probe still
+    runs one 1-row job over the counts relation)."""
     mx = _max_user_events(events, user_col, user_counts)
     if mx is not None and mx >= int(hot_user_events):
         return session_spans_bucketed(

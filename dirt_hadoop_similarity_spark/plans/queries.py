@@ -185,6 +185,9 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # they either back an existing query (round 11's session-span family
 # re-backs session_windows) or earn their evidence through the pytest
 # contract; what's frozen is registry cardinality, not capability.
+# Machine-checked since round 12: tests/test_oracle_all.py::
+# test_registry_size_frozen fails any 131st registration that does not
+# retire an existing name (escape hatch documented there).
 _DEFERRED = [
     # r9-green (hash), code-unchanged, oracle-backed — the r9 names
     # not pulled forward as fillers (and not dedup_pagerank, rotated

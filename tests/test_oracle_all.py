@@ -100,6 +100,29 @@ def test_driver_window_contract():
     )
 
 
+def test_registry_size_frozen():
+    """Registry-size policy, machine-checked (VERDICT r11 task 5 —
+    until now the freeze was a comment in plans/queries.py only).
+
+    The registry holds at 130 with a 50-slot driver window: a full
+    evidence sweep already takes ~3 rounds, the documented ceiling for
+    "no driver row older than two rounds".  Net-new registrations are
+    frozen — a new query must RETIRE an existing one (same operator
+    surface, better coverage: delete the old @register, re-back the
+    name, or replace the entry outright) so cardinality stays <= 130.
+    New OPERATORS still land freely; they back an existing query name
+    or earn evidence through pytest.  Escape hatch: if the driver's
+    window ever grows past 50, raise REGISTRY_CAP in the same commit
+    that documents the new window size in plans/queries.py.
+    """
+    REGISTRY_CAP = 130
+    assert len(REGISTRY) <= REGISTRY_CAP, (
+        f"registry grew to {len(REGISTRY)} (> {REGISTRY_CAP}): the "
+        "freeze policy requires retiring an existing query per new "
+        "registration — see plans/queries.py registry-size policy"
+    )
+
+
 def test_deferred_plans_unchanged(oracle_spark):
     """The contract's second failure mode, machine-checked (VERDICT r7
     found it could only be a review rule — it no longer is): a deferred

@@ -557,6 +557,27 @@ class TestSessionizeAuto:
                 ev, user_counts=cold_counts.select("user_id")
             )
 
+        # ADVICE r11: a counts relation keyed on the WRONG user column
+        # (its per-key maxima describe different traffic) is rejected,
+        # not silently trusted for routing
+        with pytest.raises(ValueError, match="keyed on"):
+            scale.sessionize_counts_auto(
+                ev,
+                user_counts=spark.createDataFrame(
+                    [("s1", 10)], "session_id string, count long"
+                ),
+            )
+        # ... and a string-typed count (max() would compare "9" > "100"
+        # lexically and mis-route) is rejected too
+        with pytest.raises(ValueError, match="numeric"):
+            scale.sessionize_counts_auto(
+                ev,
+                user_counts=spark.createDataFrame(
+                    [("hot", "100"), ("u1", "9")],
+                    "user_id string, count string",
+                ),
+            )
+
     def test_spans_native_equals_bucketed(self, spark, sf_dir):
         """VERDICT r10 task 2: the per-SESSION span family — the
         gap-bucket formulation must reproduce Spark's native

@@ -59,6 +59,9 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/dhs_prune")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
+    if args.repeats < 1:
+        ap.error("--repeats must be >= 1 (timing needs at least one "
+                 "pass; min-of-2 interleaved is the estimator)")
 
     from dirt_hadoop_similarity_spark.operators import scale
     from dirt_hadoop_similarity_spark.session import get_spark
@@ -80,30 +83,53 @@ def main() -> None:
             F.col("event_id") + F.col("_copy") * F.lit(10_000_000_000),
         ).drop("_copy")
 
+    # the flat layout gets the SAME file count as the partitioned one
+    # has date dirs, hash-distributed so every file spans all dates
+    # (parquet min/max row-group stats can't skip — the realistic
+    # un-partitioned table shape); otherwise a small input collapses to
+    # ONE flat file and the files-read contrast degenerates to 1-vs-1
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
     part_path = os.path.join(args.out, f"events_part_x{args.mult}")
     flat_path = os.path.join(args.out, f"events_flat_x{args.mult}")
     if not os.path.exists(part_path):
         scale.write_date_partitioned(ev, part_path)
     if not os.path.exists(flat_path):
-        ev.write.mode("overwrite").parquet(flat_path)
+        ev.repartition(n_days).write.mode("overwrite").parquet(flat_path)
 
     part = spark.read.parquet(part_path)
     flat = spark.read.parquet(flat_path)
     part_q = day_rollup(part, partitioned=True)
     flat_q = day_rollup(flat, partitioned=False)
 
+    def _sum_numfiles(node) -> int:
+        """Recursive walk to every scan's numFiles metric.  Under AQE
+        the executed plan's collectLeaves() stops at
+        ShuffleQueryStageExec — the FileSourceScanExec is nested inside
+        the stage — so descend through AdaptiveSparkPlanExec
+        (.executedPlan()) and *QueryStageExec (.plan()) wrappers
+        explicitly (ADVICE r11: the leaf-only version summed 0)."""
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return _sum_numfiles(node.executedPlan())
+        if cls.endswith("QueryStageExec"):
+            return _sum_numfiles(node.plan())
+        if cls == "ReusedExchangeExec":
+            return _sum_numfiles(node.child())
+        total = 0
+        m = node.metrics()
+        if m.contains("numFiles"):
+            total += m.apply("numFiles").value()
+        it = node.children().iterator()
+        while it.hasNext():
+            total += _sum_numfiles(it.next())
+        return total
+
     def files_scanned(df) -> int:
         """Post-pruning file count from the EXECUTED scan's numFiles
         metric (DataFrame.inputFiles lists the relation's whole file
-        index, pruned or not — measured: 30 vs the 1 actually read)."""
+        index, pruned or not)."""
         df.collect()
-        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
-        total = 0
-        for i in range(leaves.size()):
-            m = leaves.apply(i).metrics()
-            if m.contains("numFiles"):
-                total += m.apply("numFiles").value()
-        return total
+        return _sum_numfiles(df._jdf.queryExecution().executedPlan())
 
     # physical evidence, independent of host breathing: the file count
     # each plan actually reads (post-pruning), and the PartitionFilters
@@ -142,6 +168,7 @@ def main() -> None:
         "speedup": round(flat_s / max(part_s, 1e-9), 2),
         "files_read_partitioned": files_part,
         "files_read_flat": files_flat,
+        "files_total_each_layout": n_days,
         "partition_filters_in_plan": bool(has_part_filters),
     }))
 

@@ -69,6 +69,102 @@ def window_sessionize(ev):
     return scale.sessionize_counts_window(ev)
 
 
+def _run_streaming_leg(spark, args) -> None:
+    """VERDICT r11 task 4: does the STREAMING session-window twin
+    (streaming/events.session_window_counts) straggle under one hot
+    user the way the batch native route does (~5x @ 5M, ~29x @ 20M)?
+
+    Batch session_window sorts a user's whole history in ONE task; the
+    streaming operator also hash-partitions state by the grouping key,
+    so every hot-user row lands in one state-store partition per
+    micro-batch and the merging-sessions pass over that partition is
+    single-threaded — same skew exposure, different constant (state
+    merge vs full sort).  This leg measures it instead of guessing:
+    full availableNow replay of a hot corpus (``--hot-frac`` on one
+    user) vs a uniform control (hot_frac=0) at the SAME volume,
+    interleaved min-of-``--repeats``, with state/output rows read from
+    the query's own progress metrics.
+
+    Replay shape: each corpus arrives as ONE data micro-batch (all
+    files available at start, no maxFilesPerTrigger cap), so batch 1
+    runs with watermark 0 — nothing is late-dropped, all sessions
+    merge into state — and availableNow's final batch advances the
+    watermark past every session end and emits the full result.  The
+    wall time is dominated by exactly the state-merge path under test.
+    """
+    import shutil
+
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    base = args.stream_dir
+    shutil.rmtree(base, ignore_errors=True)
+    corpora = {}
+    for kind, frac in (("hot", args.hot_frac), ("uniform", 0.0)):
+        path = os.path.join(base, f"events_{kind}")
+        synth_events(spark, args.events, frac).write.mode(
+            "overwrite").parquet(path)
+        corpora[kind] = path
+    schema = spark.read.parquet(corpora["hot"]).schema
+
+    def replay(kind: str, path: str, rep: int):
+        ckpt = os.path.join(base, f"ckpt_{kind}_{rep}")
+        stream = spark.readStream.schema(schema).parquet(path)
+        df = sev.session_window_counts(stream)
+        t0 = time.perf_counter()
+        q = (
+            df.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            state_rows = out_rows = 0
+            for p in reversed(q.recentProgress):
+                ops = p.get("stateOperators") or []
+                if ops:
+                    state_rows = max(
+                        state_rows,
+                        sum(int(o.get("numRowsTotal", 0)) for o in ops),
+                    )
+                out_rows += sum(
+                    int(s.get("numOutputRows", 0)) for s in [p["sink"]]
+                )
+        finally:
+            q.stop()
+        return time.perf_counter() - t0, state_rows, out_rows
+
+    results = {k: {"sec": None, "state_rows": 0, "out_rows": 0}
+               for k in corpora}
+    for i in range(args.repeats):
+        order = list(corpora.items())
+        if i % 2:
+            order.reverse()
+        for kind, path in order:
+            secs, state_rows, out_rows = replay(kind, path, i)
+            r = results[kind]
+            r["sec"] = secs if r["sec"] is None else min(r["sec"], secs)
+            r["state_rows"] = max(r["state_rows"], state_rows)
+            r["out_rows"] = max(r["out_rows"], out_rows)
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "streaming_session_window_stress",
+        "events": args.events, "hot_frac": args.hot_frac,
+        "repeats": args.repeats,
+        "hot_sec": round(results["hot"]["sec"], 3),
+        "uniform_sec": round(results["uniform"]["sec"], 3),
+        "hot_over_uniform": round(
+            results["hot"]["sec"] / max(results["uniform"]["sec"], 1e-9), 2
+        ),
+        "hot_out_rows": results["hot"]["out_rows"],
+        "uniform_out_rows": results["uniform"]["out_rows"],
+        "hot_peak_state_rows": results["hot"]["state_rows"],
+        "uniform_peak_state_rows": results["uniform"]["state_rows"],
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=20_000_000)
@@ -81,6 +177,16 @@ def main() -> None:
                     help="stress the per-SESSION span family instead "
                          "of the per-user counts: native session_window "
                          "vs session_spans_bucketed (VERDICT r10 task 2)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="stress the STREAMING session-window twin "
+                         "(streaming/events.session_window_counts) "
+                         "instead: hot corpus vs a uniform control at "
+                         "the same volume, full availableNow replay, "
+                         "state rows from the query's own progress "
+                         "metrics (VERDICT r11 task 4)")
+    ap.add_argument("--stream-dir", default="/tmp/dhs_sessionize_stream",
+                    help="scratch dir for the --streaming corpora, "
+                         "checkpoints and sink")
     args = ap.parse_args()
 
     from dirt_hadoop_similarity_spark.operators import scale
@@ -94,6 +200,10 @@ def main() -> None:
                       extra_conf={"spark.driver.memory": mem})
 
     ev = synth_events(spark, args.events, args.hot_frac)
+
+    if args.streaming:
+        _run_streaming_leg(spark, args)
+        return
 
     if args.spans:
         # the per-session family: Spark's built-in session_window
