@@ -81,117 +81,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # ROUND-11 ROTATION (VERDICT r10 task 1).
-    # Code changed in round 11, so these must re-earn a driver row:
-    # session_windows now auto-routes through the new scale.
-    # session_spans_auto (the native session_window measured a 29x
-    # hot-user straggler at 20M events — tools/sessionize_stress.py
-    # --spans) and emits offset-independent naive micros (ADVICE r10);
-    # sessionize_auto gained the zero-premium user_counts probe input
-    # (VERDICT r10 task 6); sessionize_skewsafe's backing operator was
-    # refactored onto the shared _session_bucket_flags collapse the
-    # span family reuses; dedup_pagerank's backing pagerank got the
-    # salt pass-through fix + the hardened _task_slots estimate
-    # (ADVICE r10 medium/low):
-    "session_windows",
+    # ROUND-12 ROTATION (VERDICT r11 task 3).
+    # Code changed in round 12, so these re-earn a driver row:
+    # scale._max_user_events (the shared sessionize/span router probe)
+    # gained user-column + numeric-count validation (ADVICE r11) — the
+    # registered queries don't pass user_counts so their plans are
+    # unchanged, but the backing routing code did change:
     "sessionize_auto",
-    "sessionize_skewsafe",
-    "dedup_pagerank",
-    # the 30 r8-era rows — the oldest hash-green evidence left, all
+    "session_windows",
+    # the 32 r9-era rows — the oldest hash-green evidence left
+    # (freshness histogram after r11: r9=32, r10=47, r11=50), all
     # code-unchanged since their green row (fingerprint-guarded) and
     # locally oracle-green:
-    "corpus_diff",
-    "curation_funnel",
-    "dedup_lsh_verified",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dirt_mi",
-    "dirt_pipeline_exact",
-    "dirt_sim",
-    "doc_chunking",
-    "dsir_importance",
-    "duplicate_spans",
-    "join_orders_lineitem",
-    "join_salted_skew",
-    "lm_perplexity_tiers",
-    "lm_quality",
-    "media_features",
-    "media_frames",
-    "media_frames_text",
-    "media_metadata",
-    "mixture_resample",
-    "q1_pricing_summary",
-    "quality_classifier",
-    "reservoir_per_group",
-    "semantic_dedup",
-    "set_ops_cohorts",
-    "skew_profile",
-    "text_repetition",
-    "vocab_oov_rate",
-    "window_range_frame",
-    "zorder_events",
-    # oldest-r9 fillers to exactly 50 (alphabetical head of the r9 set;
-    # dedup_pagerank, also r9, is already above as code-changed):
-    "ann_filtered_topk",
-    "ann_ivfpq_rerank",
-    "anti_join_customers",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
-    "bpe_train_batched",
-    "cluster_balanced_sample",
-    "cohort_retention",
-    "corr_price_quantity",
-    "cube_status_priority",
-    "dataset_split",
-    "decimal_revenue_exact",
-    "decontaminate",
-    "dedup_cluster_keepers",
-    "dedup_components",
-    "dedup_components_ls",
-]
-
-# Rows-only-by-design queries that may sit past the window:
-#   * profile_approx — engine-specific sketch outputs cannot value-match
-#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc).
-# (dirt_full_pipeline left this set in round 9: its oracle materializes
-# the live stemmer vocabulary as an inline lookup — queries_more.py.)
-_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
-# Rotation policy: entries whose last driver-green row is OLDEST (or
-# whose code changed, or that never had a row) fill the window; the
-# deferred tail is drawn from the MOST recently checked rounds.
-# Round 11: _PRIORITY is exactly 50 names (4 code-changed re-earners +
-# all 30 r8-era names + 16 oldest-r9 alphabetical fillers); _DEFERRED
-# enumerates every other name — all r9/r10 hash-green, code-unchanged
-# since their row, oracle-backed (or whitelisted rows-only above).
-# The contract is machine-checked on BOTH failure modes:
-# tests/test_oracle_all.py recomputes per-query freshness from the
-# committed CORRECTNESS_r*.json files (hash-green rows only —
-# rows_match alone is not value evidence) and fails if any
-# never-driver-checked query sits past the window; and
-# test_deferred_plans_unchanged compares every deferred query's
-# analyzed-plan fingerprint against the committed snapshot
-# (tests/plan_fingerprints.json, regenerated at rotation by
-# tools/plan_fingerprints.py), so an operator edit that changes a
-# deferred query's plan fails the suite until the query is rotated in.
-# Safety net for the tail remains the same test file's full oracle
-# sweep.
-#
-# Registry-size policy (VERDICT r10 task 7): the registry holds at 130
-# with a 50-slot driver window — a full evidence sweep already takes
-# ~3 rounds, the documented ceiling for "no row older than two rounds".
-# From round 11 on, net-new registrations are FROZEN unless the new
-# query retires an existing one (same operator surface, better
-# coverage) or the driver's window grows.  New OPERATORS still land —
-# they either back an existing query (round 11's session-span family
-# re-backs session_windows) or earn their evidence through the pytest
-# contract; what's frozen is registry cardinality, not capability.
-# Machine-checked since round 12: tests/test_oracle_all.py::
-# test_registry_size_frozen fails any 131st registration that does not
-# retire an existing name (escape hatch documented there).
-_DEFERRED = [
-    # r9-green (hash), code-unchanged, oracle-backed — the r9 names
-    # not pulled forward as fillers (and not dedup_pagerank, rotated
-    # in above as code-changed)
     "dedup_distinct",
     "dedup_exact",
     "dedup_incremental",
@@ -224,13 +125,119 @@ _DEFERRED = [
     "text_rolling_hash",
     "text_token_budget",
     "timeseries_gapfill",
-    # r10-green (hash) — last round's driver window minus the three
-    # code-changed re-earners rotated back in above
+    # oldest-r10 fillers to exactly 50 (alphabetical head of the r10
+    # cohort):
+    "ann_cosine_topk",
+    "ann_gemm_topk",
+    "ann_hard_negatives",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "ann_rh_topk",
+    "asof_join_events",
+    "bpe_train_merges",
     "event_user_outliers_mad",
-    "sessionize",
     "left_join_coalesce",
     "mi_expression",
     "ntile_quartiles",
+]
+
+# Rows-only-by-design queries that may sit past the window:
+#   * profile_approx — engine-specific sketch outputs cannot value-match
+#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc).
+# (dirt_full_pipeline left this set in round 9: its oracle materializes
+# the live stemmer vocabulary as an inline lookup — queries_more.py.)
+_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
+# Rotation policy: entries whose last driver-green row is OLDEST (or
+# whose code changed, or that never had a row) fill the window; the
+# deferred tail is drawn from the MOST recently checked rounds.
+# Round 12: _PRIORITY is exactly 50 names (2 probe-code re-earners +
+# all 32 r9-era names + 16 oldest-r10 alphabetical fillers); _DEFERRED
+# enumerates every other name — all r10/r11 hash-green, code-unchanged
+# since their row, oracle-backed (or whitelisted rows-only above).
+# The contract is machine-checked on BOTH failure modes:
+# tests/test_oracle_all.py recomputes per-query freshness from the
+# committed CORRECTNESS_r*.json files (hash-green rows only —
+# rows_match alone is not value evidence) and fails if any
+# never-driver-checked query sits past the window; and
+# test_deferred_plans_unchanged compares every deferred query's
+# analyzed-plan fingerprint against the committed snapshot
+# (tests/plan_fingerprints.json, regenerated at rotation by
+# tools/plan_fingerprints.py), so an operator edit that changes a
+# deferred query's plan fails the suite until the query is rotated in.
+# Safety net for the tail remains the same test file's full oracle
+# sweep.
+#
+# Registry-size policy (VERDICT r10 task 7): the registry holds at 130
+# with a 50-slot driver window — a full evidence sweep already takes
+# ~3 rounds, the documented ceiling for "no row older than two rounds".
+# From round 11 on, net-new registrations are FROZEN unless the new
+# query retires an existing one (same operator surface, better
+# coverage) or the driver's window grows.  New OPERATORS still land —
+# they either back an existing query (round 11's session-span family
+# re-backs session_windows) or earn their evidence through the pytest
+# contract; what's frozen is registry cardinality, not capability.
+# Machine-checked since round 12: tests/test_oracle_all.py::
+# test_registry_size_frozen fails any 131st registration that does not
+# retire an existing name (escape hatch documented there).
+_DEFERRED = [
+    # r11-green (hash) — last round's driver window minus the two
+    # probe-code re-earners rotated back in above; all code-unchanged
+    # since their r11 row, fingerprint-guarded, oracle-backed
+    "sessionize_skewsafe",
+    "dedup_pagerank",
+    "corpus_diff",
+    "curation_funnel",
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dirt_mi",
+    "dirt_pipeline_exact",
+    "dirt_sim",
+    "doc_chunking",
+    "dsir_importance",
+    "duplicate_spans",
+    "join_orders_lineitem",
+    "join_salted_skew",
+    "lm_perplexity_tiers",
+    "lm_quality",
+    "media_features",
+    "media_frames",
+    "media_frames_text",
+    "media_metadata",
+    "mixture_resample",
+    "q1_pricing_summary",
+    "quality_classifier",
+    "reservoir_per_group",
+    "semantic_dedup",
+    "set_ops_cohorts",
+    "skew_profile",
+    "text_repetition",
+    "vocab_oov_rate",
+    "window_range_frame",
+    "zorder_events",
+    "ann_filtered_topk",
+    "ann_ivfpq_rerank",
+    "anti_join_customers",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "bpe_train_batched",
+    "cluster_balanced_sample",
+    "cohort_retention",
+    "corr_price_quantity",
+    "cube_status_priority",
+    "dataset_split",
+    "decimal_revenue_exact",
+    "decontaminate",
+    "dedup_cluster_keepers",
+    "dedup_components",
+    "dedup_components_ls",
+    # r10-green (hash) — the r10 cohort minus the 16 alphabetical-head
+    # fillers pulled into the window above
+    "sessionize",
     "percentile_exact",
     "pii_redact",
     "pivot_orderstatus",
@@ -260,18 +267,6 @@ _DEFERRED = [
     "window_cumsum",
     "window_sliding",
     "window_tumbling",
-    "ann_cosine_topk",
-    "ann_gemm_topk",
-    "ann_hard_negatives",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "ann_rh_topk",
-    "asof_join_events",
-    "bpe_train_merges",
     "stream_interval_join",
     # rows-only-by-design (whitelisted above), r5 rows-only row
     "profile_approx",

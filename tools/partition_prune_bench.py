@@ -34,6 +34,39 @@ from pyspark.sql import functions as F  # noqa: E402
 DAY = "2024-01-15"  # mid-range of the testdata's 30 event days
 
 
+def sum_numfiles(node) -> int:
+    """Recursive walk to every scan's numFiles metric.  Under AQE the
+    executed plan's collectLeaves() stops at ShuffleQueryStageExec —
+    the FileSourceScanExec is nested inside the stage — so descend
+    through AdaptiveSparkPlanExec (.executedPlan()) and *QueryStageExec
+    (.plan()) wrappers explicitly (ADVICE r11: the leaf-only version
+    summed 0 on any shuffle-bearing query; pinned by
+    tests/test_scale_tools.py::test_sum_numfiles_sees_through_aqe)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return sum_numfiles(node.executedPlan())
+    if cls.endswith("QueryStageExec"):
+        return sum_numfiles(node.plan())
+    if cls == "ReusedExchangeExec":
+        return sum_numfiles(node.child())
+    total = 0
+    m = node.metrics()
+    if m.contains("numFiles"):
+        total += m.apply("numFiles").value()
+    it = node.children().iterator()
+    while it.hasNext():
+        total += sum_numfiles(it.next())
+    return total
+
+
+def files_scanned(df) -> int:
+    """Post-pruning file count from the EXECUTED scan's numFiles metric
+    (DataFrame.inputFiles lists the relation's whole file index, pruned
+    or not)."""
+    df.collect()
+    return sum_numfiles(df._jdf.queryExecution().executedPlan())
+
+
 def day_rollup(df, partitioned: bool):
     """The measured query: one day's per-type event counts — the
     time-ranged access pattern the partition layout exists for.  The
@@ -100,36 +133,6 @@ def main() -> None:
     flat = spark.read.parquet(flat_path)
     part_q = day_rollup(part, partitioned=True)
     flat_q = day_rollup(flat, partitioned=False)
-
-    def _sum_numfiles(node) -> int:
-        """Recursive walk to every scan's numFiles metric.  Under AQE
-        the executed plan's collectLeaves() stops at
-        ShuffleQueryStageExec — the FileSourceScanExec is nested inside
-        the stage — so descend through AdaptiveSparkPlanExec
-        (.executedPlan()) and *QueryStageExec (.plan()) wrappers
-        explicitly (ADVICE r11: the leaf-only version summed 0)."""
-        cls = node.getClass().getSimpleName()
-        if cls == "AdaptiveSparkPlanExec":
-            return _sum_numfiles(node.executedPlan())
-        if cls.endswith("QueryStageExec"):
-            return _sum_numfiles(node.plan())
-        if cls == "ReusedExchangeExec":
-            return _sum_numfiles(node.child())
-        total = 0
-        m = node.metrics()
-        if m.contains("numFiles"):
-            total += m.apply("numFiles").value()
-        it = node.children().iterator()
-        while it.hasNext():
-            total += _sum_numfiles(it.next())
-        return total
-
-    def files_scanned(df) -> int:
-        """Post-pruning file count from the EXECUTED scan's numFiles
-        metric (DataFrame.inputFiles lists the relation's whole file
-        index, pruned or not)."""
-        df.collect()
-        return _sum_numfiles(df._jdf.queryExecution().executedPlan())
 
     # physical evidence, independent of host breathing: the file count
     # each plan actually reads (post-pruning), and the PartitionFilters

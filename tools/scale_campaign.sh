@@ -8,8 +8,11 @@
 # skew engagement checks (skewed + uniform control), the
 # skewed-vs-uniform constant-volume timing, streaming-state growth at
 # 10x and 100x (incl. the session-window constant-user leg), the DIRT
-# path-skew leg, the graph degree-skew leg, and the sessionize
-# straggler stress run.  Results land as one file per leg in $OUT.
+# path-skew leg, the graph degree-skew leg, the sessionize straggler
+# stress runs (counts AND spans), the STREAMING session-window
+# hot-user leg, the MAD-outlier x10/x100 legs, and the
+# partition-prune layout evidence.  Results land one file per leg in
+# $OUT.
 #
 # Total wall time on an otherwise-idle local[32] box: ~2 h, most of it
 # the x100 leg.  Run nothing else concurrently: the harnesses are
@@ -43,6 +46,10 @@ fi
 step "scale x10"
 python tools/scale_bench.py --mult 10 --repeats 2 --markdown \
   > "$OUT/x10.txt" 2> "$OUT/x10.err"
+step "MAD outlier x10 leg (VERDICT r10 task 4)"
+python tools/scale_bench.py --mult 10 --repeats 2 --markdown \
+  --queries event_user_outliers_mad,event_user_outliers \
+  > "$OUT/x10_mad.txt" 2> "$OUT/x10_mad.err"
 step "scale x30"
 python tools/scale_bench.py --mult 30 --repeats 2 --markdown \
   > "$OUT/x30.txt" 2> "$OUT/x30.err"
@@ -85,9 +92,22 @@ step "sessionize straggler stress (20M events, 80% one user, + auto router)"
 python tools/sessionize_stress.py --events 20000000 --hot-frac 0.8 \
   --repeats 2 --with-auto \
   > "$OUT/sessionize_stress.txt" 2> "$OUT/sessionize_stress.err"
+step "session SPANS straggler stress (native session_window vs gap-bucket twin)"
+python tools/sessionize_stress.py --events 20000000 --hot-frac 0.8 \
+  --repeats 2 --with-auto --spans \
+  > "$OUT/sessionize_spans_stress.txt" 2> "$OUT/sessionize_spans_stress.err"
+step "STREAMING session-window hot-user leg (VERDICT r11 task 4)"
+python tools/sessionize_stress.py --events 5000000 --hot-frac 0.8 \
+  --repeats 2 --streaming \
+  > "$OUT/stream_session_window_stress.txt" \
+  2> "$OUT/stream_session_window_stress.err"
+step "partition-prune evidence (date-partitioned vs flat layout, x10)"
+python tools/partition_prune_bench.py --mult 10 --repeats 2 \
+  --out "$SCALE_DIR/prune" \
+  > "$OUT/partition_prune.txt" 2> "$OUT/partition_prune.err"
 
 step "scale x100 (the long leg)"
 python tools/scale_bench.py --mult 100 --repeats 2 --markdown \
-  --queries text_cosine_pairs,text_cosine_topk,lm_perplexity_tiers,dedup_pagerank,dedup_components_ls,split_contamination,sessionize,ann_cosine_topk,ann_ivfpq_topk,q1_pricing_summary \
+  --queries text_cosine_pairs,text_cosine_topk,lm_perplexity_tiers,dedup_pagerank,dedup_components_ls,split_contamination,sessionize,ann_cosine_topk,ann_ivfpq_topk,q1_pricing_summary,event_user_outliers_mad \
   > "$OUT/x100.txt" 2> "$OUT/x100.err"
 step "DONE — results in $OUT"
