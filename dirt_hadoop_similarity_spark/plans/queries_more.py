@@ -848,7 +848,13 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessions in the horizon); the registered streaming entry stays the "
     "applyInPandasWithState counter because append-mode emission "
     "withholds sessions the replay's final watermark never passes, "
-    "which a value-checked oracle cannot tolerate.",
+    "which a value-checked oracle cannot tolerate.  The streaming twin "
+    "shares the batch skew exposure — measured 4.06x hot-vs-uniform at "
+    "5M events (tools/sessionize_stress.py --streaming, PERF.md round "
+    "12): state is hash-partitioned by user, so the hot user's session "
+    "merge is single-threaded per micro-batch; no gap-bucket "
+    "pre-collapse preserves append semantics, so the skew-safe "
+    "streaming shape for count-style outputs is sessionize_stateful.",
 )
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dirt_hadoop_similarity_spark.operators import scale

@@ -197,6 +197,18 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes",
     ``session_windows`` query): sessions still open at replay end are
     withheld in append mode, so a full-corpus value hash would always
     miss the tail.
+
+    Skew exposure (measured, PERF.md round 12): state is
+    hash-partitioned by the grouping key, so one hot user's session
+    merge runs single-threaded per micro-batch — 4.06x hot-vs-uniform
+    wall at 5M events / 80% one user
+    (tools/sessionize_stress.py --streaming).  The batch
+    ``session_spans_auto`` gap-bucket rescue does NOT transfer: no
+    pre-collapse preserves append-mode emission under a watermark.
+    For count-style outputs route hot-key streams to
+    ``sessionize_stateful`` (one fixed-width state row per user); for
+    span-style outputs the straggle is bounded per micro-batch and
+    does not grow state (hot state rows = open sessions).
     """
     ev = normalize_event_ts(events)
     if ev.isStreaming:
