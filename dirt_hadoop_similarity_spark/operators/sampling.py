@@ -93,16 +93,28 @@ def mixture_resample(df: DataFrame, parts: dict[str, int], group_col: str,
     (the min runs over present groups only) and contributes nothing —
     the realized mixture renormalizes over the present groups (pytest:
     the brute-force property test draws such cases).
+
+    Bound (loud, in-plan): the fractional-epoch arithmetic multiplies a
+    remainder < Σparts·n_g by GRANULARITY, so it needs
+    Σparts · n_g < 2^63 / GRANULARITY ≈ 9.2e14 for every group — under
+    ANSI-off Spark a breach would WRAP silently and corrupt the
+    fractional-epoch membership, so the factor computation asserts the
+    bound on the k-row counts relation (zero scale cost; same idiom as
+    textsim's Σw² guard).  Beyond it, divide ``parts`` by their gcd or
+    shard the corpus.  ``max_repeat`` is capped at GRANULARITY so the
+    budget products inherit the same bound.
     """
     if not parts:
         raise ValueError("parts must be non-empty")
     for g, p in parts.items():
         if not isinstance(p, int) or isinstance(p, bool) or p <= 0:
             raise ValueError(f"part for {g!r} must be a positive int, got {p!r}")
-    if max_repeat < 1:
-        raise ValueError(f"max_repeat must be >= 1, got {max_repeat}")
+    if not 1 <= max_repeat <= GRANULARITY:
+        raise ValueError(
+            f"max_repeat must be in [1, {GRANULARITY}], got {max_repeat}"
+        )
     reserved = {"_parts", "_n", "_budget", "_need", "_epochs",
-                "_rem_bound", "_copies", "epoch"} & set(df.columns)
+                "_rem_guard", "_rem_bound", "_copies", "epoch"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"input columns collide with reserved names: {sorted(reserved)}"
@@ -124,13 +136,33 @@ def mixture_resample(df: DataFrame, parts: dict[str, int], group_col: str,
     budget = counts.select(
         F.expr(f"min(_n * {max_repeat} * {s} div _parts)").alias("_budget")
     )
+    # Loud overflow guard (zero scale cost: k-row relation).  The
+    # remainder below is < s*_n, so remainder * GRANULARITY stays in
+    # int64 iff _n <= int64max / (GRANULARITY * s); under ANSI-off a
+    # breach would wrap silently.  assert_true yields NULL on success
+    # -> coalesce 0 -> identity, spliced into the value so pruning can
+    # never elide it (textsim idiom).
+    n_bound = ((1 << 63) - 1) // (GRANULARITY * s)
+    rem_guard = F.coalesce(
+        F.assert_true(
+            F.col("_n") <= F.lit(n_bound),
+            f"mixture_resample: group count exceeds the int64 bound "
+            f"n <= {n_bound} for sum(parts)={s} — divide `parts` by "
+            "their gcd or shard the corpus (see docstring)",
+        ).cast("long"),
+        F.lit(0),
+    )
     factors = (
         counts.crossJoin(F.broadcast(budget))
         .withColumn("_need", F.expr("_parts * _budget"))  # units: rows * s
         .withColumn("_epochs", F.expr(f"_need div ({s} * _n)"))
+        .withColumn("_rem_guard", rem_guard)  # always 0; raises on breach
         .withColumn(
             "_rem_bound",
-            F.expr(f"(_need - _epochs * {s} * _n) * {GRANULARITY} div ({s} * _n)"),
+            F.expr(
+                f"(_need - _epochs * {s} * _n + _rem_guard) "
+                f"* {GRANULARITY} div ({s} * _n)"
+            ),
         )
         .select(group_col, "_epochs", "_rem_bound")
     )
@@ -177,8 +209,12 @@ def temperature_mixture(df: DataFrame, group_col: str, key: str,
     Output: input columns + ``epoch`` (1-based; a row appears once per
     epoch, ``max_repeat=1`` is downsample-only).  Bounds: exactness of
     the floor needs n_g < 2^52; the budget products need
-    w_max · n_total · max_repeat · Σw < 2^63 (generous until ~10^12-row
-    corpora; rescale w by a constant right-shift beyond).
+    w_max · n_total · max_repeat · Σw < 2^63, and the fractional-epoch
+    remainder is multiplied by GRANULARITY so the BINDING constraint is
+    Σw · n_g < 2^63 / GRANULARITY ≈ 9.2e14 per group — asserted loudly
+    in-plan on the k-row factor relation (under ANSI-off a breach would
+    wrap silently; textsim's Σw² guard idiom).  Beyond it, right-shift
+    w by a constant.
 
     Scale shape: one column-pruned count pass (k rows out), a 1-row Σw
     and a 1-row budget min, the k-row factor table broadcast back onto
@@ -191,7 +227,7 @@ def temperature_mixture(df: DataFrame, group_col: str, key: str,
     if max_repeat < 1:
         raise ValueError(f"max_repeat must be >= 1, got {max_repeat}")
     reserved = {"_n", "_w", "_s", "_budget", "_need", "_epochs",
-                "_rem_bound", "_copies", "epoch"} & set(df.columns)
+                "_rem_guard", "_rem_bound", "_copies", "epoch"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"input columns collide with reserved names: {sorted(reserved)}"
@@ -214,14 +250,34 @@ def temperature_mixture(df: DataFrame, group_col: str, key: str,
             F.expr(f"min(_n * {max_repeat} * _s div _w)").alias("_budget")
         )
     )
+    # Loud overflow guard (k-row relation, zero scale cost): the
+    # remainder below is < _s*_n, so remainder * GRANULARITY stays in
+    # int64 iff _n <= (int64max div GRANULARITY) div _s — division
+    # form so the check itself cannot overflow.  assert_true yields
+    # NULL on success -> coalesce 0 -> identity (textsim idiom).
+    rem_guard = F.coalesce(
+        F.assert_true(
+            F.expr(
+                f"_n <= ({(1 << 63) - 1} div {GRANULARITY}) div _s"
+            ),
+            "temperature_mixture: Σw·n_g exceeds the int64 bound "
+            f"2^63/{GRANULARITY} — right-shift w by a constant "
+            "(see docstring)",
+        ).cast("long"),
+        F.lit(0),
+    )
     factors = (
         counts.crossJoin(F.broadcast(sums))
         .crossJoin(F.broadcast(budget))
         .withColumn("_need", F.expr("_w * _budget"))  # units: rows * Σw
         .withColumn("_epochs", F.expr("_need div (_s * _n)"))
+        .withColumn("_rem_guard", rem_guard)  # always 0; raises on breach
         .withColumn(
             "_rem_bound",
-            F.expr(f"(_need - _epochs * _s * _n) * {GRANULARITY} div (_s * _n)"),
+            F.expr(
+                f"(_need - _epochs * _s * _n + _rem_guard) "
+                f"* {GRANULARITY} div (_s * _n)"
+            ),
         )
         .select(group_col, "_epochs", "_rem_bound")
     )

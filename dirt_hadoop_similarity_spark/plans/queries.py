@@ -89,6 +89,13 @@ _PRIORITY = [
     # unchanged, but the backing routing code did change:
     "sessionize_auto",
     "session_windows",
+    # sampling.mixture_resample/temperature_mixture gained the loud
+    # in-plan GRANULARITY-overflow guard (the remainder*10000 product
+    # binds ~1e4 earlier than the previously documented bound; under
+    # ANSI-off a breach wrapped silently).  Guard is identity on
+    # in-bound corpora but the factor-relation plan changed:
+    "mixture_resample",
+    "temperature_mixture",
     # the 32 r9-era rows — the oldest hash-green evidence left
     # (freshness histogram after r11: r9=32, r10=47, r11=50), all
     # code-unchanged since their green row (fingerprint-guarded) and
@@ -141,8 +148,9 @@ _PRIORITY = [
     "bpe_train_merges",
     "event_user_outliers_mad",
     "left_join_coalesce",
-    "mi_expression",
-    "ntile_quartiles",
+    # (mi_expression and ntile_quartiles, the alphabetical filler tail,
+    # were displaced back to the deferred r10 block when the two
+    # mixture re-earners claimed their slots mid-round)
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -154,8 +162,8 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # Rotation policy: entries whose last driver-green row is OLDEST (or
 # whose code changed, or that never had a row) fill the window; the
 # deferred tail is drawn from the MOST recently checked rounds.
-# Round 12: _PRIORITY is exactly 50 names (2 probe-code re-earners +
-# all 32 r9-era names + 16 oldest-r10 alphabetical fillers); _DEFERRED
+# Round 12: _PRIORITY is exactly 50 names (4 code-changed re-earners +
+# all 32 r9-era names + 14 oldest-r10 alphabetical fillers); _DEFERRED
 # enumerates every other name — all r10/r11 hash-green, code-unchanged
 # since their row, oracle-backed (or whitelisted rows-only above).
 # The contract is machine-checked on BOTH failure modes:
@@ -208,7 +216,6 @@ _DEFERRED = [
     "media_frames",
     "media_frames_text",
     "media_metadata",
-    "mixture_resample",
     "q1_pricing_summary",
     "quality_classifier",
     "reservoir_per_group",
@@ -238,6 +245,8 @@ _DEFERRED = [
     # r10-green (hash) — the r10 cohort minus the 16 alphabetical-head
     # fillers pulled into the window above
     "sessionize",
+    "mi_expression",
+    "ntile_quartiles",
     "percentile_exact",
     "pii_redact",
     "pivot_orderstatus",
@@ -252,7 +261,6 @@ _DEFERRED = [
     "stream_dedup_events",
     "stream_sessionize",
     "stream_windowed_counts",
-    "temperature_mixture",
     "text_boilerplate",
     "text_cosine_pairs",
     "text_cosine_topk",

@@ -568,3 +568,42 @@ def test_mixture_reserved_column_collisions_raise(spark):
             sampling.temperature_mixture(df, "source", "doc_id")
         with pytest.raises(ValueError, match="reserved"):
             sampling.mixture_resample(df, {"s": 1}, "source", "doc_id")
+
+
+def test_mixture_overflow_guard_trips_loudly(docs, monkeypatch):
+    """The fractional-epoch remainder is multiplied by GRANULARITY, so
+    Σparts·n_g must stay under 2^63/GRANULARITY — under ANSI-off Spark
+    a breach would WRAP silently and corrupt epoch membership.  The
+    k-row factor relation asserts the bound in-plan (textsim's Σw²
+    guard idiom); both mixture variants must fail LOUDLY, not return."""
+    from pyspark.errors import SparkRuntimeException
+
+    # sum(parts)=1e15 -> n_bound = int64max // (1e4 * 1e15) = 0 ->
+    # any non-empty group breaches
+    with pytest.raises(SparkRuntimeException, match="int64 bound"):
+        sampling.mixture_resample(
+            docs, {"en": 10**15}, "lang", "doc_id"
+        ).collect()
+
+    # temperature_mixture derives Σw from data; shrink the threshold
+    # instead by inflating GRANULARITY (read at call time)
+    monkeypatch.setattr(sampling, "GRANULARITY", 1 << 62)
+    with pytest.raises(SparkRuntimeException, match="int64 bound"):
+        sampling.temperature_mixture(docs, "lang", "doc_id").collect()
+    monkeypatch.undo()
+
+    # happy path unchanged: guard adds 0 and the mixture still matches
+    # the repartition-stability contract
+    out = sampling.mixture_resample(docs, {"en": 3, "fr": 1}, "lang",
+                                    "doc_id", max_repeat=2)
+    assert out.count() > 0
+
+
+def test_mixture_max_repeat_cap(docs):
+    """max_repeat above GRANULARITY would let the budget products
+    outrun the asserted bound — rejected at the API edge."""
+    with pytest.raises(ValueError, match="max_repeat"):
+        sampling.mixture_resample(
+            docs, {"en": 1}, "lang", "doc_id",
+            max_repeat=sampling.GRANULARITY + 1,
+        )
