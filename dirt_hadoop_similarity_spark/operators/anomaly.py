@@ -19,7 +19,13 @@ depends on summation order).  DuckDB replays the same expression in the
 int64 bound: the binding term is n·q ≤ n²·max(mv)² with mv = value·1000,
 so the joint requirement is n·|value| < ~3e6 per key (e.g. 10k events of
 values up to 300, or 1M events of values up to 3).  Larger envelopes:
-shrink MILLI or pre-aggregate per key-window before scoring.
+shrink MILLI or pre-aggregate per key-window before scoring.  Since
+round 12 the bound is ASSERTED loudly in-plan on the per-key stats
+relation (under ANSI-off a breach previously wrapped silently and the
+z-scores came out wrong with no error); the scorer's residual
+``n·mv_incoming`` term assumes scored values live in the training
+envelope — a scored row with |value| far above anything trained on is
+an outlier by inspection before any z-score.
 
 Split shape: :func:`value_stats` is the nightly/offline aggregate (one
 partial-agg groupBy, three int64 aggregates per key — persist it as a
@@ -54,14 +60,45 @@ def value_stats(rows: DataFrame, key_col: str = "user_id",
     train time, so the scorer's arithmetic is total by construction.
     """
     mv = quantized(F.col(value_col))
-    return (
+    agg = (
         rows.select(F.col(key_col), mv.alias("_mv"))
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("_mv").alias("s"),
             F.sum(F.col("_mv") * F.col("_mv")).alias("q"),
+            F.max(F.abs(F.col("_mv"))).alias("_mx"),
         )
+    )
+    # Loud overflow guard on the per-key stats relation (|keys| rows —
+    # zero scale cost; textsim's Σw² idiom, spliced into q so pruning
+    # can't elide it).  The docstring's n·|value| < ~3e6 envelope was
+    # previously documentation-only: under ANSI-off Spark a breach
+    # WRAPS q, s² or n·q silently and the z-scores come out wrong with
+    # no error.  The four conditions below are exact preconditions for
+    # every int64 product in stats+scorer, each checkable without
+    # itself overflowing (division forms; 3037000499 = floor(sqrt(
+    # int64max)) so a²/s² fit):
+    imax = (1 << 63) - 1
+    sq = 3_037_000_499
+    ok = (
+        (F.col("_mx") <= F.lit(sq))
+        & (F.col("n") <= F.expr(
+            f"{imax} div greatest(_mx * _mx, 1L)"))
+        & (F.abs(F.col("s")) <= F.lit(sq))
+        & (F.col("n") <= F.expr(f"{imax} div greatest(q, 1L)"))
+    )
+    q_guarded = F.col("q") + F.coalesce(
+        F.assert_true(
+            ok,
+            "anomaly.value_stats: a key breaches the int64 moment "
+            "bound (n·|value| < ~3e6 with MILLI=1000) — shrink MILLI "
+            "or pre-aggregate per key-window (see module docstring)",
+        ).cast("long"),
+        F.lit(0),
+    )
+    return (
+        agg.select(key_col, "n", "s", q_guarded.alias("q"))
         .filter(
             (F.col("n") >= 2)
             & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)

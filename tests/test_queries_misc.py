@@ -344,3 +344,42 @@ def test_mad_outliers_robust_where_zscore_masks(spark):
         if mad > 0 and abs(x - med) > 3 * mad
     }
     assert mad_flagged == want
+
+
+def test_anomaly_moment_bound_guard_trips_loudly(spark):
+    """value_stats' int64 moment bound (n·|value| < ~3e6, module
+    docstring) was documentation-only until round 12 — under ANSI-off
+    Spark a breach wrapped q/s²/n·q silently and z-scores came out
+    wrong with no error.  The per-key stats relation now asserts the
+    bound in-plan; a breaching key must fail LOUDLY.  The guard is an
+    identity on in-bound keys (pinned by the exactness tests above)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from dirt_hadoop_similarity_spark.operators import anomaly
+
+    # Under ANSI (the Spark 4 default) the Σmv² aggregation itself
+    # raises ARITHMETIC_OVERFLOW — already loud.  The guard exists for
+    # ansi=false, where the sums/products WRAP silently; prove that
+    # path explicitly.
+    orig = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        # |mv| = 4e9 > floor(sqrt(int64max)) -> mv² wraps
+        df = spark.createDataFrame(
+            [("u", i, 4_000_000.0 + i) for i in range(3)],
+            "user_id string, event_id long, value double",
+        )
+        with pytest.raises(SparkRuntimeException, match="moment bound"):
+            anomaly.value_stats(df).collect()
+
+        # each mv² fits but the q sum outruns int64
+        # (mv = 3e9 -> mv² ≈ 9e18; three rows -> q wraps)
+        df2 = spark.createDataFrame(
+            [("u", i, 3_000_000.0) for i in range(3)],
+            "user_id string, event_id long, value double",
+        )
+        with pytest.raises(SparkRuntimeException, match="moment bound"):
+            anomaly.value_stats(df2).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", orig)
