@@ -52,7 +52,16 @@ def _int_norm2(a: Column) -> Column:
 
 def quantized_cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     """Cosine similarity over quantized int vectors — deterministic to the
-    bit across engines; rounded to ``decimals``."""
+    bit across engines; rounded to ``decimals``.
+
+    int64 envelope: per-element products are (x·1e6)², so the exact-sum
+    contract needs |x| ≤ sqrt(int64max / dim) / 1e6 per element — ~47
+    at dim 4096, ~95 at dim 1024.  Unit-normalized embeddings (the
+    cosine convention; the testdata's are) sit 6+ orders inside it, and
+    cosine is scale-invariant, so out-of-envelope callers should
+    pre-normalize rather than widen the arithmetic — a per-element
+    in-plan guard would tax the hot scoring path for a case
+    normalization removes for free."""
     qa, qb = _quantize(a), _quantize(b)
     dot = _int_dot(qa, qb).cast("double")
     na = F.sqrt(_int_norm2(qa).cast("double"))
