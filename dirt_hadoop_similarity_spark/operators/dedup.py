@@ -81,15 +81,25 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     Built with native sequence/transform/slice — no UDF, stays in
     codegen. Documents shorter than n words yield their full token join
     as a single shingle (so no document silently disappears).
+
+    The token array is BOUND to a projected column before the shingle
+    ``transform``: a lambda capturing the raw ``split(text)`` expression
+    re-tokenizes the document once per shingle position (subexpression
+    elimination does not reach inside HOF lambdas) — O(L²) per document
+    in document length.  Same fix and measurement as
+    textsim.shingle_tf; the projection survives CollapseProject via the
+    multi-reference guard (pinned in tests/test_dedup.py).
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    bound = F.col("_toks")
+    k = F.greatest(F.size(bound) - (n - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        lambda i: F.array_join(F.slice(bound, i, n), " "),
     )
     return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 
 

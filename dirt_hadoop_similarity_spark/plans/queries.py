@@ -132,25 +132,38 @@ _PRIORITY = [
     "text_rolling_hash",
     "text_token_budget",
     "timeseries_gapfill",
+    # operators/dedup.word_shingles + operators/textsim.shingle_tf
+    # bound the token array to a projected column before the shingle
+    # transform (the captured split() expression re-evaluated per
+    # shingle position — O(L²) per doc; measured 2.35→0.67 s for the
+    # sf0.1 tf relation).  Identical output (exceptAll-verified both
+    # directions), but every consumer's analyzed plan changed, so the
+    # full shingle-consumer cohort re-earns driver rows:
+    "curation_funnel",
+    "decontaminate",
+    "dedup_cluster_keepers",
+    "dedup_components",
+    "dedup_components_ls",
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_pagerank",
+    "text_boilerplate",
+    "text_cosine_pairs",
+    "text_cosine_topk",
+    # (dedup_incremental, dedup_threshold_sweep, split_contamination
+    # also changed plans but already sit in the r9-era block above.
+    # dedup_cluster_keepers and dedup_components have UNCHANGED
+    # fingerprints — their localCheckpoint/cache severs the lineage the
+    # fingerprint hashes — but a plan-build spy confirmed they execute
+    # word_shingles at runtime, so they re-earn rows with the rest.)
     # oldest-r10 fillers to exactly 50 (alphabetical head of the r10
     # cohort):
     "ann_cosine_topk",
     "ann_gemm_topk",
-    "ann_hard_negatives",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "ann_rh_topk",
-    "asof_join_events",
-    "bpe_train_merges",
-    "event_user_outliers_mad",
-    "left_join_coalesce",
-    # (mi_expression and ntile_quartiles, the alphabetical filler tail,
-    # were displaced back to the deferred r10 block when the two
-    # mixture re-earners claimed their slots mid-round)
+    # (ann_hard_negatives … left_join_coalesce, the alphabetical filler
+    # tail, were displaced back to the deferred r10 block when the
+    # twelve shingle-consumer re-earners claimed their slots mid-round)
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -162,8 +175,9 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # Rotation policy: entries whose last driver-green row is OLDEST (or
 # whose code changed, or that never had a row) fill the window; the
 # deferred tail is drawn from the MOST recently checked rounds.
-# Round 12: _PRIORITY is exactly 50 names (4 code-changed re-earners +
-# all 32 r9-era names + 14 oldest-r10 alphabetical fillers); _DEFERRED
+# Round 12: _PRIORITY is exactly 50 names (4 probe/guard re-earners +
+# all 32 r9-era names + 12 shingle-consumer re-earners + 2 oldest-r10
+# alphabetical fillers); _DEFERRED
 # enumerates every other name — all r10/r11 hash-green, code-unchanged
 # since their row, oracle-backed (or whitelisted rows-only above).
 # The contract is machine-checked on BOTH failure modes:
@@ -196,12 +210,7 @@ _DEFERRED = [
     # probe-code re-earners rotated back in above; all code-unchanged
     # since their r11 row, fingerprint-guarded, oracle-backed
     "sessionize_skewsafe",
-    "dedup_pagerank",
     "corpus_diff",
-    "curation_funnel",
-    "dedup_lsh_verified",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dirt_mi",
     "dirt_pipeline_exact",
     "dirt_sim",
@@ -238,12 +247,21 @@ _DEFERRED = [
     "cube_status_priority",
     "dataset_split",
     "decimal_revenue_exact",
-    "decontaminate",
-    "dedup_cluster_keepers",
-    "dedup_components",
-    "dedup_components_ls",
     # r10-green (hash) — the r10 cohort minus the 16 alphabetical-head
-    # fillers pulled into the window above
+    # fillers pulled into the window above, plus the 10 fillers the
+    # shingle-consumer re-earners displaced mid-round:
+    "ann_hard_negatives",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "ann_rh_topk",
+    "asof_join_events",
+    "bpe_train_merges",
+    "event_user_outliers_mad",
+    "left_join_coalesce",
     "sessionize",
     "mi_expression",
     "ntile_quartiles",
@@ -261,9 +279,6 @@ _DEFERRED = [
     "stream_dedup_events",
     "stream_sessionize",
     "stream_windowed_counts",
-    "text_boilerplate",
-    "text_cosine_pairs",
-    "text_cosine_topk",
     "text_fingerprint",
     "text_langid",
     "text_quality",

@@ -219,3 +219,16 @@ class TestSplitContamination:
         docs = spark.createDataFrame(rows, ["doc_id", "text"])
         out = dedup.split_contamination(docs, {"all": 1.0}, min_est=1.0)
         assert [r["n_pairs"] for r in out.collect()] == [1]
+
+
+def test_word_shingles_tokenization_bound_once(spark):
+    """Same O(L²) guard as textsim: the shingle lambda slices the bound
+    `_toks` column; split(text) survives as exactly one projection in
+    the optimized plan instead of being re-inlined into the per-position
+    lambda body."""
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = dedup.word_shingles(df, n=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert "_toks#" in plan, plan
+    assert out.columns == ["doc_id", "shingle"]
