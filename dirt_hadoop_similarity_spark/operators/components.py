@@ -46,6 +46,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetric (u, v) view of an edge relation in ONE pass: each edge
+    explodes into its two directed rows.  A union of two projections of
+    ``edges`` executes the edge lineage once PER BRANCH when the result
+    materializes (cache fill included) — for edges coming out of the
+    MinHash band join that is the whole candidate-generation chain
+    twice.  Same one-pass-closure rationale as
+    textsim.cosine_topk_neighbors."""
+    return edges.select(
+        F.explode(F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )).alias("e")
+    ).select("e.u", "e.v")
+
+
 def _ckpt(df: DataFrame, release=None) -> tuple[DataFrame, object]:
     """Eagerly ``localCheckpoint`` ``df``, release the storage of a
     superseded prior checkpoint, and return ``(checkpointed_df, jrdd)``
@@ -94,10 +110,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     ``edges`` is treated as undirected; self-loops and duplicate edges
     are tolerated (they do not change the fixpoint).
     """
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = fwd.union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct().cache()
+    und = _undirected(edges, src, dst).distinct().cache()
 
     # seed = min(self, neighbors): the first propagation step fused into
     # the init aggregate — star-shaped clusters (the common dedup case)
@@ -174,8 +187,9 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
         .cache()
     )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        edges.select(
+            F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+        )
         .distinct()
         .cache()
     )
@@ -193,9 +207,7 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
         # LARGE-STAR over the undirected view: m(u) = min(N(u) ∪ {u});
         # each undirected edge {x, y} (x < y) is re-emitted exactly once
         # as (y, m(x)) — by the grouping where it is the larger endpoint
-        und = e.select("u", "v").union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        und = _undirected(e, "u", "v")
         mins = und.groupBy("u").agg(
             F.min(F.least(F.col("u"), F.col("v"))).alias("m")
         )
@@ -366,10 +378,7 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
     if salt != "auto" and not isinstance(salt, int):
         raise ValueError(f"salt must be an int or 'auto', got {salt!r}")
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = fwd.union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct().cache()
+    und = _undirected(edges, src, dst).distinct().cache()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("u").alias("node"), "d"
     ).cache()

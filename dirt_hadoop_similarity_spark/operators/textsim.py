@@ -247,19 +247,24 @@ def cosine_topk_neighbors(vectors: DataFrame, k: int = 3,
     compiles to WindowGroupLimit (per-task top-k BEFORE the shuffle),
     pinned in tests/test_plans.py.  Returns
     (doc_id, neighbor_id, sim, rank), rank <= k.
+
+    The closure EXPLODES each pair into its two directed rows in one
+    pass instead of unioning two projections of the pairs relation — a
+    union re-executes the whole inverted-index join + pair aggregation
+    per branch (no exchange reuse across the branches; measured 4.16 s
+    → 3.42 s at sf0.1), and at scale the double execution is the
+    dominant cost, not a constant.
     """
     pairs = cosine_pairs(vectors, threshold)
     sym = pairs.select(
-        F.col("doc_lo").alias("doc_id"),
-        F.col("doc_hi").alias("neighbor_id"),
+        F.explode(F.array(
+            F.struct(F.col("doc_lo").alias("doc_id"),
+                     F.col("doc_hi").alias("neighbor_id")),
+            F.struct(F.col("doc_hi").alias("doc_id"),
+                     F.col("doc_lo").alias("neighbor_id")),
+        )).alias("e"),
         "sim",
-    ).unionAll(
-        pairs.select(
-            F.col("doc_hi").alias("doc_id"),
-            F.col("doc_lo").alias("neighbor_id"),
-            "sim",
-        )
-    )
+    ).select("e.doc_id", "e.neighbor_id", "sim")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy(F.desc("sim"), "neighbor_id")
