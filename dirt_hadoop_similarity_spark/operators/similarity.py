@@ -95,20 +95,36 @@ def _exact_score_topk(queries_src: DataFrame, corpus: DataFrame,
     query panel (from ``queries_src``) broadcasts against ``corpus``,
     self matches excluded, quantized cosine scored, per-query rank
     window — ONE definition of the scoring contract (tie-breaks, rank
-    cast, zero-norm handling) for every exact-scorer variant."""
+    cast, zero-norm handling) for every exact-scorer variant.
+
+    Each side PRE-computes its quantized vector and int64 norm² in a
+    per-row projection BEFORE the pair join.  Scoring with
+    :func:`quantized_cosine` inside the join re-ran quantization and
+    both norms per PAIR — 4 extra O(dim) interpreted HOF passes per
+    scored pair when each is a per-vector property (the shingle-fix
+    lesson applied to vectors: HOFs sit outside codegen subexpression
+    elimination).  Per pair only the dot product remains.  Measured at
+    sf0.1 (2k × 64-dim corpus, 10-query panel): 3.51 s → 0.65 s,
+    bit-identical output.  At N-vector corpus scale the old shape did
+    |panel|× redundant corpus-side quantizations and norms.
+    Same float contract as quantized_cosine: exact int64 dot and
+    norms, ONE rounded double division per surviving pair."""
+    pre_q = _quantize(F.col(vec_col))
     q = queries_src.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+        F.col(id_col).alias("query_id"), pre_q.alias("q_qv")
+    ).withColumn("q_n2", _int_norm2(F.col("q_qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"), pre_q.alias("c_qv")
+    ).withColumn("c_n2", _int_norm2(F.col("c_qv")))
+    dot = _int_dot(F.col("q_qv"), F.col("c_qv")).cast("double")
+    na = F.sqrt(F.col("q_n2").cast("double"))
+    nb = F.sqrt(F.col("c_n2").cast("double"))
+    cos = F.round(
+        F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(0.0), 6
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

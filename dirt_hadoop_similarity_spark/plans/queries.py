@@ -157,13 +157,19 @@ _PRIORITY = [
     # fingerprints — their localCheckpoint/cache severs the lineage the
     # fingerprint hashes — but a plan-build spy confirmed they execute
     # word_shingles at runtime, so they re-earn rows with the rest.)
-    # oldest-r10 fillers to exactly 50 (alphabetical head of the r10
-    # cohort):
+    # similarity._exact_score_topk now pre-computes each side's
+    # quantized vector + int64 norm² BEFORE the pair join instead of
+    # re-running them per pair inside quantized_cosine (the shingle
+    # fix's vector twin; 3.51→0.65 s at sf0.1, bit-identical).  Its two
+    # registry consumers re-earn rows — ann_cosine_topk was already a
+    # window filler; ann_filtered_topk displaced the untouched
+    # ann_gemm_topk filler:
     "ann_cosine_topk",
-    "ann_gemm_topk",
-    # (ann_hard_negatives … left_join_coalesce, the alphabetical filler
+    "ann_filtered_topk",
+    # (ann_gemm_topk … left_join_coalesce, the alphabetical filler
     # tail, were displaced back to the deferred r10 block when the
-    # twelve shingle-consumer re-earners claimed their slots mid-round)
+    # shingle-consumer and prescore re-earners claimed their slots
+    # mid-round)
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -176,8 +182,8 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # whose code changed, or that never had a row) fill the window; the
 # deferred tail is drawn from the MOST recently checked rounds.
 # Round 12: _PRIORITY is exactly 50 names (4 probe/guard re-earners +
-# all 32 r9-era names + 12 shingle-consumer re-earners + 2 oldest-r10
-# alphabetical fillers); _DEFERRED
+# all 32 r9-era names + 12 shingle-consumer re-earners + the 2
+# exact-scorer prescore re-earners); _DEFERRED
 # enumerates every other name — all r10/r11 hash-green, code-unchanged
 # since their row, oracle-backed (or whitelisted rows-only above).
 # The contract is machine-checked on BOTH failure modes:
@@ -235,7 +241,6 @@ _DEFERRED = [
     "vocab_oov_rate",
     "window_range_frame",
     "zorder_events",
-    "ann_filtered_topk",
     "ann_ivfpq_rerank",
     "anti_join_customers",
     "bpe_encode_corpus",
@@ -250,6 +255,7 @@ _DEFERRED = [
     # r10-green (hash) — the r10 cohort minus the 16 alphabetical-head
     # fillers pulled into the window above, plus the 10 fillers the
     # shingle-consumer re-earners displaced mid-round:
+    "ann_gemm_topk",
     "ann_hard_negatives",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
