@@ -673,22 +673,38 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cos ≥ threshold) via sign-LSH
-    blocking: bucket equi-join, then exact cosine on candidates only."""
+    blocking: bucket equi-join, then exact cosine on candidates only.
+
+    Quantized array + int64 norm² are pre-computed per VECTOR before
+    the bucket self-join (the _exact_score_topk prescore shape): a
+    bucket of d vectors contributes d·(d−1)/2 candidate pairs, so
+    scoring with quantized_cosine inside the join re-ran both sides'
+    quantization and norms ~d times each.  Per pair only the exact
+    int64 dot remains; same rounded-double contract as
+    quantized_cosine."""
     with_bucket = embeddings.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
-    )
+        F.col(id_col),
+        _quantize(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    ).withColumn("n2", _int_norm2(F.col("qv")))
     a = with_bucket.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"), "bucket",
     )
     b = with_bucket.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"), "bucket",
+    )
+    dot = _int_dot(F.col("qa"), F.col("qb")).cast("double")
+    na = F.sqrt(F.col("na2").cast("double"))
+    nb = F.sqrt(F.col("nb2").cast("double"))
+    cos = F.round(
+        F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(0.0), 6
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", quantized_cosine(F.col("va"), F.col("vb")).alias("cos")
-        )
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
