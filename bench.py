@@ -125,6 +125,16 @@ HEADLINE = [
 ]
 
 
+def _release_tracked_caches() -> None:
+    """Drain the operator modules' cache trackers alongside
+    clearCache(): the catalog call frees the storage, this frees the
+    tracked DataFrame handles so a long bench run doesn't accumulate
+    one dead reference per internal cache() call."""
+    from dirt_hadoop_similarity_spark.operators import _tracked_cache
+
+    _tracked_cache.release_all()
+
+
 def _cpu_steal_snapshot() -> tuple[int, int] | None:
     """(total_jiffies, steal_jiffies) from /proc/stat, or None where
     unavailable — the drift meter's raw material."""
@@ -264,6 +274,7 @@ def main() -> None:
             # carries across passes; that's the legitimate part of a
             # warm measurement.
             spark.catalog.clearCache()
+            _release_tracked_caches()
             if name in ("ann_ivfpq_build", "text_knn_build"):
                 split = (_time_ivfpq_split if name == "ann_ivfpq_build"
                          else _time_textknn_split)

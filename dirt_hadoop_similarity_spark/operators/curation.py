@@ -56,6 +56,21 @@ from pyspark.sql import functions as F
 
 from dirt_hadoop_similarity_spark.functions import textfns
 from dirt_hadoop_similarity_spark.operators import dedup
+from dirt_hadoop_similarity_spark.operators._tracked_cache import CacheTracker
+
+#: tracked caches (the textsim release_caches contract).  NOTE: the
+#: funnel composes dedup operators, which cache in dedup's own tracker
+#: — callers wanting full cleanup call ``dedup.release_caches()`` too,
+#: or ``_tracked_cache.release_all()``.
+_CACHES = CacheTracker()
+
+
+def release_caches() -> int:
+    """Unpersist every cached relation this module has created since
+    the last release (materialize consumers first).  Returns the
+    number released."""
+    return _CACHES.release()
+
 
 STAGES = (
     "1_ingest",
@@ -107,7 +122,7 @@ def annotate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
         (F.col(id_col) == F.min(id_col).over(keeper)).alias("keep_exact"),
     )
     if cache_scored:
-        scored = scored.cache()
+        scored = _CACHES.track(scored)
 
     survivors = scored.filter(F.col("keep_exact"))
     drops = (
@@ -232,14 +247,16 @@ def funnel_summary(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
     cut over the gated subset.  The annotated relation is cached — it is
     a handful of scalars per document and is consumed by both branches.
     """
-    ann = annotate(
-        docs,
-        near_dup_min_est_jaccard=near_dup_min_est_jaccard,
-        min_quality=min_quality,
-        langs=langs,
-        text_col=text_col,
-        id_col=id_col,
-    ).cache()
+    ann = _CACHES.track(
+        annotate(
+            docs,
+            near_dup_min_est_jaccard=near_dup_min_est_jaccard,
+            min_quality=min_quality,
+            langs=langs,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    )
 
     def _stage(flag, suffix):
         cond = F.lit(True) if flag is None else F.col(flag)

@@ -27,6 +27,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dirt_hadoop_similarity_spark.operators._tracked_cache import CacheTracker
+
+#: tracked caches (the textsim release_caches contract): the near-dup
+#: operators cache signature/shingle relations their returned lazy
+#: plans still read.  Long-lived sessions call :func:`release_caches`
+#: after materializing the consumers.
+_CACHES = CacheTracker()
+
+
+def release_caches() -> int:
+    """Unpersist every cached relation this module has created since
+    the last release (materialize consumers first).  Returns the
+    number released."""
+    return _CACHES.release()
+
 
 def hash60(col, seed: int | None = None):
     """Deterministic 60-bit integer hash of a string column, computable
@@ -321,7 +336,9 @@ def minhash_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
             "signature columns the band layout consumes"
         )
     sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).cache()
+    sig = _CACHES.track(
+        minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
+    )
 
     banded = _banded_with_sigs(sig, bands, rows_per_band, id_col)
     a, b = banded.alias("a"), banded.alias("b")
@@ -419,7 +436,9 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.0,
     """
     # the shingle relation feeds the self-join (both sides) and the size
     # table — cache so tokenization + dedup runs once, not three times
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col).cache()
+    sh = _CACHES.track(
+        word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -473,9 +492,12 @@ def verified_near_duplicates(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     cand = minhash_near_duplicates(
         docs, n=n, num_hashes=num_hashes, bands=bands,
         rows_per_band=rows_per_band, text_col=text_col, id_col=id_col,
-    ).select("id_a", "id_b", "est_jaccard").cache()
+    ).select("id_a", "id_b", "est_jaccard")
+    cand = _CACHES.track(cand)
 
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col).cache()
+    sh = _CACHES.track(
+        word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -23,8 +23,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dirt_hadoop_similarity_spark.functions.textfns import tokens
+from dirt_hadoop_similarity_spark.operators._tracked_cache import CacheTracker
 
 MICRO = 1_000_000
+
+#: tracked caches (the textsim release_caches contract): the scoring
+#: operators cache relations their returned lazy plans still read, so
+#: they cannot unpersist eagerly.  Long-lived sessions — and especially
+#: the per-micro-batch scorer in streaming/corpus.run_lm_score_stream,
+#: which otherwise leaks two cached relations PER BATCH — call
+#: :func:`release_caches` after materializing the consumers.
+_CACHES = CacheTracker()
+
+
+def release_caches() -> int:
+    """Unpersist every cached relation this module has created since
+    the last release (see :class:`CacheTracker.release` for the
+    materialize-first contract).  Returns the number released."""
+    return _CACHES.release()
 
 _BIGRAMS = (
     "transform(sequence(0, size(t) - 2),"
@@ -100,7 +116,8 @@ def score_documents(docs: DataFrame, uni: DataFrame, bi: DataFrame,
                 F.col("p.w").alias("w"))
         .groupBy(id_col, "v", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-    ).cache()  # feeds the type list AND the per-doc sum — one pass
+    )
+    doc_bi = _CACHES.track(doc_bi)  # feeds the type list AND the per-doc sum
 
     scal = uni.agg(
         F.sum("cu").alias("n_tok"),
@@ -125,7 +142,8 @@ def score_documents(docs: DataFrame, uni: DataFrame, bi: DataFrame,
                 ) * MICRO
             ).cast("long").alias("lp_micro"),
         )
-    ).cache()
+    )
+    lp = _CACHES.track(lp)
 
     scored = (
         doc_bi.join(lp, ["v", "w"])
@@ -168,7 +186,7 @@ def bigram_lm_scores(docs: DataFrame, is_target: Column,
         docs.filter(is_target), text_col=text_col, id_col=id_col
     )
     return score_documents(
-        docs, uni.cache(), bi,
+        docs, _CACHES.track(uni), bi,
         alpha=alpha, mean_lp_min_micro=mean_lp_min_micro,
         text_col=text_col, id_col=id_col,
     )
@@ -233,8 +251,8 @@ def perplexity_tiers(scored: DataFrame, coarse: int = 100_000,
                 F.col("lp_micro_sum"), F.col("n_transitions")
             ).alias("mean_lp_micro"),
         )
-        .cache()
     )
+    means = _CACHES.track(means)
     b = _floordiv(F.col("mean_lp_micro"), F.lit(int(coarse)))
     bucketed = means.select(id_col, "mean_lp_micro", b.alias("_b"))
 

@@ -25,9 +25,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dirt_hadoop_similarity_spark.operators._tracked_cache import CacheTracker
 from dirt_hadoop_similarity_spark.operators.dedup import hash60
 
 GRANULARITY = 10_000  # buckets; rates resolve to 0.01%
+
+#: tracked caches (the textsim release_caches contract) — dsir_weights
+#: caches two relations its returned lazy plan still reads.
+_CACHES = CacheTracker()
+
+
+def release_caches() -> int:
+    """Unpersist every cached relation this module has created since
+    the last release (materialize consumers first).  Returns the
+    number released."""
+    return _CACHES.release()
 
 
 def split_bucket(key: Column, salt: str = "split") -> Column:
@@ -529,14 +541,15 @@ def dsir_weights(docs: DataFrame, is_target: Column, buckets: int = 64,
     # Spark's exchange reuse does not unify them across AQE stages —
     # cache at the cut so tokenize+explode runs ONCE (same pattern as
     # mi.py's triples cache; ~64 rows/doc, spill-safe MEMORY_AND_DISK)
-    dcounts = toks.groupBy(id_col, "is_tgt", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    ).cache()
+    dcounts = _CACHES.track(
+        toks.groupBy(id_col, "is_tgt", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
 
     stats = dcounts.groupBy("b").agg(
         F.sum("c").alias("raw_c"),
         F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(0)).alias("tgt_c"),
-    ).cache()  # `buckets` rows; read twice (log-ratio table + totals)
+    )
+    stats = _CACHES.track(stats)  # `buckets` rows; read twice
     totals = stats.agg(
         F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
     )

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dirt_hadoop_similarity_spark.operators._tracked_cache import CacheTracker
+
 #: idf quantization scale.  ln(N/df) < 30 for any N < 10^13, so a
 #: quantized idf is < 3·10^5.  The binding constraint is on SUMS, not
 #: single weights — see the overflow bound in tfidf_vectors.
@@ -49,13 +51,11 @@ IDF_SCALE = 10_000
 #: making repeated in-session calls (registries, notebooks) call
 #: :func:`release_caches` between passes; a one-shot job, or anything
 #: behind spark.catalog.clearCache() (the bench harness), need not.
-_LIVE_CACHES: list[DataFrame] = []
+_CACHES = CacheTracker()
 
 
 def _cache_tracked(df: DataFrame) -> DataFrame:
-    df = df.cache()
-    _LIVE_CACHES.append(df)
-    return df
+    return _CACHES.track(df)
 
 
 def release_caches() -> int:
@@ -63,11 +63,7 @@ def release_caches() -> int:
     last release.  Call AFTER the consuming DataFrames are materialized
     (unpersisting earlier silently recomputes their lineage instead of
     breaking).  Returns the number of relations released."""
-    n = 0
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
-        n += 1
-    return n
+    return _CACHES.release()
 
 
 def shingle_tf(docs: DataFrame, n: int = 3, text_col: str = "text",

@@ -185,6 +185,12 @@ def run_lm_score_stream(
             alpha=alpha, mean_lp_min_micro=mean_lp_min_micro,
         )
         batch_df.join(scored, "doc_id").write.mode("append").parquet(out_path)
+        # score_documents caches two relations the write just
+        # materialized; without this a long-running ingest leaks two
+        # cached relations PER MICRO-BATCH (the parquet write above is
+        # the materialization point, so releasing here is safe —
+        # foreachBatch runs _process on the driver)
+        lm.release_caches()
 
     q = (
         docs_stream.writeStream.foreachBatch(_process)
@@ -193,4 +199,9 @@ def run_lm_score_stream(
         .queryName(query_name)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the model cache is per-RUN (shared across batches); release it
+        # when the run ends so back-to-back runs don't stack model copies
+        uni.unpersist()

@@ -171,7 +171,12 @@ def run_anomaly_score_stream(
         .queryName(query_name)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the stats cache is per-RUN; release it when the run ends so
+        # back-to-back runs don't stack stats copies in storage
+        stats.unpersist()
 
 
 def session_window_counts(events: DataFrame, gap: str = "30 minutes",

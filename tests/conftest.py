@@ -36,5 +36,10 @@ def _clear_spark_cache_between_modules(request):
     if "spark" in request.fixturenames:
         try:
             request.getfixturevalue("spark").catalog.clearCache()
+            from dirt_hadoop_similarity_spark.operators import (
+                _tracked_cache,
+            )
+
+            _tracked_cache.release_all()
         except Exception:
             pass

@@ -69,6 +69,11 @@ def compare_query(spark, name: str, sf_dir: str) -> dict:
         # clear them (the bench does the same): without this, a 115-query
         # sweep accumulates every query's cached relations in one session
         spark.catalog.clearCache()
+        # ... and drain the module cache trackers so the sweep doesn't
+        # accumulate one dead DataFrame handle per tracked cache() call
+        from dirt_hadoop_similarity_spark.operators import _tracked_cache
+
+        _tracked_cache.release_all()
 
     result = {
         "name": name,
