@@ -184,7 +184,9 @@ def cosine_pairs(vectors: DataFrame, threshold: float = 0.35) -> DataFrame:
     shingle→tf→df chain re-executes per consumer (measured 3.2× at
     sf0.1).  A production run over a persistent corpus would write the
     vectors out as the index (the same persisted-index split as
-    similarity.ivfpq_build/search).  The cache is tracked — see
+    similarity.ivfpq_build/search; the parquet round-trip is
+    row-identical to the in-memory composition — exact int64 weights —
+    pinned in tests/test_textsim.py).  The cache is tracked — see
     :func:`release_caches`.
     """
     vectors = _cache_tracked(vectors)

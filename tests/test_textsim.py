@@ -320,3 +320,30 @@ def test_shingle_tokenization_bound_once(spark):
     assert "_toks#" in plan, plan
     # the helper column never leaks into the result schema
     assert out.columns == ["doc_id", "term", "tf"]
+
+
+def test_persisted_index_serves_identically(spark, sf_dir, tmp_path):
+    """The deployment split the module docstrings promise (the
+    ivfpq_build/search pattern): build the TF-IDF index once, persist it
+    as parquet, reload, and serve — pairs AND per-doc kNN must be
+    row-identical to the in-memory composition.  Weights are int64 and
+    every sum is exact integer arithmetic, so the parquet round-trip
+    cannot perturb a single value."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vecs = textsim.tfidf_vectors(textsim.shingle_tf(docs, n=3),
+                                 min_df=2, max_df_frac=0.10)
+    idx_path = str(tmp_path / "tfidf_index")
+    vecs.write.parquet(idx_path)
+    reloaded = spark.read.parquet(idx_path)
+
+    pairs_mem = textsim.cosine_pairs(vecs, threshold=0.2)
+    pairs_ix = textsim.cosine_pairs(reloaded, threshold=0.2)
+    assert pairs_mem.exceptAll(pairs_ix).count() == 0
+    assert pairs_ix.exceptAll(pairs_mem).count() == 0
+    assert pairs_ix.count() > 0  # the parity is over a non-trivial set
+
+    knn_mem = textsim.cosine_topk_neighbors(vecs, k=3, threshold=0.2)
+    knn_ix = textsim.cosine_topk_neighbors(reloaded, k=3, threshold=0.2)
+    assert knn_mem.exceptAll(knn_ix).count() == 0
+    assert knn_ix.exceptAll(knn_mem).count() == 0
+    textsim.release_caches()
