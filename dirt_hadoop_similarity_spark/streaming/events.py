@@ -193,8 +193,10 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes",
     state row is evicted at the same moment — so state is bounded by
     ACTIVE sessions inside the watermark horizon, the tightest state
     law of the engine's stateful streaming operators
-    (``sessionize_stateful`` keeps one row per user FOREVER by design;
-    this one forgets a session as soon as it can no longer grow).
+    (``sessionize_stateful`` keeps one row per user FOREVER by design —
+    :func:`sessionize_stateful_ttl` is its bounded-state twin, evicting
+    users idle past an event-time ttl; this one forgets a session as
+    soon as it can no longer grow).
     test_streaming pins both sides on the replayed corpus: emitted
     rows == the batch relation's closed sessions, and the final state
     row count == the open-session count at the final watermark.
@@ -330,4 +332,118 @@ def sessionize_stateful(
         stateStructType="last_ts long, n_sessions long, n_events long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_stateful_ttl(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ttl_seconds: int = 7200,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """:func:`sessionize_stateful` with BOUNDED state: a user idle for
+    ``ttl_seconds`` of EVENT TIME (past the watermark) emits a final
+    summary row and their state row is EVICTED.
+
+    The no-TTL twin's state law is "one fixed-width row per user
+    FOREVER" — fine when |users| is the bounded dimension, but a
+    100 TB stream whose key space grows without bound (anonymous
+    sessions, device ids, crawl hosts) needs the state dimension to be
+    ACTIVE keys, not ever-seen keys.  EventTimeTimeout is the standard
+    rendering: each update re-arms the user's timeout at
+    ``last event + ttl``; when the watermark passes it, Spark invokes
+    the function once more with ``state.hasTimedOut`` and no rows, and
+    the final counts flush downstream as the row with
+    ``evicted = true``.
+
+    The trade, stated plainly: eviction forgets the user, so a key that
+    reappears AFTER its eviction restarts counting from zero (its next
+    event is session 1 event 1, and the gap rule cannot look across the
+    eviction) — downstream consumers merge per-user rows, summing
+    n_events and n_sessions (the eviction fired only after ttl ≥ gap of
+    idle event time, so the pre- and post-eviction sessions are
+    genuinely distinct sessions whenever ttl ≥ gap; enforced below).
+    In-horizon semantics are UNCHANGED: while a user stays live their
+    running counts equal the no-TTL twin's (pinned in test_streaming).
+
+    State law (the reason this variant exists): state rows == users
+    ACTIVE within the ttl horizon at the current watermark — bounded by
+    traffic concurrency, not key-space history.  The no-TTL twin's rows
+    == all users ever seen.  Both laws are asserted on the same replay
+    in test_streaming.
+
+    Output: (user_id, n_sessions, n_events, evicted).  Batch inputs
+    (no state store) take the batch sessionize operators instead —
+    this one is streaming-only because timeouts need a watermark.
+    """
+    if ttl_seconds < gap_seconds:
+        raise ValueError(
+            f"ttl_seconds ({ttl_seconds}) must be >= gap_seconds "
+            f"({gap_seconds}): evicting inside the session gap would "
+            "split what the gap rule defines as ONE session"
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        normalize_event_ts(events)
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", watermark)
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, n_sessions, n_events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                    "evicted": [True],
+                }
+            )
+            return
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        stamps = []
+        for pdf in pdfs:
+            stamps.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+            )
+        stamps.sort()
+        for us in stamps:
+            if last_ts is None or us - last_ts > gap_seconds * 1_000_000:
+                n_sessions += 1
+            last_ts = us
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        # re-arm: evict at last event + ttl.  Event-time timeouts must
+        # be set STRICTLY past the current watermark — late data can
+        # leave last_ts + ttl already behind it, in which case the
+        # earliest legal eviction point is the next watermark tick.
+        timeout_ms = last_ts // 1000 + ttl_seconds * 1000
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "evicted": [False],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_sessions long, n_events long, evicted boolean"
+        ),
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

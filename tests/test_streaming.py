@@ -393,3 +393,101 @@ def test_session_window_stream_emits_closed_and_evicts(spark, sf_dir):
     assert got == closed
     assert state_rows == open_n
     assert len(got) > 0 and open_n > 0  # both regimes actually exercised
+
+
+def test_sessionize_ttl_evicts_idle_users_and_bounds_state(spark, tmp_path):
+    """The bounded-state twin of sessionize_stateful: users idle past
+    the event-time ttl EMIT a final row and their state row is EVICTED,
+    so state == users active within the ttl horizon (the no-TTL twin
+    keeps one row per user forever).  Replay: file f0 carries users
+    1-3 (two sessions each) + user 99's first event; f1 (5 h later)
+    carries only user 99 — its watermark advance must evict 1-3 with
+    their exact final counts and keep 99 live."""
+    import datetime as dt
+
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click",
+                1.0, "{}")
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    f0_rows = [ev(1, 1, 1), ev(2, 1, 41),   # 2 sessions (gap 30 min)
+               ev(3, 2, 2), ev(4, 2, 42),
+               ev(5, 3, 3), ev(6, 3, 43),
+               ev(7, 99, 0)]
+    f1_rows = [ev(8, 99, 300), ev(9, 99, 301)]  # 5 h later: new session
+    landing = tmp_path / "landing"
+    # sequential writes order modification times; the file source
+    # processes oldest-first (latestFirst defaults false)
+    spark.createDataFrame(f0_rows, schema).coalesce(1).write.parquet(
+        str(landing / "f0"))
+    spark.createDataFrame(f1_rows, schema).coalesce(1).write.parquet(
+        str(landing / "f1"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(landing))
+    )
+
+    out = sev.sessionize_stateful_ttl(
+        stream, gap_seconds=1800, ttl_seconds=7200, watermark="10 minutes",
+    )
+    name = "sess_ttl_test"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ops = (q.lastProgress or {}).get("stateOperators") or []
+        state_rows = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+
+    evicted = {(r.user_id, r.n_sessions, r.n_events)
+               for r in rows if r.evicted}
+    # users 1-3 idled past ttl: final counts flushed, exactly once each
+    assert evicted == {(1, 2, 2), (2, 2, 2), (3, 2, 2)}
+    assert sum(1 for r in rows if r.evicted) == 3
+    # user 99 stayed live: running counts reach (2 sessions, 3 events),
+    # never an evicted row
+    live99 = {(r.n_sessions, r.n_events)
+              for r in rows if r.user_id == 99 and not r.evicted}
+    assert (2, 3) in live99
+    assert not any(r.evicted for r in rows if r.user_id == 99)
+    # THE STATE LAW: only the live user holds a state row (the no-TTL
+    # twin would hold 4 — one per user ever seen)
+    assert state_rows == 1
+    # final per-user totals (evicted + live) == the batch gap rule over
+    # the full corpus — eviction lost no counts on this replay
+    all_events = spark.createDataFrame(f0_rows + f1_rows, schema)
+    from dirt_hadoop_similarity_spark.operators import scale
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in scale.sessionize_counts_window(all_events).collect()
+    }
+    finals = {u: (s, e) for (u, s, e) in evicted}
+    finals[99] = max(live99)
+    assert finals == batch
+
+
+def test_sessionize_ttl_rejects_ttl_inside_gap(spark):
+    from dirt_hadoop_similarity_spark.streaming import events as sev
+
+    with pytest.raises(ValueError, match="ttl_seconds"):
+        sev.sessionize_stateful_ttl(
+            spark.createDataFrame(
+                [], "event_id long, ts timestamp, user_id long"
+            ),
+            gap_seconds=1800, ttl_seconds=600,
+        )
