@@ -101,6 +101,11 @@ python tools/sessionize_stress.py --events 5000000 --hot-frac 0.8 \
   --repeats 2 --streaming \
   > "$OUT/stream_session_window_stress.txt" \
   2> "$OUT/stream_session_window_stress.err"
+step "TTL sessionizer state law (growing key space: no-TTL vs TTL rows)"
+python tools/sessionize_stress.py --ttl --events 2000000 \
+  --stream-dir /tmp/dhs_sessionize_ttl \
+  > "$OUT/sessionize_ttl_state_law.txt" \
+  2> "$OUT/sessionize_ttl_state_law.err"
 step "partition-prune evidence (date-partitioned vs flat layout, x10)"
 python tools/partition_prune_bench.py --mult 10 --repeats 2 \
   --out "$SCALE_DIR/prune" \
