@@ -263,6 +263,51 @@ def purchases_before_errors(events: DataFrame,
     ).select("user_id", "error_id", "error_ts", "purchase_ts")
 
 
+def purchases_before_errors_outer(events: DataFrame,
+                                  window_seconds: int = 1800,
+                                  watermark: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every error event, with
+    its preceding-window purchases when they exist and ONE NULL-padded
+    row when none do — the attribution shape that keeps the unmatched
+    (an inner interval join silently drops every error that had no
+    purchase, which is usually the population being measured).
+
+    Streaming semantics (the part worth stating): matched rows emit as
+    they join; an UNMATCHED error emits its NULL-padded row only once
+    the watermark passes ``error_ts`` — before that, a matching
+    purchase could still arrive, so emitting earlier would be wrong,
+    and Spark withholds exactly that long.  State on both sides is
+    bounded by the watermark + the interval condition (the same
+    two-sided horizon as the inner join; errors held until the
+    watermark proves them matched-or-not).  Batch inputs run the same
+    expression as a plain left range join — the twin discipline, so
+    the batch side is the oracle for the stream (pinned in
+    test_streaming along with the withheld-tail law: errors inside the
+    final watermark horizon are NOT yet emitted as unmatched).
+    """
+    ev = normalize_event_ts(events)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    if events.isStreaming:
+        errors = errors.withWatermark("error_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return errors.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts") < F.col("error_ts"))
+        & (
+            F.col("purchase_ts")
+            >= F.col("error_ts") - F.expr(f"INTERVAL {window_seconds} SECOND")
+        ),
+        "left_outer",
+    ).select("user_id", "error_id", "error_ts", "purchase_ts")
+
+
 def dedup_events(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),
