@@ -10,6 +10,7 @@ downstream consumers of the reference's files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_tsv(df: DataFrame, path: str, mode: str = "overwrite",
@@ -66,6 +67,30 @@ def checkpoint_parquet(df: DataFrame, path: str,
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def idempotent_batch_append(df: DataFrame, path: str, batch_id: int) -> None:
+    """The exactly-once parquet append for ``foreachBatch`` sinks:
+    batch-id-keyed DYNAMIC partition overwrite.
+
+    ``foreachBatch`` is at-least-once — a restart between the sink
+    write and the checkpoint commit re-delivers the batch, and a plain
+    ``mode("append")`` then duplicates every row of it.  Writing each
+    batch into its own ``batch_id=N`` partition with dynamic overwrite
+    makes re-delivery replace the failed attempt's partition instead of
+    appending beside it — idempotent as long as the batch's CONTENT is
+    deterministic (true for all of this engine's foreachBatch runners:
+    their per-row decisions depend only on (fixed model/index, row)).
+    Readers ``spark.read.parquet(path)`` as usual; the ``batch_id``
+    column rides along as partition metadata.
+    """
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 def write_shards(df: DataFrame, path: str, key: str, num_shards: int,

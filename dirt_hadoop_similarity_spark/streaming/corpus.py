@@ -86,14 +86,19 @@ def run_incremental_dedup_stream(
     operator's output on the same documents regardless of how the
     source was split into batches (asserted in test_streaming), and
     foreachBatch's at-least-once re-delivery is harmless because the
-    decision for a given doc is deterministic and the parquet append is
-    checkpoint-gated per batch id.
+    decision for a given doc is deterministic and the sink is the
+    batch-id-keyed idempotent overwrite
+    (``sinks.idempotent_batch_append`` — a plain append would
+    duplicate a re-delivered batch).
 
     A nightly compaction then appends the day's survivors' signatures
     to the index (one batch ``signature_index`` run) — read-modify-write
     on the index stays OUT of the hot ingest path.
     """
     from dirt_hadoop_similarity_spark.operators import dedup
+    from dirt_hadoop_similarity_spark.sources.sinks import (
+        idempotent_batch_append,
+    )
 
     index_df = spark.read.parquet(index_path)
 
@@ -110,7 +115,7 @@ def run_incremental_dedup_stream(
             "doc_id",
             "left_anti",
         )
-        survivors.write.mode("append").parquet(out_path)
+        idempotent_batch_append(survivors, out_path, batch_id)
 
     q = (
         docs_stream.writeStream.foreachBatch(_process)
@@ -175,6 +180,9 @@ def run_lm_score_stream(
     model read-modify-write stays OUT of the hot ingest path.
     """
     from dirt_hadoop_similarity_spark.operators import lm
+    from dirt_hadoop_similarity_spark.sources.sinks import (
+        idempotent_batch_append,
+    )
 
     uni = spark.read.parquet(uni_path).cache()
     bi = spark.read.parquet(bi_path)
@@ -184,7 +192,9 @@ def run_lm_score_stream(
             batch_df, uni, bi,
             alpha=alpha, mean_lp_min_micro=mean_lp_min_micro,
         )
-        batch_df.join(scored, "doc_id").write.mode("append").parquet(out_path)
+        idempotent_batch_append(
+            batch_df.join(scored, "doc_id"), out_path, batch_id
+        )
         # score_documents caches two relations the write just
         # materialized; without this a long-running ingest leaks two
         # cached relations PER MICRO-BATCH (the parquet write above is

@@ -156,13 +156,17 @@ def run_anomaly_score_stream(
     ingest path.
     """
     from dirt_hadoop_similarity_spark.operators import anomaly
+    from dirt_hadoop_similarity_spark.sources.sinks import (
+        idempotent_batch_append,
+    )
 
     stats = spark.read.parquet(stats_path).cache()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        anomaly.score(
-            batch_df, stats, z_threshold=z_threshold
-        ).write.mode("append").parquet(out_path)
+        idempotent_batch_append(
+            anomaly.score(batch_df, stats, z_threshold=z_threshold),
+            out_path, batch_id,
+        )
 
     q = (
         events_stream.writeStream.foreachBatch(_process)

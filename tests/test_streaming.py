@@ -559,3 +559,34 @@ def test_stream_outer_interval_join_keeps_unmatched(spark, sf_dir):
         for r in sev.purchases_before_errors(ev).collect()
     }
     assert matched == inner
+
+
+def test_idempotent_batch_append_survives_redelivery(spark, tmp_path):
+    """foreachBatch is at-least-once: a restart between the sink write
+    and the checkpoint commit RE-DELIVERS the batch, and a plain
+    mode('append') duplicates every row of it.  The batch-id-keyed
+    dynamic partition overwrite all three foreachBatch runners use must
+    replace the failed attempt's partition instead."""
+    from dirt_hadoop_similarity_spark.sources.sinks import (
+        idempotent_batch_append,
+    )
+
+    out = str(tmp_path / "out")
+    b0 = spark.range(10).withColumnRenamed("id", "doc_id")
+    b1 = spark.range(100, 105).withColumnRenamed("id", "doc_id")
+    idempotent_batch_append(b0, out, 0)
+    idempotent_batch_append(b0, out, 0)  # re-delivery of batch 0
+    idempotent_batch_append(b1, out, 1)
+    idempotent_batch_append(b1, out, 1)  # re-delivery of batch 1
+    got = spark.read.parquet(out)
+    assert got.count() == 15  # one copy per batch, not two
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in got.groupBy("batch_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_batch == {0: 10, 1: 5}
+    # earlier batches are untouched by a later batch's write
+    assert {r.doc_id for r in got.filter("batch_id = 0").collect()} \
+        == set(range(10))
