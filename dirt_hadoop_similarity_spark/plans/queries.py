@@ -211,6 +211,14 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # Machine-checked since round 12: tests/test_oracle_all.py::
 # test_registry_size_frozen fails any 131st registration that does not
 # retire an existing name (escape hatch documented there).
+#
+# ROUND-13 QUEUE (pre-planned; see PERF.md "Queued for the r13 window"):
+# the ANN quantized-family prescore (ann_lsh_topk, ann_rh_topk,
+# ann_ivf_topk, ann_ivfpq_topk/trained/rerank, ann_pq_topk,
+# ann_recall_eval, semantic_dedup) and the split-once biarc parse
+# rewrite (re-earns dirt_pipeline_exact) are measured and ready but
+# change DEFERRED plans, so they wait for the r13 window — where the
+# r10-era cohort below is the next freshness rotation anyway.
 _DEFERRED = [
     # r11-green (hash) — last round's driver window minus the two
     # probe-code re-earners rotated back in above; all code-unchanged
