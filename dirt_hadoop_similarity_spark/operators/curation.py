@@ -260,9 +260,14 @@ def funnel_summary(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
 
     def _stage(flag, suffix):
         cond = F.lit(True) if flag is None else F.col(flag)
+        # coalesce: SUM over an EMPTY corpus is NULL — the funnel report
+        # for an empty input is five (0, 0) rows (stage 5 already
+        # coalesces), matching the oracle
         return [
-            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"d_{suffix}"),
-            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0))
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"d_{suffix}"),
+            F.coalesce(F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)),
+                       F.lit(0))
             .cast("long")
             .alias(f"t_{suffix}"),
         ]

@@ -207,6 +207,15 @@ def cosine_topk_gemm(
         .select(F.col(id_col), F.col(vec_col))
         .collect()
     )
+    if not q_rows:
+        # no query id matched (empty corpus, or ids absent from the
+        # table — both legitimate under upstream filtering): the result
+        # is empty by definition.  Without this guard the panel matrix
+        # collapses to a 1-dim (0,) array and the axis-1 norm below
+        # raises AxisError on the driver before any job runs.
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank long"
+        )
 
     def _quant_np(mat: "np.ndarray") -> "np.ndarray":
         # HALF_UP away-from-zero, matching F.round(...).cast("long") and

@@ -1140,6 +1140,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").alias("_n1"))
     return n.crossJoin(F.broadcast(base)).select(
         "stage", "event_type", "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("_n1"), 6)
+        # try_divide: a corpus with ZERO signups (legitimate under
+        # upstream filtering) makes the entry count 0 — the fraction is
+        # then NULL (DuckDB's x/0 result, which the oracle already
+        # emits), not a DIVIDE_BY_ZERO crash under ANSI mode
+        F.round(F.try_divide(F.col("n_users").cast("double"),
+                             F.col("_n1")), 6)
         .alias("pct_of_entry"),
     )
