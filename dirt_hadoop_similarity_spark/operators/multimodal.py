@@ -90,7 +90,13 @@ def decode_metadata(media: DataFrame, decoder: str = "fake") -> DataFrame:
                     "real image/audio decode requires codec libraries not "
                     "present in this environment; use decoder='fake'"
                 )
-            dims = [_fake_dims(bytes(p)) for p in pdf["payload"]]
+            # NULL payload (corrupt/missing media — inevitable at 100 TB)
+            # keeps its row with NULL metadata; bytes(None) would kill
+            # the whole task, one bad row failing the job
+            dims = [
+                _fake_dims(bytes(p)) if p is not None else (None,) * 3
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -98,7 +104,10 @@ def decode_metadata(media: DataFrame, decoder: str = "fake") -> DataFrame:
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "channels": [d[2] for d in dims],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
@@ -114,6 +123,10 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            # NULL payloads have no feature vector: drop the row (the
+            # metadata decoder keeps nulled rows; a featurizer's output
+            # feeds similarity math where a null vector has no meaning)
+            pdf = pdf[pdf["payload"].notna()]
             feats = []
             for p in pdf["payload"]:
                 data = bytes(p)
@@ -134,14 +147,23 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
                   max_frames: int = 8) -> DataFrame:
     """Frame sampling for 'video' payloads: split the byte stream into
     fixed-size chunks and keep every chunk up to ``max_frames`` — pure
-    native expressions (no Python), constant output width per row."""
+    native expressions (no Python), constant output width per row.
+
+    NULL or zero-byte payloads yield NO frames: ``least`` and
+    ``greatest`` SKIP null arguments, so the previous spelling gave a
+    null payload ``least(NULL, max) = max`` frames of NULL bytes and an
+    empty payload one empty frame (``greatest(-1, 0)``); after the
+    length filter ``n_frames >= 1`` holds and neither clamp is needed.
+    """
     n_frames = F.least(
         F.ceil(F.length("payload") / every_n_bytes).cast("int"),
         F.lit(max_frames),
     )
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    idx = F.sequence(F.lit(0), n_frames - 1)
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter(
+            (F.col("kind") == "video") & (F.length("payload") > 0)
+        )
         .select(
             "media_id",
             F.explode(idx).alias("frame_index"),

@@ -123,11 +123,9 @@ _PRIORITY = [
     "source_budget_waterfill",
     "source_cap_keepers",
     "split_contamination",
-    "sql_below_avg",
     "sql_grouping_sets",
     "sql_monthly_top_orders",
     "sql_running_total",
-    "subquery_below_avg",
     "text_normalize",
     "text_rolling_hash",
     "text_token_budget",
@@ -170,6 +168,17 @@ _PRIORITY = [
     # tail, were displaced back to the deferred r10 block when the
     # shingle-consumer and prescore re-earners claimed their slots
     # mid-round)
+    # multimodal.sample_frames null/empty-payload fix (the null-corpus
+    # sweep, this round): a NULL payload emitted max_frames NULL frames
+    # (least/greatest SKIP null arguments) and a zero-byte payload one
+    # empty frame, where the contract — and the oracle — emit none.
+    # The plan changed, so both consumers re-earn driver rows; they
+    # displaced sql_below_avg and subquery_below_avg (the two
+    # near-duplicate below-average shapes — weakest marginal evidence
+    # of the r9 cohort), which keep their r9-green rows and unchanged
+    # fingerprints in the deferred tail and lead the r13 rotation:
+    "media_frames",
+    "media_frames_text",
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -220,6 +229,11 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # change DEFERRED plans, so they wait for the r13 window — where the
 # r10-era cohort below is the next freshness rotation anyway.
 _DEFERRED = [
+    # r9-green — displaced from the r12 window by the media_frames
+    # pair (see the _PRIORITY tail comment); code-unchanged since
+    # their r9 rows, fingerprint-guarded, first in line for r13:
+    "sql_below_avg",
+    "subquery_below_avg",
     # r11-green (hash) — last round's driver window minus the two
     # probe-code re-earners rotated back in above; all code-unchanged
     # since their r11 row, fingerprint-guarded, oracle-backed
@@ -236,8 +250,6 @@ _DEFERRED = [
     "lm_perplexity_tiers",
     "lm_quality",
     "media_features",
-    "media_frames",
-    "media_frames_text",
     "media_metadata",
     "q1_pricing_summary",
     "quality_classifier",

@@ -698,11 +698,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_rolling_hash",
     """
     SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(list_filter(string_split(text, ''), c -> c <> ''),
                               c -> CAST(unicode(c) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+             (acc, x) -> (acc * 31 + x) % 1000000007) END AS rhash
     FROM documents
     """,
     "Polynomial rolling hash (Rabin-Karp) fingerprint per document.",
@@ -934,6 +935,7 @@ def media_frames_text(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS byte_value
     FROM documents
     CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+    WHERE text IS NOT NULL
     """,
     "Feature extraction plumbing: payload → fixed-dim float vector via "
     "Arrow-batched mapInPandas.  For the oracle the vector is exploded "
