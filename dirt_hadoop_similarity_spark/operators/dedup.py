@@ -113,18 +113,22 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
         lambda i: F.array_join(F.slice(bound, i, n), " "),
     )
     return (
-        # NULL text -> NO shingles (not one NULL shingle): without this
-        # filter a null-text doc flows through as transform(NULL) ->
-        # [NULL] -> all-NULL minhash signature, and concat_ws SKIPS
-        # nulls, so every null-text doc lands in band key "" and pairs
-        # with every other one (est_jaccard 0.0 "candidates").  A doc
-        # with no text is in no near-dup relation by definition.  The
-        # predicate is on text, not _toks: filtering the projected token
-        # array re-inlines split() into the pushed-down predicate —
-        # doubling per-row tokenization — where isnotnull(text) reaches
-        # the scan as a plain pushed filter (split null-propagates, so
-        # the two spellings select identical rows).
-        docs.filter(F.col(text_col).isNotNull())
+        # NULL or ZERO-TOKEN text -> NO shingles: without this filter a
+        # null-text doc flows through as transform(NULL) -> [NULL] ->
+        # all-NULL minhash signature, and concat_ws SKIPS nulls, so
+        # every null-text doc lands in band key "" and pairs with every
+        # other one; an empty/whitespace-only doc likewise shingles to
+        # [""] and all empty docs pair as jaccard-1.0 "near-dups".  A
+        # doc with no tokens is in no near-dup relation by definition
+        # (exact dedup already clusters identical empties).  The
+        # predicates are on text, not _toks: filtering the projected
+        # token array re-inlines split() into the pushed-down predicate
+        # — doubling per-row tokenization — where isnotnull + trim<>''
+        # evaluate without re-splitting (tokens are single-space splits
+        # with "" dropped, so zero tokens <=> trim(text) = '').
+        docs.filter(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        )
         .select(F.col(id_col), toks.alias("_toks"))
         .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
     )

@@ -143,6 +143,40 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(_featurize, FEATURES_SCHEMA)
 
 
+def sample_text_frames(docs: DataFrame, every_n_chars: int = 64,
+                       max_frames: int = 8, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Character-window frame sampling for TEXT media — the unicode-safe
+    twin of :func:`sample_frames`: frames are CHARACTER windows on the
+    decoded string (native substring arithmetic), where a byte chunk of
+    UTF-8 can cut a multibyte character in half — fine for binary
+    digests, but ``decode(chunk, 'utf-8')`` raises
+    MALFORMED_CHARACTER_CODING on the torn edge (found by the
+    messy-text oracle sweep).  Map-only, no Python, no shuffle; empty
+    and NULL texts yield no frames (matching :func:`sample_frames`).
+    Output: (media_id, frame_index, frame_text)."""
+    n_frames = F.least(
+        F.ceil(F.length(text_col) / every_n_chars).cast("int"),
+        F.lit(max_frames),
+    )
+    return (
+        docs.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col).alias("media_id"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
+            F.col(text_col),
+        )
+        .select(
+            "media_id",
+            "frame_index",
+            F.expr(
+                f"substring({text_col}, frame_index * {every_n_chars} + 1, "
+                f"{every_n_chars})"
+            ).alias("frame_text"),
+        )
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64,
                   max_frames: int = 8) -> DataFrame:
     """Frame sampling for 'video' payloads: split the byte stream into

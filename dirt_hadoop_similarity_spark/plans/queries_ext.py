@@ -39,6 +39,7 @@ _SHINGLES_SQL = """
            i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
   FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
         FROM documents)
+  WHERE len(toks) >= 1
 """
 
 _H60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
@@ -673,9 +674,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_fingerprint",
     """
-    SELECT md5(array_to_string(list_sort(list_distinct(
-             list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '))
-             AS fingerprint,
+    SELECT CASE WHEN text IS NULL THEN NULL ELSE
+             md5(coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '),
+               ''))
+             END AS fingerprint,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS keeper_id
     FROM documents GROUP BY fingerprint
@@ -910,19 +913,14 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE length(text) > 0
     )
     """,
-    "Frame sampling with a full value oracle: document payloads are "
-    "ASCII, so byte chunks decode losslessly to strings DuckDB can "
-    "reproduce with substring arithmetic.",
+    "Frame sampling of TEXT media by CHARACTER windows (unicode-safe "
+    "twin of media_frames' byte chunks — byte-slicing UTF-8 then "
+    "decoding raised MALFORMED_CHARACTER_CODING on torn multibyte "
+    "chars); the oracle's substring arithmetic is exact for any text.",
 )
 def media_frames_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.documents_as_media(
-        load(spark, sf_dir, "documents"), kind="video"
-    )
-    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
-    return frames.select(
-        "media_id",
-        "frame_index",
-        F.decode("frame_payload", "utf-8").alias("frame_text"),
+    return multimodal.sample_text_frames(
+        load(spark, sf_dir, "documents"), every_n_chars=64, max_frames=8
     )
 
 
