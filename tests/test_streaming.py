@@ -590,3 +590,68 @@ def test_idempotent_batch_append_survives_redelivery(spark, tmp_path):
     # earlier batches are untouched by a later batch's write
     assert {r.doc_id for r in got.filter("batch_id = 0").collect()} \
         == set(range(10))
+
+
+def test_incremental_dedup_stream_survives_dirty_text(spark, sf_dir, tmp_path):
+    """Dedup-at-ingest on DIRTY data: a landing batch carrying NULL,
+    empty, whitespace-only, tab-infixed, and non-ASCII texts must not
+    crash the stream, and must keep exactly what the batch operator
+    keeps — zero-token docs have no signature, so they pass the near-dup
+    gate untouched (exact dedup downstream owns identical empties).
+    Same parity contract as test_incremental_dedup_stream_matches_batch,
+    on the corpus the clean sf testdata never exercises."""
+    from dirt_hadoop_similarity_spark.operators import dedup
+    from dirt_hadoop_similarity_spark.streaming import corpus as sco
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    index_path = str(tmp_path / "sig_index")
+    dedup.signature_index(corpus).write.parquet(index_path)
+
+    # dirty landing batch: real near-dups of indexed docs + degenerates
+    base = docs.filter(F.col("doc_id") < 5).select("text").collect()
+    dirty = spark.createDataFrame(
+        [
+            (1000, base[0][0], "en", "landing", 10),       # exact dup of indexed
+            (1001, base[1][0] + " tail", "en", "landing", 10),  # near-dup
+            (1002, None, "en", "landing", 0),               # NULL text
+            (1003, "", "en", "landing", 0),                 # empty
+            (1004, "   ", "en", "landing", 3),              # whitespace-only
+            (1005, "wörd\tmix 北京 unique phrasing here", "en", "landing", 30),
+        ],
+        sco.DOCS_SCHEMA,
+    )
+    landing = tmp_path / "landing"
+    dirty.filter("doc_id < 1003").coalesce(1).write.parquet(str(landing / "f0"))
+    dirty.filter("doc_id >= 1003").coalesce(1).write.parquet(str(landing / "f1"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(sco.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(landing))
+    )
+    out_path = str(tmp_path / "deduped")
+    sco.run_incremental_dedup_stream(
+        spark, stream, index_path, out_path, str(tmp_path / "ckpt"),
+        query_name="incr_dedup_dirty_test",
+    )
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+
+    dups = dedup.incremental_near_duplicates(
+        spark.read.parquet(index_path), dirty
+    ).filter(F.col("est_jaccard") >= 0.5)
+    expect = {
+        r.doc_id
+        for r in dirty.join(
+            dups.select(F.col("batch_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    assert got == expect
+    # the signature-less degenerates pass the near-dup gate untouched
+    assert {1002, 1003, 1004}.issubset(got)
+    # the exact dup of an indexed doc is dropped
+    assert 1000 not in got
