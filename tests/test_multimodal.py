@@ -79,3 +79,48 @@ def test_feature_chain_beyond_one_digest(spark):
     assert len(vec) == 20
     for got, exp in zip(vec, expected):
         assert abs(got - exp) < 1e-6
+
+
+def test_sample_text_frames_reconstructs_prefix(spark):
+    """Frame laws for the character-window sampler, on texts chosen to
+    hit every boundary: empty, NULL, exactly one window, one char over,
+    max_frames overflow, and multibyte characters (the class that
+    crashed the byte-chunk + decode spelling).
+
+      1. n_frames == min(ceil(len/W), max_frames), and 0 for NULL/empty;
+      2. concatenating a doc's frames in index order reconstructs the
+         first min(len, W*max_frames) CHARACTERS of the text exactly —
+         no torn multibyte char, no gap, no overlap.
+    """
+    from dirt_hadoop_similarity_spark.operators import multimodal
+
+    W, MF = 8, 3
+    texts = {
+        1: "",          # no frames
+        2: None,        # no frames
+        3: "abcdefgh",             # exactly one window
+        4: "abcdefghi",            # one char over -> 2 frames
+        5: "x" * (W * MF + 5),     # overflow -> capped at max_frames
+        6: "héllo wörld 北京 ém",  # multibyte chars straddle windows
+        7: "short",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = multimodal.sample_text_frames(
+        docs, every_n_chars=W, max_frames=MF
+    ).collect()
+
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in out:
+        by_doc.setdefault(r.media_id, {})[r.frame_index] = r.frame_text
+
+    for k, t in texts.items():
+        if not t:
+            assert k not in by_doc, (k, by_doc.get(k))
+            continue
+        expect_n = min(-(-len(t) // W), MF)
+        frames = by_doc[k]
+        assert sorted(frames) == list(range(expect_n)), (k, frames)
+        joined = "".join(frames[i] for i in range(expect_n))
+        assert joined == t[: W * MF], (k, joined)
