@@ -61,7 +61,13 @@ def value_stats(rows: DataFrame, key_col: str = "user_id",
     """
     mv = quantized(F.col(value_col))
     agg = (
-        rows.select(F.col(key_col), mv.alias("_mv"))
+        # NULL values carry no signal and must not count: without the
+        # filter, n counts every row while s/q sum only non-null values
+        # — a key with nulls gets a silently deflated mean and inflated
+        # variance (both engines agreed because the oracle replayed the
+        # same count(*), so no sweep caught it; found by review)
+        rows.filter(F.col(value_col).isNotNull())
+        .select(F.col(key_col), mv.alias("_mv"))
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -228,6 +228,15 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # rewrite (re-earns dirt_pipeline_exact) are measured and ready but
 # change DEFERRED plans, so they wait for the r13 window — where the
 # r10-era cohort below is the next freshness rotation anyway.
+# Added by the round-12 events-null sweep: the ordering-based time
+# operators (sessionize / sessionize_skewsafe / sessionize_auto —
+# one oracle, must change as a unit — stream_sessionize,
+# window_cumsum, asof_join_events) still ORDER null event-times
+# instead of dropping them (Spark NULLS FIRST vs DuckDB NULLS LAST);
+# the drop-null-event-time contract the native-window queries already
+# follow lands with their r13 rotation.  Divergence pinned until then
+# in tests/test_event_null_inputs.py.  The two r12-displaced names
+# (sql_below_avg, subquery_below_avg) also lead the r13 window.
 _DEFERRED = [
     # r9-green — displaced from the r12 window by the media_frames
     # pair (see the _PRIORITY tail comment); code-unchanged since

@@ -933,7 +933,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     "Streaming tumbling-window aggregation, driver-checked END TO END: "
     "the events file streams through the watermarked window aggregate "

@@ -816,7 +816,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -896,6 +896,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 4) AS total_value
     FROM events, (SELECT unnest([0, 1]) AS off) o
+    WHERE ts IS NOT NULL
     GROUP BY window_start, event_type
     """,
     "Sliding (hopping) window aggregation: 1-hour windows every 30 min, "
@@ -926,7 +927,7 @@ _OUTLIER_SQL = f"""
 WITH m AS (
   SELECT event_id, user_id,
          CAST(round(value * 1000) AS BIGINT) AS mv
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 stats AS (
   SELECT user_id,
