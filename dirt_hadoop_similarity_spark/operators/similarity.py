@@ -71,6 +71,23 @@ def quantized_cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     )
 
 
+def valid_vectors(embeddings: DataFrame, dim: int,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Index-admission gate: keep only rows whose vector is non-null
+    and exactly ``dim`` wide — the contract every real ANN system
+    declares at index creation.  NULL vectors (failed embedding jobs)
+    and ragged ones (mixed model versions) otherwise poison scoring:
+    zip_with pads the short side with nulls, the GEMM/IVF/PQ panel
+    collects raise numpy inhomogeneous-shape errors, and DuckDB's
+    list_inner_product refuses mismatched lengths outright (all three
+    observed on the embeddings-null sweep corpus).  Apply to the
+    vector relation BEFORE building or querying any index; the
+    predicate is a plain scan-level filter, free at any scale."""
+    return embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -237,6 +237,13 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # follow lands with their r13 rotation.  Divergence pinned until then
 # in tests/test_event_null_inputs.py.  The two r12-displaced names
 # (sql_below_avg, subquery_below_avg) also lead the r13 window.
+# Added by the round-12 embeddings-null sweep: the deferred ANN family
+# (the same names as the prescore queue above, plus semantic_dedup)
+# needs the similarity.valid_vectors admission gate the three
+# in-window vector queries got this round — NULL and ragged vectors
+# crash the GEMM/IVF/PQ panel collects (numpy inhomogeneous shape) and
+# DuckDB's list_inner_product.  Gate them WITH the prescore when they
+# rotate; divergence pinned in tests/test_embedding_null_inputs.py.
 _DEFERRED = [
     # r9-green — displaced from the r12 window by the media_frames
     # pair (see the _PRIORITY tail comment); code-unchanged since

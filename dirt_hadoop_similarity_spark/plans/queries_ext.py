@@ -213,18 +213,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_QUERY_IDS = list(range(10))
 
+#: the testdata embedding dimension — the declared index dim for the
+#: similarity.valid_vectors admission gate and its oracle predicate
+_EMB_DIM = 64
+_VALID_EMB = f"embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}"
+
 _ANN_SQL = f"""
 WITH qv AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))}))
+        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+          AND {_VALID_EMB})
 ),
 cv AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
 dots AS (
@@ -259,9 +265,10 @@ SELECT query_id, neighbor_id, cos, rank FROM (
     "Brute-force cosine top-5 for 10 query vectors (quantized-int exact).",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_topk(
-        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    emb = similarity.valid_vectors(
+        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM
     )
+    return similarity.cosine_topk(emb, _ANN_QUERY_IDS, k=5)
 
 
 @register(
@@ -746,7 +753,7 @@ cv AS (
          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings) e
+        FROM embeddings WHERE {_VALID_EMB}) e
   JOIN buckets b ON b.vec_id = e.vec_id
 ),
 norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
@@ -774,9 +781,10 @@ SELECT id_a, id_b, cos FROM (
     "blocking — the vector-dedup pass of a training pipeline.",
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_duplicates(
-        load(spark, sf_dir, "embeddings"), threshold=0.4, bits=8
+    emb = similarity.valid_vectors(
+        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM
     )
+    return similarity.embedding_near_duplicates(emb, threshold=0.4, bits=8)
 
 
 _TFIDF_SQL = """
@@ -3556,7 +3564,7 @@ cv AS (
          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2
           FROM cv GROUP BY vec_id),
@@ -3601,7 +3609,9 @@ SELECT query_id, neighbor_id, cos, rank FROM (
     "exact cosine.",
 )
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = similarity.valid_vectors(
+        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM
+    )
     allowed = load(spark, sf_dir, "documents").filter(
         F.col("lang") == "en").select(F.col("doc_id").alias("vec_id"))
     return similarity.filtered_topk(emb, allowed, _ANN_QUERY_IDS, k=5)
