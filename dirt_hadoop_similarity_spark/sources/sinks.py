@@ -46,13 +46,29 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
 
 
 def read_jsonl(spark: SparkSession, path: str,
-               schema: str | None = None) -> DataFrame:
+               schema: str | None = None,
+               corrupt_col: str | None = "_corrupt_record") -> DataFrame:
     """JSONL scan.  ALWAYS pass a schema in production: schema inference
     is a full extra pass over the data (at 100 TB, a second 100 TB read)
-    and silently unions ragged attributes.  Unparseable lines land in
-    `_corrupt_record` (PERMISSIVE mode) instead of failing the job."""
+    and silently unions ragged attributes.
+
+    Unparseable lines are QUARANTINED, not dropped and not nulled: when
+    a schema is passed, the ``corrupt_col`` column is appended to it
+    automatically (opt out with ``corrupt_col=None``), because Spark's
+    PERMISSIVE mode only populates the corrupt-record column if it
+    appears in the schema — without it every malformed line becomes an
+    all-NULL row that silently enters the corpus.  Filter
+    ``corrupt_col IS NULL`` for the clean rows; route the rest to a
+    quarantine sink.  One Spark restriction to know: a query whose
+    referenced columns are ONLY the corrupt column is disallowed on a
+    raw JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    and column pruning makes ``filter(corrupt).count()`` exactly that —
+    materialize the filtered rows (collect/write) or cache() first."""
     r = spark.read
     if schema is not None:
+        if corrupt_col and corrupt_col not in schema:
+            schema = f"{schema}, {corrupt_col} string"
+            r = r.option("columnNameOfCorruptRecord", corrupt_col)
         r = r.schema(schema)
     return r.json(path)
 

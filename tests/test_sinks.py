@@ -41,9 +41,14 @@ def test_jsonl_roundtrip(spark, tmp_path):
     out = str(tmp_path / "jsonl")
     write_jsonl(df, out)
     back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
-    assert sorted(tuple(r) for r in back.collect()) == sorted(
-        tuple(r) for r in df.collect()
-    )
+    # clean corpus: the auto-appended quarantine column is all-NULL
+    # (collect, not count — count() prunes every data column away and
+    # Spark disallows queries referencing ONLY the corrupt column on a
+    # raw JSON scan)
+    assert back.filter("_corrupt_record IS NOT NULL").collect() == []
+    assert sorted(
+        tuple(r) for r in back.drop("_corrupt_record").collect()
+    ) == sorted(tuple(r) for r in df.collect())
 
 
 def test_jsonl_corrupt_line_quarantined(spark, tmp_path):
@@ -120,3 +125,26 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
         "PartitionFilters", 1
     )[1][:120], plan
     assert q.count() == 100
+
+
+def test_jsonl_corrupt_line_quarantined_by_default(spark, tmp_path):
+    """The quarantine column must not depend on the caller remembering
+    to declare it: a schema WITHOUT _corrupt_record still quarantines —
+    previously every malformed line became an all-NULL row that
+    silently entered the corpus."""
+    from dirt_hadoop_similarity_spark.sources.sinks import read_jsonl
+
+    p = tmp_path / "bad2.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n')
+    back = read_jsonl(spark, str(p), schema="doc_id long, text string")
+    rows = back.collect()
+    assert set(back.columns) == {"doc_id", "text", "_corrupt_record"}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json at all"
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(good) == 1 and good[0]["doc_id"] == 1
+
+    # opt-out keeps the legacy shape (and the silent-null behavior)
+    plain = read_jsonl(spark, str(p), schema="doc_id long, text string",
+                       corrupt_col=None)
+    assert set(plain.columns) == {"doc_id", "text"}
