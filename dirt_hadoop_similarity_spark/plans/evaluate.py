@@ -26,7 +26,16 @@ def load_system_output(spark: SparkSession, path: str) -> DataFrame:
         path, sep="\t", schema="p1 STRING, p2 STRING, score DOUBLE"
     )
     return (
-        df.filter(F.col("score") > 0)
+        # score > 0 drops unparseable scores (NULL fails the predicate);
+        # the explicit pair guard matters because least/greatest SKIP
+        # null arguments — a malformed line with a missing field would
+        # otherwise canonicalize to a FABRICATED self-pair (x, x)
+        # instead of being dropped
+        df.filter(
+            (F.col("score") > 0)
+            & F.col("p1").isNotNull()
+            & F.col("p2").isNotNull()
+        )
         .select(
             F.least("p1", "p2").alias("p1"),
             F.greatest("p1", "p2").alias("p2"),

@@ -91,3 +91,16 @@ def test_golden_files_load_and_evaluate(spark):
     m = res["metrics"]
     assert 0 < m["f1"] <= 1 and 0 < m["precision"] <= 1
     assert res["n_scored"] == 159
+
+
+def test_system_output_drops_malformed_lines(spark, tmp_path):
+    """A TSV line with a missing pair field must be DROPPED, not
+    canonicalized into a fabricated self-pair: least/greatest skip null
+    arguments, so ('x', NULL, 5.0) used to become the pair ('x', 'x')."""
+    from dirt_hadoop_similarity_spark.plans.evaluate import load_system_output
+
+    p = tmp_path / "part-00000"
+    p.write_text("b\ta\t0.9\nx\t\nonly_one_field\n\t0.5\nc\td\t0.8\n")
+    out = load_system_output(spark, str(tmp_path)).collect()
+    pairs = {(r.p1, r.p2) for r in out}
+    assert pairs == {("a", "b"), ("c", "d")}, pairs
