@@ -71,6 +71,25 @@ def quantized_cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     )
 
 
+def _prescored_cos(dot: Column, na2: Column, nb2: Column,
+                   decimals: int = 6) -> Column:
+    """The rounded-cosine contract of :func:`quantized_cosine` over
+    PRE-computed per-side int64 norms² and an exact int64 dot — the
+    per-pair tail of the prescore pattern (see
+    :func:`_exact_score_topk`): quantization and norms are per-VECTOR
+    properties, so pair-scoring joins project them once per row before
+    the join and leave only the dot product per pair.  Identical
+    operation order (dot / (sqrt(na²)·sqrt(nb²)), 0.0 on a zero norm,
+    HALF_UP round) keeps the doubles bit-identical to the unprescored
+    expression and the DuckDB oracles."""
+    d = dot.cast("double")
+    na = F.sqrt(na2.cast("double"))
+    nb = F.sqrt(nb2.cast("double"))
+    return F.round(
+        F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(0.0), decimals
+    )
+
+
 def valid_vectors(embeddings: DataFrame, dim: int,
                   vec_col: str = "embedding") -> DataFrame:
     """Index-admission gate: keep only rows whose vector is non-null
@@ -310,24 +329,34 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket. Same output shape as :func:`cosine_topk` (ranks computed
-    within the bucket)."""
+    within the bucket).
+
+    Quantized array + int64 norm² are pre-computed per VECTOR before
+    the bucket join (the :func:`_exact_score_topk` prescore shape):
+    scoring with quantized_cosine inside the join re-ran both sides'
+    quantization and norms per candidate PAIR.  Per pair only the
+    exact int64 dot remains; same rounded-double contract."""
     with_bucket = embeddings.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
-    )
+        F.col(id_col),
+        _quantize(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    ).withColumn("n2", _int_norm2(F.col("qv")))
     q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col(id_col).alias("query_id"), F.col("qv").alias("q_qv"),
+        F.col("n2").alias("q_n2"), "bucket",
     )
     c = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("c_qv"),
+        F.col("n2").alias("c_n2"), "bucket",
+    )
+    cos = _prescored_cos(
+        _int_dot(F.col("q_qv"), F.col("c_qv")),
+        F.col("q_n2"), F.col("c_n2"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -367,12 +396,21 @@ def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
 
     All-long arithmetic (quantized vector × int16 weights) — bit-exact in
     any engine; the plane weights are plan-time literal arrays."""
-    q = _quantize(vec)
+    return hyperplane_bucket_q(_quantize(vec), planes)
+
+
+def hyperplane_bucket_q(qvec: Column, planes: list[list[int]]) -> Column:
+    """:func:`hyperplane_bucket` over an ALREADY-quantized int array —
+    callers that project the quantized vector anyway (the prescore
+    pattern) pass the column reference so the O(dim) quantization HOF
+    runs once per row, not once per plane (HOFs sit outside codegen
+    subexpression elimination, so each embedded ``_quantize`` subtree
+    re-evaluates)."""
     terms = []
     for j, plane in enumerate(planes):
         pl = F.array(*[F.lit(w).cast("long") for w in plane])
         terms.append(
-            F.when(_int_dot(q, pl) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            F.when(_int_dot(qvec, pl) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         )
     return sum(terms).cast("long")
 
@@ -389,27 +427,38 @@ def rh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k with signed-random-projection buckets — same
     shape and join strategy as :func:`lsh_bucket_topk` (bucket equi-join,
-    query side broadcast), stronger hash family."""
+    query side broadcast), stronger hash family.
+
+    Prescored like :func:`lsh_bucket_topk`; the SRP bucket bits are
+    computed from the SAME projected quantized array
+    (:func:`hyperplane_bucket_q`), so the per-row cost is one
+    quantization + ``bits`` plane dots + one norm, where the naive
+    shape re-quantized per plane AND per scored pair."""
     planes = random_hyperplanes(dim, bits, seed)
     with_bucket = embeddings.select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("qv")
+    ).select(
         F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.col("qv"),
+        hyperplane_bucket_q(F.col("qv"), planes).alias("bucket"),
+        _int_norm2(F.col("qv")).alias("n2"),
     )
     q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col(id_col).alias("query_id"), F.col("qv").alias("q_qv"),
+        F.col("n2").alias("q_n2"), "bucket",
     )
     c = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("c_qv"),
+        F.col("n2").alias("c_n2"), "bucket",
+    )
+    cos = _prescored_cos(
+        _int_dot(F.col("q_qv"), F.col("c_qv")),
+        F.col("q_n2"), F.col("c_n2"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -656,31 +705,44 @@ def ivf_topk(
     # crossJoin+window plan; the corpus streams, no row blow-up)
     assigned = assign_cells_gemm(embeddings, cent, id_col, vec_col)
 
+    # prescore (the _exact_score_topk shape): quantized array + int64
+    # norm² are per-VECTOR properties projected once per row — scoring
+    # with quantized_cosine inside the probe/candidate joins re-ran
+    # them per PAIR.  Per pair only the exact int64 dot remains.
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        _quantize(F.col(vec_col)).alias("q_qv"),
+    ).withColumn("q_n2", _int_norm2(F.col("q_qv")))
+    centq = cent.select(
+        "cell", _quantize(F.col("cvec")).alias("ct_qv")
+    ).withColumn("ct_n2", _int_norm2(F.col("ct_qv")))
+    ccos = _prescored_cos(
+        _int_dot(F.col("q_qv"), F.col("ct_qv")),
+        F.col("q_n2"), F.col("ct_n2"),
     )
-    q_scored = q.crossJoin(F.broadcast(cent)).select(
-        "query_id", "qvec", "cell",
-        quantized_cosine(F.col("qvec"), F.col("cvec")).alias("ccos"),
+    q_scored = q.crossJoin(F.broadcast(centq)).select(
+        "query_id", "q_qv", "q_n2", "cell", ccos.alias("ccos"),
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
     probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "cell")
+        .select("query_id", "q_qv", "q_n2", "cell")
     )
 
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        _quantize(F.col(vec_col)).alias("c_qv"),
+        "cell",
+    ).withColumn("c_n2", _int_norm2(F.col("c_qv")))
+    cos = _prescored_cos(
+        _int_dot(F.col("q_qv"), F.col("c_qv")),
+        F.col("q_n2"), F.col("c_n2"),
     )
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            quantized_cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
         # no distinct needed: assignment puts each neighbor in exactly ONE
         # cell, so the cell join yields ≤1 row per (query, neighbor)
     )
@@ -1045,19 +1107,24 @@ def ivfpq_rerank_topk(
         nprobe=nprobe, m=m, dsub=dsub, ksub=ksub,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
+    # prescore both sides before the (bounded) shortlist joins — the
+    # _exact_score_topk shape; per pair only the exact int64 dot runs
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
+        F.col(id_col).alias("query_id"),
+        _quantize(F.col(vec_col)).alias("q_qv"),
+    ).withColumn("q_n2", _int_norm2(F.col("q_qv")))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        _quantize(F.col(vec_col)).alias("c_qv"),
+    ).withColumn("c_n2", _int_norm2(F.col("c_qv")))
+    cos = _prescored_cos(
+        _int_dot(F.col("q_qv"), F.col("c_qv")),
+        F.col("q_n2"), F.col("c_n2"),
     )
     scored = (
         c.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id", "neighbor_id",
-            quantized_cosine(F.col("_qvec"), F.col("_cvec")).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -1138,23 +1205,30 @@ def semantic_dedup(
     Output: (vec_id, cell, kept, dup_of, cos); dup_of/cos are NULL for
     kept vectors, else the keeper id and the cosine to it.
     """
+    # prescored per-vector (quantized array + int64 norm² before the
+    # cell self-join — the embedding_near_duplicates shape): a cell of
+    # d vectors contributes d·(d−1)/2 pairs, so in-join quantized_cosine
+    # re-ran each side's quantization and norms ~d times
     with_cell = embeddings.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("cell")
-    )
+        F.col(id_col),
+        _quantize(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col), bits).alias("cell"),
+    ).withColumn("n2", _int_norm2(F.col("qv")))
     a = with_cell.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+        F.col(id_col).alias("id_a"), F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"), "cell",
     )
     b = with_cell.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+        F.col(id_col).alias("id_b"), F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"), "cell",
+    )
+    pcos = _prescored_cos(
+        _int_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2")
     )
     matches = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_b",
-            "id_a",
-            quantized_cosine(F.col("va"), F.col("vb")).alias("pcos"),
-        )
+        .select("id_b", "id_a", pcos.alias("pcos"))
         .filter(F.col("pcos") >= threshold)
         .groupBy("id_b")
         .agg(
