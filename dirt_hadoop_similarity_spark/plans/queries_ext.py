@@ -218,6 +218,20 @@ _ANN_QUERY_IDS = list(range(10))
 _EMB_DIM = 64
 _VALID_EMB = f"embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}"
 
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings relation behind the index-admission gate every
+    ANN query shares (similarity.valid_vectors): NULL vectors (failed
+    embedding jobs) and ragged ones (mixed model versions) crash the
+    GEMM/IVF/PQ panel collects (numpy inhomogeneous shape), NULL-pad
+    zip_with dot products, and break DuckDB's list functions — all
+    observed on the embeddings-null sweep corpus
+    (tests/test_embedding_null_inputs.py).  Scan-level filter; every
+    oracle carries the same ``_VALID_EMB`` predicate."""
+    return similarity.valid_vectors(
+        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM
+    )
+
 _ANN_SQL = f"""
 WITH qv AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
@@ -279,12 +293,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle (the 100 TB exact-scoring layout).",
 )
 def ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_topk_gemm(
-        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
-    )
+    return similarity.cosine_topk_gemm(_emb(spark, sf_dir), _ANN_QUERY_IDS, k=5)
 
 
-_LSH_BUCKET_SQL = """
+_LSH_BUCKET_SQL = f"""
   SELECT vec_id,
          CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
             + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
@@ -294,7 +306,7 @@ _LSH_BUCKET_SQL = """
             + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
             + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
             + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
-  FROM embeddings
+  FROM embeddings WHERE {_VALID_EMB}
 """
 
 _ANN_LSH_SQL = f"""
@@ -304,7 +316,8 @@ qv AS (
          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})) e
+        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+          AND {_VALID_EMB}) e
   JOIN buckets b ON b.vec_id = e.vec_id
 ),
 cv AS (
@@ -312,7 +325,7 @@ cv AS (
          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings) e
+        FROM embeddings WHERE {_VALID_EMB}) e
   JOIN buckets b ON b.vec_id = e.vec_id
 ),
 norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
@@ -345,9 +358,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
     "Sign-LSH bucketed approximate top-5 (8-bit axis-sign buckets).",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_bucket_topk(
-        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, bits=8
-    )
+    return similarity.lsh_bucket_topk(_emb(spark, sf_dir), _ANN_QUERY_IDS, k=5, bits=8)
 
 
 _ANN_RECALL_SQL = f"""
@@ -378,7 +389,7 @@ FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
     "query on both sides.",
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     # exact side on the GEMM engine (bit-identical to cosine_topk, the
     # hash-green ann_gemm_topk row proves it against the same oracle)
     exact = similarity.cosine_topk_gemm(emb, _ANN_QUERY_IDS, k=5)
@@ -419,14 +430,15 @@ WITH buckets AS (
   FROM (SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ql
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 qv AS (
   SELECT e.vec_id, b.bucket, i,
          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})) e
+        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+          AND {_VALID_EMB}) e
   JOIN buckets b ON b.vec_id = e.vec_id
 ),
 cv AS (
@@ -434,7 +446,7 @@ cv AS (
          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings) e
+        FROM embeddings WHERE {_VALID_EMB}) e
   JOIN buckets b ON b.vec_id = e.vec_id
 ),
 norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
@@ -471,7 +483,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 )
 def ann_rh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rh_bucket_topk(
-        load(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         _ANN_QUERY_IDS,
         k=5,
         bits=_RH_BITS,
@@ -490,7 +502,7 @@ WITH qall AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 qcent AS (
   SELECT vec_id AS cell, i, q FROM qall WHERE vec_id < {_IVF_N_CENT}
@@ -564,7 +576,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
-        load(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         _ANN_QUERY_IDS,
         k=5,
         n_centroids=_IVF_N_CENT,
@@ -1950,7 +1962,7 @@ WITH qall AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 cbsub AS (
   SELECT vec_id AS code, (i - 1) // {_PQ_DSUB} AS sub, i, q AS c
@@ -1999,7 +2011,7 @@ SELECT query_id, neighbor_id, adc_d2, rank FROM (
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
-        load(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         _ANN_QUERY_IDS,
         k=5,
         m=_PQ_M,
@@ -2521,7 +2533,7 @@ cv AS (
          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings) e
+        FROM embeddings WHERE {_VALID_EMB}) e
   JOIN buckets b ON b.vec_id = e.vec_id
 ),
 norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
@@ -2559,9 +2571,7 @@ FROM buckets b LEFT JOIN matches m ON m.id_b = b.vec_id
     "of that keeper.  Cell equi-join candidates only — never all-pairs.",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.semantic_dedup(
-        load(spark, sf_dir, "embeddings"), threshold=_SEMANTIC_TAU
-    )
+    return similarity.semantic_dedup(_emb(spark, sf_dir), threshold=_SEMANTIC_TAU)
 
 
 _DSIR_BUCKETS = 64
@@ -2764,13 +2774,14 @@ WITH qv AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))}))
+        FROM embeddings WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+          AND {_VALID_EMB})
 ),
 cv AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cv GROUP BY vec_id),
 dots AS (
@@ -2810,7 +2821,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 )
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(
-        load(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS,
+        _emb(spark, sf_dir), _ANN_QUERY_IDS,
         skip=_HN_SKIP, take=_HN_TAKE, max_cos=_HN_MAXCOS,
     )
 
@@ -2826,7 +2837,7 @@ WITH qall AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 qcent AS (
   SELECT vec_id AS cell, i, q FROM qall WHERE vec_id < {_IVF_N_CENT}
@@ -2923,7 +2934,7 @@ SELECT query_id, neighbor_id, adc_d2, rank FROM (
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(
-        load(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         _ANN_QUERY_IDS,
         k=5,
         n_centroids=_IVF_N_CENT,
@@ -2990,7 +3001,7 @@ WITH qall AS (
   SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 qcent AS (
   SELECT vec_id AS cell, i, q FROM qall WHERE vec_id < {_IVF_N_CENT}
@@ -3096,7 +3107,7 @@ SELECT query_id, neighbor_id, adc_d2, rank FROM (
 )
 def ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(
-        load(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         _ANN_QUERY_IDS,
         k=5,
         n_centroids=_IVF_N_CENT,
@@ -3305,7 +3316,7 @@ cv AS (
          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS c
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM embeddings WHERE {_VALID_EMB})
 ),
 norms AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n2
           FROM cv GROUP BY vec_id),
@@ -3349,7 +3360,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 )
 def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_rerank_topk(
-        load(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         _ANN_QUERY_IDS,
         k=5,
         rerank=_RERANK_SHORTLIST,

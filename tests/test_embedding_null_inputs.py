@@ -12,13 +12,10 @@ inhomogeneous-shape ValueErrors on the driver or executor, and
 DuckDB's list_inner_product refuses mismatched lengths outright (the
 ann_rh_topk ORACLE crashed before Spark ever ran).
 
-The three in-window vector queries (ann_cosine_topk, ann_filtered_topk,
-embedding_near_dups) apply the gate now, with their oracles carrying
-the same predicate.  The remaining ANN family is DEFERRED r10-era code
-already queued as a unit for the r13 rotation (the quantized-family
-prescore); the gate lands with that rotation, and until then each
-name's divergence-or-crash is pinned below with a must-fail assertion
-that flips when the fix lands.
+Round-13 rotation: EVERY vector query now applies the gate (the
+shared plans/queries_ext._emb load), with every oracle carrying the
+same ``_VALID_EMB`` predicate — the r12 must-fail pins flipped to
+green sweep rows and the divergence whitelist is empty.
 """
 
 from __future__ import annotations
@@ -33,23 +30,10 @@ from oracle_harness import compare_query
 
 REGISTRY = ordered_registry()
 
-#: deferred ANN family — valid_vectors gate lands with the r13
-#: rotation (see plans/queries.py ROUND-13 QUEUE); until then each
-#: either crashes (numpy inhomogeneous shape; DuckDB
-#: list_inner_product) or diverges from its oracle on this corpus
-R13_QUEUED_DIVERGENT = {
-    "ann_gemm_topk",
-    "ann_hard_negatives",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained",
-    "ann_ivfpq_rerank",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "ann_rh_topk",
-    "semantic_dedup",
-}
+#: empty since the r13 rotation landed the valid_vectors gate on the
+#: whole ANN family; kept as the mechanism for any future
+#: known-divergent query
+R13_QUEUED_DIVERGENT: set[str] = set()
 
 
 @pytest.fixture(scope="module")
