@@ -345,6 +345,13 @@ def sessionize_counts_window(events: DataFrame, user_col: str = "user_id",
         raise ValueError(
             f"gap_minutes must be positive, got {gap_minutes!r}"
         )
+    # drop-null-event-time contract (round 13): an event with no
+    # timestamp cannot be placed in any session.  Spark's native
+    # event-time operators (session_window, window()) drop such rows;
+    # without this filter the lag window ORDERS them (NULLS FIRST,
+    # where DuckDB sorts NULLS LAST — the engines diverge) and each
+    # null-ts row starts a phantom session.
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     lag_ts = F.lag(ts_col).over(w)
     # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ
@@ -567,8 +574,14 @@ def _session_bucket_flags(events: DataFrame, user_col: str, ts_col: str,
     # (not truncate) for pre-1970 timestamps, and no double round-trip
     # that could misplace a bucket edge at extreme epochs (ADVICE r9).
     epoch = F.col(ts_col).cast("timestamp").cast("long")
+    # drop-null-event-time contract (round 13, ADVICE r12): a null ts
+    # landed in a NULL gap-bucket and emitted a phantom
+    # (user, NULL, NULL, n) session per user — the native
+    # session_window twin drops such rows, and the bucketed==native
+    # invariant requires both routes to share that contract.
     per_bucket = (
-        events.groupBy(
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
             F.col(user_col).alias("_u"),
             _floordiv_long(epoch, gap_s).alias("_bucket"),
         )

@@ -807,12 +807,15 @@ def mi_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS running_value,
            CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
              AS rn
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
-    "A8: windowed cumulative sum (the evaluator's TP/FP scan shape).",
+    "A8: windowed cumulative sum (the evaluator's TP/FP scan shape); "
+    "null event-times are dropped — an unstamped event has no place in "
+    "a time-ordered running sum (and Spark orders NULLS FIRST where "
+    "DuckDB orders NULLS LAST, so keeping them diverges cross-engine).",
 )
 def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
@@ -902,7 +905,7 @@ _SESSIONIZE_ORACLE = """
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
            CAST(count(*) AS BIGINT) AS n_events

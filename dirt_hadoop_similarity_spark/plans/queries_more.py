@@ -39,7 +39,7 @@ def ts_micros(c: F.Column) -> F.Column:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS last_purchase_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
            CAST(date_diff('microsecond', last_purchase_ts, ts) // 1000000 AS BIGINT)
@@ -49,10 +49,12 @@ def ts_micros(c: F.Column) -> F.Column:
     """,
     "As-of join (no native Spark op): for each error event, the most "
     "recent prior purchase of the same user — window last(ignore nulls) "
-    "composition, identical semantics both engines.",
+    "composition, identical semantics both engines.  Null event-times "
+    "are dropped: 'most recent prior' is undefined for an unstamped "
+    "event, and the engines' NULL sort orders differ.",
 )
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -343,10 +343,16 @@ def sessionize_stateful(
     times out / the stream ends.
 
     This is the streaming analogue of plans/queries.sessionize — the
-    batch window version is the oracle for its semantics."""
+    batch window version is the oracle for its semantics.  Null
+    event-times are dropped (the batch family's round-13 contract;
+    a NaT would otherwise enter the stamp sort as int64-min)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = normalize_event_ts(events).select("user_id", "ts", "event_id")
+    ev = (
+        normalize_event_ts(events)
+        .select("user_id", "ts", "event_id")
+        .filter(F.col("ts").isNotNull())
+    )
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -436,6 +442,7 @@ def sessionize_stateful_ttl(
     ev = (
         normalize_event_ts(events)
         .select("user_id", "ts", "event_id")
+        .filter(F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
     )
 

@@ -15,13 +15,15 @@ Round-12 contract decisions this gate enforces:
     variance for keys with nulls — undetectable by oracle comparison
     because the oracle replayed the same count(*).
   * The ORDERING-BASED time operators (lag-gap sessionize family,
-    window_cumsum's running sum, the as-of join) still order null
-    event-times instead of dropping them, and Spark orders NULLS FIRST
-    where DuckDB orders NULLS LAST — the r13-queued fix gives them the
-    same drop-null-event-time contract (their backing queries are
-    deferred r10-era names already first in line for the r13 rotation,
-    and the sessionize trio shares one oracle so it must change as a
-    unit).  Until then the divergence is pinned per query below.
+    window_cumsum's running sum, the as-of join) adopted the same
+    drop-null-event-time contract in round 13: the engine filters
+    ``ts IS NOT NULL`` before ordering (an unstamped event has no
+    place in a time-ordered computation, and Spark orders NULLS FIRST
+    where DuckDB orders NULLS LAST), every oracle carries the same
+    predicate, and the gap-bucket family drops null ts in its shared
+    bucket collapse (a null ts previously emitted a phantom
+    (user, NULL) session per user on the skew-safe route — ADVICE
+    r12).  The r12 must-fail pins flipped to green sweep rows.
 """
 
 from __future__ import annotations
@@ -36,16 +38,10 @@ from oracle_harness import compare_query
 
 REGISTRY = ordered_registry()
 
-#: ordering-based time operators whose null-event-time exclusion is
-#: queued for the r13 rotation (see module docstring) — shape-pinned
-R13_QUEUED_DIVERGENT = {
-    "sessionize",
-    "sessionize_skewsafe",
-    "sessionize_auto",
-    "stream_sessionize",
-    "window_cumsum",
-    "asof_join_events",
-}
+#: empty since the r13 rotation landed the drop-null-event-time
+#: contract on the ordering-based family; kept as the mechanism for
+#: any future known-divergent query
+R13_QUEUED_DIVERGENT: set[str] = set()
 
 NULL_RULES = {
     "ts": "event_id % 31 = 8",
