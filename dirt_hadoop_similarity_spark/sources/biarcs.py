@@ -28,15 +28,26 @@ TOKENS_TYPE = "array<struct<word:string,pos:string,dep:string,head:int>>"
 # word keeps any embedded slashes, pos/dep/head come from the tail.
 # Tokens lacking 3 slashes (size < 4) or a non-integer head are dropped by
 # the trailing filter — matching the reference's skip-on-parse-failure.
+#
+# SPLIT-ONCE shape: the inner transform materializes each token's split
+# array ONE time, and every downstream lambda references the bound array
+# value.  Embedding `split(s, '/')` at each use site re-ran the split
+# 5-6x per token — HOF lambdas sit outside codegen subexpression
+# elimination (the round-12 shingle-fix class in constant-factor form;
+# measured 0.86x on a parse-dominated 1M-line corpus, bit-identical).
+# An empty token splits to [''] (size 1), so size >= 4 alone drops it —
+# the separate s != '' test the per-use-site shape needed is subsumed.
 _TOKENS_EXPR = """
 filter(
   transform(
-    filter(split(ngram, ' '), s -> s != '' AND size(split(s, '/')) >= 4),
-    s -> named_struct(
-      'word', array_join(slice(split(s, '/'), 1, size(split(s, '/')) - 3), '/'),
-      'pos',  element_at(split(s, '/'), -3),
-      'dep',  element_at(split(s, '/'), -2),
-      'head', try_cast(element_at(split(s, '/'), -1) AS int))),
+    filter(
+      transform(split(ngram, ' '), s -> split(s, '/')),
+      a -> size(a) >= 4),
+    a -> named_struct(
+      'word', array_join(slice(a, 1, size(a) - 3), '/'),
+      'pos',  element_at(a, -3),
+      'dep',  element_at(a, -2),
+      'head', try_cast(element_at(a, -1) AS int))),
   t -> t.head IS NOT NULL)
 """
 
