@@ -63,10 +63,22 @@ def read_jsonl(spark: SparkSession, path: str,
     referenced columns are ONLY the corrupt column is disallowed on a
     raw JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN),
     and column pruning makes ``filter(corrupt).count()`` exactly that —
-    materialize the filtered rows (collect/write) or cache() first."""
+    materialize the filtered rows (collect/write) or cache() first.
+
+    Note the deliberate schema widening: with a schema and the default
+    ``corrupt_col``, the returned relation has one MORE column than the
+    declared DDL — round-tripping through :func:`write_jsonl` persists
+    it unless the caller drops it (filter clean + drop, or pass
+    ``corrupt_col=None`` to opt out)."""
     r = spark.read
     if schema is not None:
-        if corrupt_col and corrupt_col not in schema:
+        # exact field-name membership, not substring containment: a
+        # schema with a column like raw_corrupt_record_txt must not
+        # silently disable quarantine (ADVICE r12)
+        from pyspark.sql.types import StructType
+
+        fields = StructType.fromDDL(schema).fieldNames()
+        if corrupt_col and corrupt_col not in fields:
             schema = f"{schema}, {corrupt_col} string"
             r = r.option("columnNameOfCorruptRecord", corrupt_col)
         r = r.schema(schema)

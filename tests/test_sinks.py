@@ -148,3 +148,23 @@ def test_jsonl_corrupt_line_quarantined_by_default(spark, tmp_path):
     plain = read_jsonl(spark, str(p), schema="doc_id long, text string",
                        corrupt_col=None)
     assert set(plain.columns) == {"doc_id", "text"}
+
+
+def test_jsonl_quarantine_survives_superstring_column_name(spark, tmp_path):
+    """Membership is exact field-name, not substring (ADVICE r12): a
+    schema whose column merely CONTAINS '_corrupt_record' must still
+    get the quarantine column appended."""
+    from dirt_hadoop_similarity_spark.sources.sinks import read_jsonl
+
+    p = tmp_path / "bad3.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "raw_corrupt_record_txt": "x"}\nnot json\n'
+    )
+    back = read_jsonl(
+        spark, str(p), schema="doc_id long, raw_corrupt_record_txt string"
+    )
+    assert set(back.columns) == {
+        "doc_id", "raw_corrupt_record_txt", "_corrupt_record"
+    }
+    bad = [r for r in back.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json"
