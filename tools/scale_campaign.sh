@@ -106,6 +106,9 @@ python tools/sessionize_stress.py --ttl --events 2000000 \
   --stream-dir /tmp/dhs_sessionize_ttl \
   > "$OUT/sessionize_ttl_state_law.txt" \
   2> "$OUT/sessionize_ttl_state_law.err"
+step "vector-admission gate leg (10% NULL/ragged at x10: overhead + post-gate correctness)"
+python tools/vector_gate_bench.py --mult 10 --repeats 2 \
+  > "$OUT/vector_gate.txt" 2> "$OUT/vector_gate.err"
 step "partition-prune evidence (date-partitioned vs flat layout, x10)"
 python tools/partition_prune_bench.py --mult 10 --repeats 2 \
   --out "$SCALE_DIR/prune" \
