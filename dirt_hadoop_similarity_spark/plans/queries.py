@@ -81,104 +81,74 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # ROUND-12 ROTATION (VERDICT r11 task 3).
-    # Code changed in round 12, so these re-earn a driver row:
-    # scale._max_user_events (the shared sessionize/span router probe)
-    # gained user-column + numeric-count validation (ADVICE r11) — the
-    # registered queries don't pass user_counts so their plans are
-    # unchanged, but the backing routing code did change:
+    # ROUND-13 ROTATION (VERDICT r12 tasks 1-4).
+    # The ANN family re-earns after the valid_vectors admission gate +
+    # the quantized-prescore refactor (both change every plan;
+    # tests/test_embedding_null_inputs.py's r12 must-fail pins flipped):
+    "ann_gemm_topk",
+    "ann_hard_negatives",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "ann_rh_topk",
+    "semantic_dedup",
+    # the ordering-based time family re-earns after the drop-null-
+    # event-time contract (engine filter + oracle predicate;
+    # tests/test_event_null_inputs.py's pins flipped).  stream_sessionize's
+    # fingerprint cannot see its stateful-UDF body (memory-sink plan) but
+    # the backing applyInPandasWithState op changed; session_windows
+    # routes native at sf0.001 so its plan is unchanged, but its
+    # skew-safe route (_session_bucket_flags) dropped the phantom
+    # NULL-bucket sessions (ADVICE r12) — both re-earn with the family:
+    "asof_join_events",
+    "sessionize",
     "sessionize_auto",
+    "sessionize_skewsafe",
+    "window_cumsum",
+    "stream_sessionize",
     "session_windows",
-    # sampling.mixture_resample/temperature_mixture gained the loud
-    # in-plan GRANULARITY-overflow guard (the remainder*10000 product
-    # binds ~1e4 earlier than the previously documented bound; under
-    # ANSI-off a breach wrapped silently).  Guard is identity on
-    # in-bound corpora but the factor-relation plan changed:
-    "mixture_resample",
-    "temperature_mixture",
-    # the 32 r9-era rows — the oldest hash-green evidence left
-    # (freshness histogram after r11: r9=32, r10=47, r11=50), all
-    # code-unchanged since their green row (fingerprint-guarded) and
-    # locally oracle-green:
-    "dedup_distinct",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_threshold_sweep",
+    # the split-once biarc token parse (sources/biarcs._TOKENS_EXPR)
+    # changed every parse-consumer plan:
     "dirt_extract_counts",
     "dirt_full_pipeline",
-    "embedding_near_dups",
-    "event_interarrival",
-    "event_user_outliers",
-    "funnel_conversion",
-    "global_scalar",
-    "grouping_sets_status",
-    "join_broadcast_part",
-    "join_region_revenue",
-    "join_top_spenders",
-    "json_props_extract",
-    "least_greatest_pairs",
-    "rolling_distinct_users",
-    "snapshot_upsert",
-    "source_budget_waterfill",
-    "source_cap_keepers",
-    "split_contamination",
-    "sql_grouping_sets",
-    "sql_monthly_top_orders",
-    "sql_running_total",
-    "text_normalize",
-    "text_rolling_hash",
-    "text_token_budget",
-    "timeseries_gapfill",
-    # operators/dedup.word_shingles + operators/textsim.shingle_tf
-    # bound the token array to a projected column before the shingle
-    # transform (the captured split() expression re-evaluated per
-    # shingle position — O(L²) per doc; measured 2.35→0.67 s for the
-    # sf0.1 tf relation).  Identical output (exceptAll-verified both
-    # directions), but every consumer's analyzed plan changed, so the
-    # full shingle-consumer cohort re-earns driver rows:
-    "curation_funnel",
-    "decontaminate",
-    "dedup_cluster_keepers",
-    "dedup_components",
-    "dedup_components_ls",
-    "dedup_lsh_verified",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_pagerank",
-    "text_boilerplate",
-    "text_cosine_pairs",
-    "text_cosine_topk",
-    # (dedup_incremental, dedup_threshold_sweep, split_contamination
-    # also changed plans but already sit in the r9-era block above.
-    # dedup_cluster_keepers and dedup_components have UNCHANGED
-    # fingerprints — their localCheckpoint/cache severs the lineage the
-    # fingerprint hashes — but a plan-build spy confirmed they execute
-    # word_shingles at runtime, so they re-earn rows with the rest.)
-    # similarity._exact_score_topk now pre-computes each side's
-    # quantized vector + int64 norm² BEFORE the pair join instead of
-    # re-running them per pair inside quantized_cosine (the shingle
-    # fix's vector twin; 3.51→0.65 s at sf0.1, bit-identical).  Its two
-    # registry consumers re-earn rows — ann_cosine_topk was already a
-    # window filler; ann_filtered_topk displaced the untouched
-    # ann_gemm_topk filler:
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    # (ann_gemm_topk … left_join_coalesce, the alphabetical filler
-    # tail, were displaced back to the deferred r10 block when the
-    # shingle-consumer and prescore re-earners claimed their slots
-    # mid-round)
-    # multimodal.sample_frames null/empty-payload fix (the null-corpus
-    # sweep, this round): a NULL payload emitted max_frames NULL frames
-    # (least/greatest SKIP null arguments) and a zero-byte payload one
-    # empty frame, where the contract — and the oracle — emit none.
-    # The plan changed, so both consumers re-earn driver rows; they
-    # displaced sql_below_avg and subquery_below_avg (the two
-    # near-duplicate below-average shapes — weakest marginal evidence
-    # of the r9 cohort), which keep their r9-green rows and unchanged
-    # fingerprints in the deferred tail and lead the r13 rotation:
-    "media_frames",
-    "media_frames_text",
+    "dirt_pipeline_exact",
+    # the last two r9-era rows (VERDICT r12 task 4):
+    "sql_below_avg",
+    "subquery_below_avg",
+    # freshness filler: the r10-green cohort, code-unchanged since their
+    # rows, minus the two pytest-pinned streaming shapes deferred to the
+    # r14 head (the window is exactly full):
+    "bpe_train_merges",
+    "event_user_outliers_mad",
+    "left_join_coalesce",
+    "mi_expression",
+    "ntile_quartiles",
+    "percentile_exact",
+    "pii_redact",
+    "pivot_orderstatus",
+    "profile_columns",
+    "q3_shipping_priority",
+    "range_join_events",
+    "rollup_returnflag",
+    "self_join_lineitem",
+    "semi_join_orders",
+    "sequence_packing",
+    "stratified_sample",
+    "stream_dedup_events",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "topk_per_group",
+    "training_shards",
+    "union_label",
+    "unpivot_orderstatus",
+    "window_sliding",
+    "window_tumbling",
 ]
 
 # Rows-only-by-design queries that may sit past the window:
@@ -190,11 +160,17 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # Rotation policy: entries whose last driver-green row is OLDEST (or
 # whose code changed, or that never had a row) fill the window; the
 # deferred tail is drawn from the MOST recently checked rounds.
-# Round 12: _PRIORITY is exactly 50 names (4 probe/guard re-earners +
-# all 32 r9-era names + 12 shingle-consumer re-earners + the 2
-# exact-scorer prescore re-earners); _DEFERRED
-# enumerates every other name — all r10/r11 hash-green, code-unchanged
-# since their row, oracle-backed (or whitelisted rows-only above).
+# Round 13: _PRIORITY is exactly 50 names (19 changed-plan re-earners —
+# the 11 gated+prescored ANN queries, the 5 drop-null-ts time queries,
+# the 3 split-once-parse dirt consumers — plus stream_sessionize and
+# session_windows whose backing code changed under unchanged
+# fingerprints, the 2 r9-era names, and 27 of the 29 r10-era names as
+# freshness filler); _DEFERRED enumerates every other name — r11/r12
+# hash-green except stream_windowed_counts and stream_interval_join
+# (r10-green, pytest-pinned end-to-end by test_streaming, displaced by
+# the changed-plan re-earners; they lead the r14 rotation), all
+# code-unchanged since their row, oracle-backed (or whitelisted
+# rows-only above).
 # The contract is machine-checked on BOTH failure modes:
 # tests/test_oracle_all.py recomputes per-query freshness from the
 # committed CORRECTNESS_r*.json files (hash-green rows only —
@@ -221,42 +197,20 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # test_registry_size_frozen fails any 131st registration that does not
 # retire an existing name (escape hatch documented there).
 #
-# ROUND-13 QUEUE (pre-planned; see PERF.md "Queued for the r13 window"):
-# the ANN quantized-family prescore (ann_lsh_topk, ann_rh_topk,
-# ann_ivf_topk, ann_ivfpq_topk/trained/rerank, ann_pq_topk,
-# ann_recall_eval, semantic_dedup) and the split-once biarc parse
-# rewrite (re-earns dirt_pipeline_exact) are measured and ready but
-# change DEFERRED plans, so they wait for the r13 window — where the
-# r10-era cohort below is the next freshness rotation anyway.
-# Added by the round-12 events-null sweep: the ordering-based time
-# operators (sessionize / sessionize_skewsafe / sessionize_auto —
-# one oracle, must change as a unit — stream_sessionize,
-# window_cumsum, asof_join_events) still ORDER null event-times
-# instead of dropping them (Spark NULLS FIRST vs DuckDB NULLS LAST);
-# the drop-null-event-time contract the native-window queries already
-# follow lands with their r13 rotation.  Divergence pinned until then
-# in tests/test_event_null_inputs.py.  The two r12-displaced names
-# (sql_below_avg, subquery_below_avg) also lead the r13 window.
-# Added by the round-12 embeddings-null sweep: the deferred ANN family
-# (the same names as the prescore queue above, plus semantic_dedup)
-# needs the similarity.valid_vectors admission gate the three
-# in-window vector queries got this round — NULL and ragged vectors
-# crash the GEMM/IVF/PQ panel collects (numpy inhomogeneous shape) and
-# DuckDB's list_inner_product.  Gate them WITH the prescore when they
-# rotate; divergence pinned in tests/test_embedding_null_inputs.py.
+# ROUND-14 QUEUE: stream_windowed_counts and stream_interval_join
+# (the two r10-green names displaced by this round's changed-plan
+# re-earners) lead the r14 window; the r11-green cohort below is the
+# next freshness rotation after them.
 _DEFERRED = [
-    # r9-green — displaced from the r12 window by the media_frames
-    # pair (see the _PRIORITY tail comment); code-unchanged since
-    # their r9 rows, fingerprint-guarded, first in line for r13:
-    "sql_below_avg",
-    "subquery_below_avg",
-    # r11-green (hash) — last round's driver window minus the two
-    # probe-code re-earners rotated back in above; all code-unchanged
-    # since their r11 row, fingerprint-guarded, oracle-backed
-    "sessionize_skewsafe",
+    # r10-green (hash) — displaced by this round's changed-plan
+    # re-earners; pytest-pinned end-to-end (test_streaming), first in
+    # line for r14:
+    "stream_windowed_counts",
+    "stream_interval_join",
+    # r11-green (hash) — code-unchanged since their row,
+    # fingerprint-guarded, oracle-backed; next up after the r14 head:
     "corpus_diff",
     "dirt_mi",
-    "dirt_pipeline_exact",
     "dirt_sim",
     "doc_chunking",
     "dsir_importance",
@@ -270,14 +224,12 @@ _DEFERRED = [
     "q1_pricing_summary",
     "quality_classifier",
     "reservoir_per_group",
-    "semantic_dedup",
     "set_ops_cohorts",
     "skew_profile",
     "text_repetition",
     "vocab_oov_rate",
     "window_range_frame",
     "zorder_events",
-    "ann_ivfpq_rerank",
     "anti_join_customers",
     "bpe_encode_corpus",
     "bpe_pair_counts",
@@ -288,51 +240,54 @@ _DEFERRED = [
     "cube_status_priority",
     "dataset_split",
     "decimal_revenue_exact",
-    # r10-green (hash) — the r10 cohort minus the 16 alphabetical-head
-    # fillers pulled into the window above, plus the 10 fillers the
-    # shingle-consumer re-earners displaced mid-round:
-    "ann_gemm_topk",
-    "ann_hard_negatives",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "ann_rh_topk",
-    "asof_join_events",
-    "bpe_train_merges",
-    "event_user_outliers_mad",
-    "left_join_coalesce",
-    "sessionize",
-    "mi_expression",
-    "ntile_quartiles",
-    "percentile_exact",
-    "pii_redact",
-    "pivot_orderstatus",
-    "profile_columns",
-    "q3_shipping_priority",
-    "range_join_events",
-    "rollup_returnflag",
-    "self_join_lineitem",
-    "semi_join_orders",
-    "sequence_packing",
-    "stratified_sample",
-    "stream_dedup_events",
-    "stream_sessionize",
-    "stream_windowed_counts",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_tfidf_top_terms",
-    "topk_per_group",
-    "training_shards",
-    "union_label",
-    "unpivot_orderstatus",
-    "window_cumsum",
-    "window_sliding",
-    "window_tumbling",
-    "stream_interval_join",
+    # r12-green (hash) — last round's driver window, all
+    # code-unchanged since their r12 row, fingerprint-guarded:
+    "mixture_resample",
+    "temperature_mixture",
+    "dedup_distinct",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_threshold_sweep",
+    "embedding_near_dups",
+    "event_interarrival",
+    "event_user_outliers",
+    "funnel_conversion",
+    "global_scalar",
+    "grouping_sets_status",
+    "join_broadcast_part",
+    "join_region_revenue",
+    "join_top_spenders",
+    "json_props_extract",
+    "least_greatest_pairs",
+    "rolling_distinct_users",
+    "snapshot_upsert",
+    "source_budget_waterfill",
+    "source_cap_keepers",
+    "split_contamination",
+    "sql_grouping_sets",
+    "sql_monthly_top_orders",
+    "sql_running_total",
+    "text_normalize",
+    "text_rolling_hash",
+    "text_token_budget",
+    "timeseries_gapfill",
+    "curation_funnel",
+    "decontaminate",
+    "dedup_cluster_keepers",
+    "dedup_components",
+    "dedup_components_ls",
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_pagerank",
+    "text_boilerplate",
+    "text_cosine_pairs",
+    "text_cosine_topk",
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "media_frames",
+    "media_frames_text",
     # rows-only-by-design (whitelisted above), r5 rows-only row
     "profile_approx",
 ]
