@@ -200,7 +200,15 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # ROUND-14 QUEUE: stream_windowed_counts and stream_interval_join
 # (the two r10-green names displaced by this round's changed-plan
 # re-earners) lead the r14 window; the r11-green cohort below is the
-# next freshness rotation after them.
+# next freshness rotation after them.  Also queued:
+# cluster_balanced_sample should gate invalid vectors like the rest of
+# the vector family — today a NULL embedding sign-buckets to cell 0
+# (every CASE term falls through to 0) and pollutes that cell's
+# reservoir, displacing valid all-negative-sign vectors from the cap.
+# The oracle replays the same semantics so the dirty-vector sweep
+# passes; it is bug-compatible, not correct.  Fix (add the _emb gate +
+# _VALID_EMB predicate) changes a deferred plan, so it lands with the
+# query's r14 rotation.
 _DEFERRED = [
     # r10-green (hash) — displaced by this round's changed-plan
     # re-earners; pytest-pinned end-to-end (test_streaming), first in
