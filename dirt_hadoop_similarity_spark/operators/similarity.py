@@ -331,23 +331,29 @@ def lsh_bucket_topk(
     bucket. Same output shape as :func:`cosine_topk` (ranks computed
     within the bucket).
 
-    Quantized array + int64 norm² are pre-computed per VECTOR before
-    the bucket join (the :func:`_exact_score_topk` prescore shape):
-    scoring with quantized_cosine inside the join re-ran both sides'
-    quantization and norms per candidate PAIR.  Per pair only the
-    exact int64 dot remains; same rounded-double contract."""
+    Prescore placement (the :func:`_exact_score_topk` shape, adapted to
+    a SELECTIVE candidate join): the broadcast query panel pre-computes
+    (quantized array, int64 norm²) per row, but the corpus side defers
+    its quantization to AFTER the bucket join — the join keeps only
+    rows in a probed bucket (|queries|/2^bits of the corpus), and
+    sign buckets come from raw float signs, so quantizing every corpus
+    row up front would be work the join throws away.  Post-join the
+    survivors' (qv, n2) are projected ONCE per candidate row (a
+    separate Project — CollapseProject keeps multiply-referenced
+    non-cheap aliases unmerged), leaving only the exact int64 dot per
+    pair; same rounded-double contract."""
     with_bucket = embeddings.select(
-        F.col(id_col),
-        _quantize(F.col(vec_col)).alias("qv"),
+        F.col(id_col), F.col(vec_col),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
-    ).withColumn("n2", _int_norm2(F.col("qv")))
-    q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("qv").alias("q_qv"),
-        F.col("n2").alias("q_n2"), "bucket",
     )
+    q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _quantize(F.col(vec_col)).alias("q_qv"),
+        "bucket",
+    ).withColumn("q_n2", _int_norm2(F.col("q_qv")))
     c = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("c_qv"),
-        F.col("n2").alias("c_n2"), "bucket",
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        "bucket",
     )
     cos = _prescored_cos(
         _int_dot(F.col("q_qv"), F.col("c_qv")),
@@ -356,6 +362,8 @@ def lsh_bucket_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("c_qv", _quantize(F.col("cvec")))
+        .withColumn("c_n2", _int_norm2(F.col("c_qv")))
         .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -730,11 +738,15 @@ def ivf_topk(
         .select("query_id", "q_qv", "q_n2", "cell")
     )
 
+    # corpus-side quantization is deferred to AFTER the probe join: the
+    # join keeps only vectors in a probed cell (~nprobe/n_centroids of
+    # the corpus), so quantizing every row up front is work the join
+    # throws away; post-join the survivors' (qv, n2) are projected once
+    # per candidate row, leaving only the exact int64 dot per pair
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        _quantize(F.col(vec_col)).alias("c_qv"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         "cell",
-    ).withColumn("c_n2", _int_norm2(F.col("c_qv")))
+    )
     cos = _prescored_cos(
         _int_dot(F.col("q_qv"), F.col("c_qv")),
         F.col("q_n2"), F.col("c_n2"),
@@ -742,6 +754,8 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("c_qv", _quantize(F.col("cvec")))
+        .withColumn("c_n2", _int_norm2(F.col("c_qv")))
         .select("query_id", "neighbor_id", cos.alias("cos"))
         # no distinct needed: assignment puts each neighbor in exactly ONE
         # cell, so the cell join yields ≤1 row per (query, neighbor)
