@@ -122,6 +122,16 @@ HEADLINE = [
     # sort-based aggregation cost class distinct from the hash-agg
     # sessionize counts
     "session_windows",
+    # round-13: the vector-search cost classes the r13 gate+prescore
+    # rotation changed but the suite never tracked directly — sign-LSH
+    # bucket join, SRP bucket join (plane dots per row), IVF-flat
+    # (GEMM assign + probe join), and the SemDeDup cell self-join
+    # (dense pair volume; the biggest prescore win at 0.36x).  Earlier
+    # rounds' totals compare like-for-like over the shared names.
+    "ann_lsh_topk",
+    "ann_rh_topk",
+    "ann_ivf_topk",
+    "semantic_dedup",
 ]
 
 
