@@ -209,6 +209,13 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # passes; it is bug-compatible, not correct.  Fix (add the _emb gate +
 # _VALID_EMB predicate) changes a deferred plan, so it lands with the
 # query's r14 rotation.
+# Also queued (the tokenize-once class, r13's text_quality fix
+# measured 0.59x on the same shape): source_cap_keepers passes raw
+# token EXPRESSIONS to classifier_logit_from (tokens(text) re-evaluated
+# twice per row inside the logit), and quality_classifier references
+# its logit expression twice in one projection (round + keep — the
+# bound-array HOFs run twice); both are deferred r12/r11 names, so the
+# rebinds land with their r14 rotation.
 _DEFERRED = [
     # r10-green (hash) — displaced by this round's changed-plan
     # re-earners; pytest-pinned end-to-end (test_streaming), first in
