@@ -707,9 +707,22 @@ SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n FROM (
     "Marker-word language-ID heuristic, aggregated by predicted language.",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bind the token array, then the per-language scores, then argmax
+    # over the bound columns: the convenience lang_id(text) embeds each
+    # HOF score at ~2(L-1) comparison sites and re-tokenizes at every
+    # one.  Measured 0.43x at sf0.1, bit-identical.
     docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        textfns.tokens(F.lower(F.col("text"))).alias("ltoks")
+    ).select(*[
+        textfns._marker_hits(F.col("ltoks"), markers).alias(f"s_{lang}")
+        for lang, markers in textfns.LANG_MARKERS.items()
+    ])
+    lang = textfns.lang_id_from_scores(
+        {lang: F.col(f"s_{lang}") for lang in textfns.LANG_MARKERS}
+    )
     return (
-        docs.select(textfns.lang_id(F.col("text")).alias("predicted_lang"))
+        scored.select(lang.alias("predicted_lang"))
         .groupBy("predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
