@@ -706,13 +706,59 @@ def ivf_topk(
     Defaults to :func:`seed_centroids` (deterministic, oracle-friendly);
     pass ``centroids=kmeans_centroids(...)`` for a trained codebook.
     """
+    cent, assigned = ivf_build(
+        embeddings, n_centroids=n_centroids, centroids=centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ivf_search(
+        embeddings, cent, assigned, query_ids, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable IVF-flat index pair:
+
+      * ``centroids`` (cell, cvec) — the coarse quantizer;
+      * ``assigned`` (id, vec, cell) — the corpus with its cell
+        routing, the flat-index analogue of :func:`ivfpq_build`'s codes
+        (raw vectors stay because flat IVF scores them exactly).
+
+    Write both as parquet (``assigned`` partitioned by ``cell`` so a
+    probe prunes partitions); :func:`ivf_search` then serves any number
+    of query batches without re-assigning the corpus — the build's one
+    GEMM pass is paid once, not per query batch.  pytest pins that the
+    split-and-persisted path is row-identical to :func:`ivf_topk`."""
     cent = centroids if centroids is not None else seed_centroids(
         embeddings, n_centroids, id_col, vec_col
     )
     # corpus-side assignment on the GEMM engine (row-identical to the
     # crossJoin+window plan; the corpus streams, no row blow-up)
     assigned = assign_cells_gemm(embeddings, cent, id_col, vec_col)
+    return cent, assigned
 
+
+def ivf_search(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-flat queries against a built (or parquet-loaded) index:
+    rank the coarse cells per query, then score only the ``assigned``
+    rows in probed cells.  ``embeddings`` is read solely to fetch the
+    query vectors (a bounded ``isin`` lookup)."""
+    cent = centroids
     # prescore (the _exact_score_topk shape): quantized array + int64
     # norm² are per-VECTOR properties projected once per row — scoring
     # with quantized_cosine inside the probe/candidate joins re-ran

@@ -165,6 +165,27 @@ def test_ivfpq_split_persisted_matches_composition(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_ivf_split_persisted_matches_composition(spark, sf_dir, tmp_path):
+    """The IVF-flat build/serve split (the ivfpq_build/search story for
+    the flat index): build once, persist (centroids + cell-partitioned
+    assigned corpus), reload, search — row-identical to ivf_topk."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    want = sorted(map(tuple, similarity.ivf_topk(e, qids, k=5).collect()))
+    cent, assigned = similarity.ivf_build(e)
+    cent.write.parquet(f"{tmp_path}/cent")
+    # the deployment layout: partition the flat index by cell so a
+    # probe's scan prunes to nprobe directories
+    assigned.write.partitionBy("cell").parquet(f"{tmp_path}/assigned")
+    got = sorted(map(tuple, similarity.ivf_search(
+        e,
+        spark.read.parquet(f"{tmp_path}/cent"),
+        spark.read.parquet(f"{tmp_path}/assigned"),
+        qids, k=5,
+    ).collect()))
+    assert got == want
+
+
 def test_gemm_topk_excludes_self_even_in_lone_batch(spark):
     # a 1-row corpus that IS the query: the batch's only candidate is
     # itself; the -inf kth-threshold path must not leak it through
