@@ -279,10 +279,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
     "Brute-force cosine top-5 for 10 query vectors (quantized-int exact).",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = similarity.valid_vectors(
-        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM
-    )
-    return similarity.cosine_topk(emb, _ANN_QUERY_IDS, k=5)
+    return similarity.cosine_topk(_emb(spark, sf_dir), _ANN_QUERY_IDS, k=5)
 
 
 @register(
@@ -831,10 +828,9 @@ SELECT id_a, id_b, cos FROM (
     "blocking — the vector-dedup pass of a training pipeline.",
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = similarity.valid_vectors(
-        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM
+    return similarity.embedding_near_duplicates(
+        _emb(spark, sf_dir), threshold=0.4, bits=8
     )
-    return similarity.embedding_near_duplicates(emb, threshold=0.4, bits=8)
 
 
 _TFIDF_SQL = """
@@ -3658,12 +3654,11 @@ SELECT query_id, neighbor_id, cos, rank FROM (
     "exact cosine.",
 )
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = similarity.valid_vectors(
-        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM
-    )
     allowed = load(spark, sf_dir, "documents").filter(
         F.col("lang") == "en").select(F.col("doc_id").alias("vec_id"))
-    return similarity.filtered_topk(emb, allowed, _ANN_QUERY_IDS, k=5)
+    return similarity.filtered_topk(
+        _emb(spark, sf_dir), allowed, _ANN_QUERY_IDS, k=5
+    )
 
 
 def _norm_sql_expr() -> str:

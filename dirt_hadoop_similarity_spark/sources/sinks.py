@@ -78,8 +78,15 @@ def read_jsonl(spark: SparkSession, path: str,
         from pyspark.sql.types import StructType
 
         fields = StructType.fromDDL(schema).fieldNames()
-        if corrupt_col and corrupt_col not in fields:
-            schema = f"{schema}, {corrupt_col} string"
+        if corrupt_col:
+            if corrupt_col not in fields:
+                schema = f"{schema}, {corrupt_col} string"
+            # set the option UNCONDITIONALLY for a truthy corrupt_col:
+            # a caller who declares the column in their own schema under
+            # a non-default name still needs Spark pointed at it —
+            # inside the not-in-fields branch, such a caller silently
+            # got Spark's default '_corrupt_record' (absent from the
+            # schema) and malformed lines became all-NULL rows again
             r = r.option("columnNameOfCorruptRecord", corrupt_col)
         r = r.schema(schema)
     return r.json(path)

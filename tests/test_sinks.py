@@ -168,3 +168,26 @@ def test_jsonl_quarantine_survives_superstring_column_name(spark, tmp_path):
     }
     bad = [r for r in back.collect() if r["_corrupt_record"] is not None]
     assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json"
+
+
+def test_jsonl_quarantine_honors_predeclared_nondefault_column(
+    spark, tmp_path
+):
+    """A caller who declares the corrupt column IN their schema under a
+    non-default name must still get quarantine: the option-setting used
+    to live only in the append branch, so Spark fell back to its
+    default '_corrupt_record' name (absent from the schema) and the
+    malformed line became an all-NULL row."""
+    from dirt_hadoop_similarity_spark.sources.sinks import read_jsonl
+
+    p = tmp_path / "bad4.jsonl"
+    p.write_text('{"doc_id": 1}\nnot json\n')
+    back = read_jsonl(
+        spark, str(p), schema="doc_id long, bad_rec string",
+        corrupt_col="bad_rec",
+    )
+    assert set(back.columns) == {"doc_id", "bad_rec"}
+    rows = back.collect()
+    bad = [r for r in rows if r["bad_rec"] is not None]
+    assert len(bad) == 1 and bad[0]["bad_rec"] == "not json"
+    assert not [r for r in rows if r["doc_id"] is None and r["bad_rec"] is None]

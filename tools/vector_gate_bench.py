@@ -91,12 +91,16 @@ def main() -> None:
     clean = emb.cache()
     n_clean = clean.count()
 
-    # dirty twin: deterministic id-keyed corruption, replica-independent
+    # dirty twin: deterministic id-keyed corruption, replica-independent.
+    # The 10-query panel (vec_id 0-9) is EXEMPT so the dirty legs score
+    # exactly the same panel as the clean legs — corrupting a query id
+    # would silently shrink the dirty legs to an 8-query comparison.
     vid = F.col("vec_id") % 10
+    panel_safe = F.col("vec_id") >= len(QUERY_IDS)
     dirty = clean.select(
         "vec_id",
-        F.when(vid == 3, F.lit(None).cast("array<float>"))
-        .when(vid == 7, F.slice("embedding", 1, DIM // 2))
+        F.when(panel_safe & (vid == 3), F.lit(None).cast("array<float>"))
+        .when(panel_safe & (vid == 7), F.slice("embedding", 1, DIM // 2))
         .otherwise(F.col("embedding"))
         .alias("embedding"),
     ).cache()
