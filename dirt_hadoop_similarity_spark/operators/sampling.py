@@ -487,6 +487,13 @@ def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int = 4,
     never the vectors.  Swap the cell column for trained k-means /
     IVF cells (``similarity.assign_cells``) without touching the
     sampling shape.
+
+    Admission contract (shared with the whole vector family): feed
+    this a relation already behind :func:`similarity.valid_vectors` —
+    a NULL embedding otherwise sign-buckets to cell 0 (every sign
+    CASE term falls through to 0) and its reservoir draw displaces
+    valid all-negative-sign vectors from that cell's cap.  The gate is
+    the caller's because only the caller knows the declared index dim.
     """
     # lazy import: sampling is imported by modules similarity depends on
     from dirt_hadoop_similarity_spark.operators.similarity import sign_bucket

@@ -81,76 +81,81 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # ROUND-13 ROTATION (VERDICT r12 tasks 1-4).
-    # The ANN family re-earns after the valid_vectors admission gate +
-    # the quantized-prescore refactor (both change every plan;
-    # tests/test_embedding_null_inputs.py's r12 must-fail pins flipped):
-    "ann_gemm_topk",
-    "ann_hard_negatives",
-    "ann_ivf_topk",
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "ann_rh_topk",
+    # ROUND-14 ROTATION (VERDICT r13 tasks 1-2, 6-7).
+    # Head: the registry's two oldest rows (r10-green, displaced by the
+    # r12 and r13 changed-plan re-earners; pytest-pinned end-to-end by
+    # test_streaming, restart semantics now also pinned by the two-file
+    # replay tests next to stream_dedup's):
+    "stream_windowed_counts",
+    "stream_interval_join",
+    # changed plans this round (fingerprint diff, tools/plan_fingerprints):
+    #   cluster_balanced_sample — the valid_vectors admission gate landed
+    #     (the one vector consumer left outside the r13 gate; a NULL
+    #     embedding sign-bucketed to cell 0 and displaced valid keepers —
+    #     must-fail pin in test_sampling flipped);
+    #   quality_classifier / source_cap_keepers — tokenize-once rebinds
+    #     (bind the token arrays / the logit before reuse; exceptAll 0/0,
+    #     0.93x / 0.92x interleaved min-of-3 at sf0.1);
+    #   curation_funnel — annotate now binds per-language marker counts
+    #     and argmaxes over cheap int columns (the text_langid shape):
+    "cluster_balanced_sample",
+    "quality_classifier",
+    "source_cap_keepers",
+    "curation_funnel",
+    # conservative rotation: semantic_dedup's backing function gained
+    # the trained-centroids / occupancy-scaled-bits modes — the default
+    # fixed-grid plan is fingerprint-identical, but the function body
+    # changed (similarity.py UDF-source hash), so it re-earns anyway:
     "semantic_dedup",
-    # the ordering-based time family re-earns after the drop-null-
-    # event-time contract (engine filter + oracle predicate;
-    # tests/test_event_null_inputs.py's pins flipped).  stream_sessionize's
-    # fingerprint cannot see its stateful-UDF body (memory-sink plan) but
-    # the backing applyInPandasWithState op changed; session_windows
-    # routes native at sf0.001 so its plan is unchanged, but its
-    # skew-safe route (_session_bucket_flags) dropped the phantom
-    # NULL-bucket sessions (ADVICE r12) — both re-earn with the family:
-    "asof_join_events",
-    "sessionize",
-    "sessionize_auto",
-    "sessionize_skewsafe",
-    "window_cumsum",
-    "stream_sessionize",
-    "session_windows",
-    # the split-once biarc token parse (sources/biarcs._TOKENS_EXPR)
-    # changed every parse-consumer plan:
-    "dirt_extract_counts",
-    "dirt_full_pipeline",
-    "dirt_pipeline_exact",
-    # the last two r9-era rows (VERDICT r12 task 4):
-    "sql_below_avg",
-    "subquery_below_avg",
-    # freshness filler: the r10-green cohort, code-unchanged since their
-    # rows, minus the two pytest-pinned streaming shapes deferred to the
-    # r14 head (the window is exactly full):
-    "bpe_train_merges",
-    "event_user_outliers_mad",
-    "left_join_coalesce",
-    "mi_expression",
-    "ntile_quartiles",
-    "percentile_exact",
-    "pii_redact",
-    "pivot_orderstatus",
-    "profile_columns",
-    "q3_shipping_priority",
-    "range_join_events",
-    "rollup_returnflag",
-    "self_join_lineitem",
-    "semi_join_orders",
-    "sequence_packing",
-    "stratified_sample",
-    "stream_dedup_events",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_tfidf_top_terms",
-    "topk_per_group",
-    "training_shards",
-    "union_label",
-    "unpivot_orderstatus",
-    "window_sliding",
-    "window_tumbling",
+    # freshness cohort: every remaining r11-green name (the oldest
+    # evidence after the head), code-unchanged since their rows:
+    "anti_join_customers",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "bpe_train_batched",
+    "cohort_retention",
+    "corpus_diff",
+    "corr_price_quantity",
+    "cube_status_priority",
+    "dataset_split",
+    "decimal_revenue_exact",
+    "dirt_mi",
+    "dirt_sim",
+    "doc_chunking",
+    "dsir_importance",
+    "duplicate_spans",
+    "join_orders_lineitem",
+    "join_salted_skew",
+    "lm_perplexity_tiers",
+    "lm_quality",
+    "media_features",
+    "media_metadata",
+    "q1_pricing_summary",
+    "reservoir_per_group",
+    "set_ops_cohorts",
+    "skew_profile",
+    "text_repetition",
+    "vocab_oov_rate",
+    "window_range_frame",
+    "zorder_events",
+    # freshness filler: 14 of the 44 remaining r12-green names
+    # (alphabetical; the other 30 lead the r15 window — see the ledger
+    # below), so the window is exactly full:
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "decontaminate",
+    "dedup_cluster_keepers",
+    "dedup_components",
+    "dedup_components_ls",
+    "dedup_distinct",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_pagerank",
+    "dedup_simhash",
 ]
-
 # Rows-only-by-design queries that may sit past the window:
 #   * profile_approx — engine-specific sketch outputs cannot value-match
 #     any oracle; accuracy bounds are pytest-pinned (test_queries_misc).
@@ -160,17 +165,16 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # Rotation policy: entries whose last driver-green row is OLDEST (or
 # whose code changed, or that never had a row) fill the window; the
 # deferred tail is drawn from the MOST recently checked rounds.
-# Round 13: _PRIORITY is exactly 50 names (19 changed-plan re-earners —
-# the 11 gated+prescored ANN queries, the 5 drop-null-ts time queries,
-# the 3 split-once-parse dirt consumers — plus stream_sessionize and
-# session_windows whose backing code changed under unchanged
-# fingerprints, the 2 r9-era names, and 27 of the 29 r10-era names as
-# freshness filler); _DEFERRED enumerates every other name — r11/r12
-# hash-green except stream_windowed_counts and stream_interval_join
-# (r10-green, pytest-pinned end-to-end by test_streaming, displaced by
-# the changed-plan re-earners; they lead the r14 rotation), all
-# code-unchanged since their row, oracle-backed (or whitelisted
-# rows-only above).
+# Round 14: _PRIORITY is exactly 50 names — the 2 r10-green streaming
+# shapes (the registry's oldest evidence, displaced in r12 AND r13 —
+# the one breach of the two-round ceiling, closed here), the 4
+# changed-plan re-earners (cluster_balanced_sample's admission gate,
+# the quality_classifier / source_cap_keepers / curation_funnel
+# tokenize-once rebinds), semantic_dedup as a conservative
+# UDF-source-hash rotation, the 29 remaining r11-green names, and 14
+# r12-green names as freshness filler.  _DEFERRED enumerates every
+# other name — r12/r13 hash-green, code-unchanged since their row,
+# oracle-backed (or whitelisted rows-only above).
 # The contract is machine-checked on BOTH failure modes:
 # tests/test_oracle_all.py recomputes per-query freshness from the
 # committed CORRECTNESS_r*.json files (hash-green rows only —
@@ -197,72 +201,22 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # test_registry_size_frozen fails any 131st registration that does not
 # retire an existing name (escape hatch documented there).
 #
-# ROUND-14 QUEUE: stream_windowed_counts and stream_interval_join
-# (the two r10-green names displaced by this round's changed-plan
-# re-earners) lead the r14 window; the r11-green cohort below is the
-# next freshness rotation after them.  Also queued:
-# cluster_balanced_sample should gate invalid vectors like the rest of
-# the vector family — today a NULL embedding sign-buckets to cell 0
-# (every CASE term falls through to 0) and pollutes that cell's
-# reservoir, displacing valid all-negative-sign vectors from the cap.
-# The oracle replays the same semantics so the dirty-vector sweep
-# passes; it is bug-compatible, not correct.  Fix (add the _emb gate +
-# _VALID_EMB predicate) changes a deferred plan, so it lands with the
-# query's r14 rotation.
-# Also queued (the tokenize-once class, r13's text_quality fix
-# measured 0.59x on the same shape): source_cap_keepers passes raw
-# token EXPRESSIONS to classifier_logit_from (tokens(text) re-evaluated
-# twice per row inside the logit), and quality_classifier references
-# its logit expression twice in one projection (round + keep — the
-# bound-array HOFs run twice); both are deferred r12/r11 names, so the
-# rebinds land with their r14 rotation.
+# ROTATION LEDGER (VERDICT r13 task 7 — plan the next two windows so
+# no name ever exceeds the two-round ceiling again).  Post-r14
+# projected freshness histogram: r14=50, r13=49, r12=30 (the
+# non-filler r12 tail below), plus the rows-only profile_approx.
+#   ROUND-15 WINDOW (assuming no code changes; changed plans always
+#   pre-empt filler): the 30 r12-green names in the deferred tail's
+#   first block — at r15 their rows are 3 rounds old without this —
+#   plus 20 of the 49 r13-green names (alphabetical) as filler.
+#   ROUND-16 WINDOW: the remaining 29 r13-green names, plus the oldest
+#   r14 cohort as filler.
+# Steady state: 130 names / 50 slots cycles in <3 rounds with ~20
+# slots/round of headroom for changed-plan re-earners.
 _DEFERRED = [
-    # r10-green (hash) — displaced by this round's changed-plan
-    # re-earners; pytest-pinned end-to-end (test_streaming), first in
-    # line for r14:
-    "stream_windowed_counts",
-    "stream_interval_join",
-    # r11-green (hash) — code-unchanged since their row,
-    # fingerprint-guarded, oracle-backed; next up after the r14 head:
-    "corpus_diff",
-    "dirt_mi",
-    "dirt_sim",
-    "doc_chunking",
-    "dsir_importance",
-    "duplicate_spans",
-    "join_orders_lineitem",
-    "join_salted_skew",
-    "lm_perplexity_tiers",
-    "lm_quality",
-    "media_features",
-    "media_metadata",
-    "q1_pricing_summary",
-    "quality_classifier",
-    "reservoir_per_group",
-    "set_ops_cohorts",
-    "skew_profile",
-    "text_repetition",
-    "vocab_oov_rate",
-    "window_range_frame",
-    "zorder_events",
-    "anti_join_customers",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
-    "bpe_train_batched",
-    "cluster_balanced_sample",
-    "cohort_retention",
-    "corr_price_quantity",
-    "cube_status_priority",
-    "dataset_split",
-    "decimal_revenue_exact",
-    # r12-green (hash) — last round's driver window, all
-    # code-unchanged since their r12 row, fingerprint-guarded:
-    "mixture_resample",
-    "temperature_mixture",
-    "dedup_distinct",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_simhash",
+    # r12-green (hash) — code-unchanged since their row,
+    # fingerprint-guarded, oracle-backed; they LEAD the r15 window
+    # (see the rotation ledger above):
     "dedup_threshold_sweep",
     "embedding_near_dups",
     "event_interarrival",
@@ -275,34 +229,76 @@ _DEFERRED = [
     "join_top_spenders",
     "json_props_extract",
     "least_greatest_pairs",
+    "media_frames",
+    "media_frames_text",
+    "mixture_resample",
     "rolling_distinct_users",
     "snapshot_upsert",
     "source_budget_waterfill",
-    "source_cap_keepers",
     "split_contamination",
     "sql_grouping_sets",
     "sql_monthly_top_orders",
     "sql_running_total",
+    "temperature_mixture",
+    "text_boilerplate",
+    "text_cosine_pairs",
+    "text_cosine_topk",
     "text_normalize",
     "text_rolling_hash",
     "text_token_budget",
     "timeseries_gapfill",
-    "curation_funnel",
-    "decontaminate",
-    "dedup_cluster_keepers",
-    "dedup_components",
-    "dedup_components_ls",
-    "dedup_lsh_verified",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_pagerank",
-    "text_boilerplate",
-    "text_cosine_pairs",
-    "text_cosine_topk",
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "media_frames",
-    "media_frames_text",
+    # r13-green (hash) — last round's driver window minus the
+    # rotated semantic_dedup, all code-unchanged since their r13
+    # row, fingerprint-guarded:
+    "ann_gemm_topk",
+    "ann_hard_negatives",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "ann_rh_topk",
+    "asof_join_events",
+    "bpe_train_merges",
+    "dirt_extract_counts",
+    "dirt_full_pipeline",
+    "dirt_pipeline_exact",
+    "event_user_outliers_mad",
+    "left_join_coalesce",
+    "mi_expression",
+    "ntile_quartiles",
+    "percentile_exact",
+    "pii_redact",
+    "pivot_orderstatus",
+    "profile_columns",
+    "q3_shipping_priority",
+    "range_join_events",
+    "rollup_returnflag",
+    "self_join_lineitem",
+    "semi_join_orders",
+    "sequence_packing",
+    "session_windows",
+    "sessionize",
+    "sessionize_auto",
+    "sessionize_skewsafe",
+    "sql_below_avg",
+    "stratified_sample",
+    "stream_dedup_events",
+    "stream_sessionize",
+    "subquery_below_avg",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "topk_per_group",
+    "training_shards",
+    "union_label",
+    "unpivot_orderstatus",
+    "window_cumsum",
+    "window_sliding",
+    "window_tumbling",
     # rows-only-by-design (whitelisted above), r5 rows-only row
     "profile_approx",
 ]

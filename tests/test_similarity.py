@@ -502,6 +502,54 @@ class TestSemanticDedup:
         assert not out[2]["kept"] and out[2]["dup_of"] == 1
 
 
+class TestSemanticDedupScaleModes:
+    def test_auto_bits_pins_expected_occupancy(self):
+        # the law: n / 2^bits <= target (within the clamp), monotone in n
+        assert similarity.semantic_dedup_auto_bits(1_000) == 4
+        assert similarity.semantic_dedup_auto_bits(2_000_000) == 10
+        b = [similarity.semantic_dedup_auto_bits(n)
+             for n in (10**4, 10**6, 10**8, 10**10)]
+        assert b == sorted(b) and b[-1] <= 24
+        for n in (10**4, 10**6, 10**8):
+            bits = similarity.semantic_dedup_auto_bits(n)
+            assert bits == 24 or (n >> bits) <= 2000
+
+    def test_target_cell_rows_matches_explicit_bits(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        bits = similarity.semantic_dedup_auto_bits(n, target_cell_rows=50)
+        auto = similarity.semantic_dedup(
+            emb, threshold=0.7, target_cell_rows=50)
+        explicit = similarity.semantic_dedup(emb, threshold=0.7, bits=bits)
+        assert auto.exceptAll(explicit).count() == 0
+        assert explicit.exceptAll(auto).count() == 0
+
+    def test_trained_centroids_mode(self, spark):
+        import math
+        # two tight direction clusters + one outlier; 2 trained cells
+        rows = [(i, [1.0 + i * 1e-3, 0.0]) for i in range(4)]
+        rows += [(10 + i, [0.0, 1.0 + i * 1e-3]) for i in range(4)]
+        rows += [(99, [math.cos(math.radians(45)), math.sin(math.radians(45))])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cent = similarity.kmeans_centroids(emb, k=2, iters=2)
+        out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+            emb, threshold=0.99, centroids=cent).collect()}
+        assert len(out) == 9
+        # each direction cluster keeps exactly its lowest id
+        assert out[0]["kept"] and all(
+            not out[i]["kept"] and out[i]["dup_of"] == 0 for i in (1, 2, 3))
+        assert out[10]["kept"] and all(
+            not out[i]["kept"] and out[i]["dup_of"] == 10
+            for i in (11, 12, 13))
+
+    def test_mode_exclusivity(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="at most one"):
+            similarity.semantic_dedup(
+                emb, centroids=emb, target_cell_rows=10)
+
+
 class TestHardNegatives:
     def test_ceiling_filters_without_promoting(self, spark):
         import math

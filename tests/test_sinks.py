@@ -150,6 +150,24 @@ def test_jsonl_corrupt_line_quarantined_by_default(spark, tmp_path):
     assert set(plain.columns) == {"doc_id", "text"}
 
 
+def test_jsonl_schemaless_read_honors_nondefault_corrupt_col(
+    spark, tmp_path
+):
+    """ADVICE r13: a custom corrupt_col on an INFERRED-schema read used
+    to be a silent no-op (the option lived inside the schema branch) —
+    Spark inferred its default '_corrupt_record' instead.  The option
+    is now set on both paths, so inference surfaces malformed lines
+    under the caller's name."""
+    from dirt_hadoop_similarity_spark.sources.sinks import read_jsonl
+
+    p = tmp_path / "bad5.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json either\n')
+    back = read_jsonl(spark, str(p), corrupt_col="bad_rec")
+    assert "bad_rec" in back.columns and "_corrupt_record" not in back.columns
+    bad = [r for r in back.cache().collect() if r["bad_rec"] is not None]
+    assert len(bad) == 1 and bad[0]["bad_rec"] == "not json either"
+
+
 def test_jsonl_quarantine_survives_superstring_column_name(spark, tmp_path):
     """Membership is exact field-name, not substring (ADVICE r12): a
     schema whose column merely CONTAINS '_corrupt_record' must still
