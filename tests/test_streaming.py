@@ -655,3 +655,98 @@ def test_incremental_dedup_stream_survives_dirty_text(spark, sf_dir, tmp_path):
     assert {1002, 1003, 1004}.issubset(got)
     # the exact dup of an indexed doc is dropped
     assert 1000 not in got
+
+
+def _time_split_events(spark, sf_dir, dest):
+    """The two-file replay corpus (VERDICT r13 task 6): the events table
+    split AT THE MEDIAN ts into two parquet files, so a
+    maxFilesPerTrigger=1 drain spans two micro-batches with the
+    watermark advancing between them, and nothing in file 2 is late."""
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2  # any interior cut works; both halves non-empty
+    src.filter(F.col("ts") <= mid).coalesce(1).write.mode(
+        "overwrite").parquet(f"{dest}/f1")
+    src.filter(F.col("ts") > mid).coalesce(1).write.mode(
+        "overwrite").parquet(f"{dest}/f2")
+    import glob as g, shutil
+    for i, sub in enumerate(("f1", "f2")):
+        [p] = g.glob(f"{dest}/{sub}/part-*.parquet")
+        shutil.move(p, f"{dest}/e{i}.parquet")
+        shutil.rmtree(f"{dest}/{sub}")
+    return src
+
+
+def test_windowed_counts_two_file_replay_matches_batch(spark, sf_dir, tmp_path):
+    """stream_windowed_counts' restart-shaped value pin: the SAME
+    aggregation drained one file per micro-batch (state carried across
+    batches, watermark advancing between them) must produce exactly the
+    batch result — incremental window state composes, late-drop fires
+    on nothing (the split is by time), and the final table is
+    value-identical, not just row-count-identical."""
+    d = str(tmp_path / "wc_replay")
+    src = _time_split_events(spark, sf_dir, d)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(sev.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    agg = sev.windowed_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wc_replay_pin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    assert n_batches >= 2, "replay must span multiple micro-batches"
+    s = {(r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+         for r in spark.table("wc_replay_pin").collect()}
+    b = {(r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+         for r in sev.windowed_counts(src).collect()}
+    assert s == b and len(s) > 0
+
+
+def test_interval_join_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """stream_interval_join's restart pin (the stream_dedup/e1_once
+    pattern): run the checkpointed join over file 1, STOP, add file 2,
+    re-run with the same checkpoint.  The second run must resume from
+    the committed offsets (no duplicate pairs), carry enough purchase
+    state across the restart to match file-2 errors against file-1
+    purchases (the interval bound keeps them inside the watermark
+    horizon), and the union must equal the batch range join exactly."""
+    d = str(tmp_path / "ij_replay")
+    src = _time_split_events(spark, sf_dir, d)
+    import os, shutil
+    staged = f"{d}/staged"
+    os.makedirs(staged)
+    shutil.move(f"{d}/e0.parquet", f"{staged}/e0.parquet")
+
+    out, ckpt = str(tmp_path / "ij_out"), str(tmp_path / "ij_ckpt")
+
+    def run(name):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(sev.EVENTS_SCHEMA)
+            .load(staged)
+        )
+        sev.run_stream_to_parquet(
+            sev.purchases_before_errors(stream), out, ckpt, query_name=name)
+
+    run("ij_restart_run1")
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    shutil.move(f"{d}/e1.parquet", f"{staged}/e1.parquet")
+    run("ij_restart_run2")
+
+    got = spark.read.parquet(out)
+    expect = sev.purchases_before_errors(src)
+    assert got.count() > n1, "run 2 must emit the file-2 matches"
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
