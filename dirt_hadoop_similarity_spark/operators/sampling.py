@@ -468,7 +468,8 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int, order_cols,
 
 def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int = 4,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         salt: str = "balance") -> DataFrame:
+                         salt: str = "balance",
+                         centroids: DataFrame | None = None) -> DataFrame:
     """Cluster-balanced subsampling over an embedding table — the
     topic-flattening stage of curated-pretraining recipes (DataComp-
     style cluster balancing): assign every vector to a sign-LSH cell
@@ -484,9 +485,13 @@ def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int = 4,
     Scale: cell assignment is a map-only expression over the first
     ``bits`` coordinates (no payload shuffle); the cap is the two-phase
     decomposable top-k, and only (id, cell, hash) rows ever shuffle —
-    never the vectors.  Swap the cell column for trained k-means /
-    IVF cells (``similarity.assign_cells``) without touching the
-    sampling shape.
+    never the vectors.  Pass ``centroids`` (cell long, cvec
+    array<float> — ``similarity.kmeans_centroids`` /
+    ``seed_centroids``) to balance over TRAINED clusters instead of the
+    sign grid: assignment routes through ``assign_cells_gemm`` (one
+    streaming GEMM pass, still no payload shuffle) and ``bits`` is
+    ignored — the same cell knob, and the same reason, as
+    ``semantic_dedup``'s.
 
     Admission contract (shared with the whole vector family): feed
     this a relation already behind :func:`similarity.valid_vectors` —
@@ -496,11 +501,19 @@ def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int = 4,
     the caller's because only the caller knows the declared index dim.
     """
     # lazy import: sampling is imported by modules similarity depends on
-    from dirt_hadoop_similarity_spark.operators.similarity import sign_bucket
-
-    cells = vectors.select(
-        F.col(id_col), sign_bucket(F.col(vec_col), bits).alias("cell")
+    from dirt_hadoop_similarity_spark.operators.similarity import (
+        assign_cells_gemm,
+        sign_bucket,
     )
+
+    if centroids is not None:
+        cells = assign_cells_gemm(vectors, centroids, id_col, vec_col).select(
+            F.col(id_col), "cell"
+        )
+    else:
+        cells = vectors.select(
+            F.col(id_col), sign_bucket(F.col(vec_col), bits).alias("cell")
+        )
     return reservoir_per_group(cells, "cell", cap, id_col, salt=salt)
 
 
