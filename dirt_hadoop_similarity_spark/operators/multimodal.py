@@ -50,6 +50,11 @@ FEATURES_SCHEMA = "media_id long, feature array<float>"
 
 FRAMES_SCHEMA = "media_id long, frame_index int, frame_payload binary"
 
+AUDIO_SCHEMA = (
+    "media_id long, kind string, sample_rate int, channels int, "
+    "bits int, n_frames long, n_bytes long"
+)
+
 
 def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Adapter: wrap the synthetic documents table as a media table
@@ -132,6 +137,86 @@ def _real_dims(payload: bytes):
     except (struct.error, IndexError):
         return None, None, None
     return None, None, None  # unknown container
+
+
+def _wav_meta(payload: bytes):
+    """REAL WAV (RIFF/WAVE) header decode, stdlib-only: walk the chunk
+    stream for 'fmt ' (channels, sample rate, bit depth) and 'data'
+    (frame count = chunk size / block align).  Chunk sizes are padded
+    to even offsets per the RIFF spec.  Returns (sample_rate, channels,
+    bits, n_frames) or all-None for unknown magic / torn headers —
+    the same NULL-row quarantine contract as :func:`_real_dims`."""
+    import struct
+
+    none = (None, None, None, None)
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return none
+        i = 12
+        rate = ch = bits = block = None
+        n_frames = None
+        while i + 8 <= len(payload):
+            tag = payload[i:i + 4]
+            size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+            if tag == b"fmt ":
+                _fmt, ch, rate, _br, block, bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8:i + 24])
+            elif tag == b"data":
+                if block:  # fmt is spec-required to precede data
+                    n_frames = size // block
+            i += 8 + size + (size & 1)  # RIFF even-padding rule
+        if rate is None:
+            return none
+        return rate, ch, bits, n_frames
+    except (struct.error, IndexError):
+        return none
+
+
+def _fake_audio_meta(payload: bytes):
+    h = hashlib.md5(payload).digest()
+    rate = (8000, 16000, 22050, 44100, 48000)[h[0] % 5]
+    ch = 1 + h[1] % 2
+    bits = (8, 16, 24)[h[2] % 3]
+    return rate, ch, bits, int.from_bytes(h[3:6], "big")
+
+
+def decode_audio_metadata(media: DataFrame,
+                          decoder: str = "fake") -> DataFrame:
+    """Audio twin of :func:`decode_metadata`: payloads →
+    (sample_rate, channels, bits, n_frames, n_bytes), Arrow-batched
+    ``mapInPandas``, no shuffle, NULL-payload/undecodable rows
+    quarantined with NULL metadata.  ``decoder="real"`` performs real
+    RIFF/WAVE header decode (:func:`_wav_meta` — genuinely valid for
+    anything the stdlib ``wave`` module writes); compressed codecs
+    (MP3/OGG/FLAC frames) are the pixel-decode analogue and stay out
+    of scope.  ``decoder="fake"`` md5-derives the fields so the
+    synthetic testdata (utf-8 payloads) exercises the plumbing."""
+
+    def _decode(batches):
+        import pandas as pd
+
+        meta_of = _wav_meta if decoder == "real" else _fake_audio_meta
+        for pdf in batches:
+            metas = [
+                meta_of(bytes(p)) if p is not None else (None,) * 4
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "sample_rate": [m[0] for m in metas],
+                    "channels": [m[1] for m in metas],
+                    "bits": [m[2] for m in metas],
+                    "n_frames": [m[3] for m in metas],
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_decode, AUDIO_SCHEMA)
 
 
 def decode_pixels(media: DataFrame):  # pragma: no cover - documented gate

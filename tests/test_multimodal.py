@@ -227,3 +227,62 @@ def test_decode_pixels_is_the_documented_gate():
 
     with pytest.raises(NotImplementedError, match="pixel decode"):
         multimodal.decode_pixels(None)
+
+
+def test_real_wav_header_decode_matches_stdlib_encoder(spark):
+    """decode_audio_metadata(decoder='real') against REAL WAV bytes the
+    stdlib wave module encoded — not hand-built headers — plus an
+    extra-chunk file (odd-sized LIST before fmt, exercising the RIFF
+    even-padding walk), unknown magic, and NULL payload."""
+    import io
+    import struct
+    import wave
+
+    def wav_bytes(rate, ch, sampwidth, n_frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(sampwidth)
+            w.setframerate(rate)
+            w.writeframes(b"\x01" * (n_frames * ch * sampwidth))
+        return buf.getvalue()
+
+    plain = wav_bytes(44100, 2, 2, 1000)
+    mono8 = wav_bytes(8000, 1, 1, 37)
+    # splice an odd-sized LIST chunk between WAVE and fmt
+    body = plain[12:]
+    oddlist = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    extra = plain[:4] + struct.pack(
+        "<I", 4 + len(oddlist) + len(body)) + b"WAVE" + oddlist + body
+
+    rows = [
+        (1, "audio", bytearray(plain)),
+        (2, "audio", bytearray(mono8)),
+        (3, "audio", bytearray(extra)),
+        (4, "audio", bytearray(b"ID3\x03not really mp3")),
+        (5, "audio", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in
+           multimodal.decode_audio_metadata(media, decoder="real").collect()}
+    assert (out[1]["sample_rate"], out[1]["channels"], out[1]["bits"],
+            out[1]["n_frames"]) == (44100, 2, 16, 1000)
+    assert (out[2]["sample_rate"], out[2]["channels"], out[2]["bits"],
+            out[2]["n_frames"]) == (8000, 1, 8, 37)
+    assert (out[3]["sample_rate"], out[3]["n_frames"]) == (44100, 1000)
+    for mid in (4, 5):
+        assert out[mid]["sample_rate"] is None
+    assert out[4]["n_bytes"] == len(rows[3][2]) and out[5]["n_bytes"] is None
+
+
+def test_fake_audio_meta_is_deterministic(spark):
+    media = multimodal.documents_as_media(
+        spark.createDataFrame([(1, "hello world", "s")],
+                              "doc_id long, text string, source string"),
+        kind="audio",
+    )
+    a = multimodal.decode_audio_metadata(media).collect()
+    b = multimodal.decode_audio_metadata(media).collect()
+    assert a == b and a[0]["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
