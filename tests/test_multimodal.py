@@ -222,11 +222,14 @@ def test_real_decode_edge_dims():
     assert _real_dims(b"\xff\xd8\xff\xd9") == (None, None, None)
 
 
-def test_decode_pixels_is_the_documented_gate():
+def test_entropy_decode_is_the_documented_gate():
+    """The NotImplementedError gate narrowed again in r15: pixel decode
+    is REAL for PNG/BMP/WAV; only JPEG/GIF entropy streams remain
+    codec-bound."""
     import pytest
 
-    with pytest.raises(NotImplementedError, match="pixel decode"):
-        multimodal.decode_pixels(None)
+    with pytest.raises(NotImplementedError, match="entropy decode"):
+        multimodal.inflate_entropy_coded(b"\xff\xd8")
 
 
 def test_real_wav_header_decode_matches_stdlib_encoder(spark):
@@ -286,3 +289,259 @@ def test_fake_audio_meta_is_deterministic(spark):
     a = multimodal.decode_audio_metadata(media).collect()
     b = multimodal.decode_audio_metadata(media).collect()
     assert a == b and a[0]["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+
+
+# ---------------------------------------------------------------------------
+# real pixel decode (r15): PNG/BMP/WAV payloads -> raw sample tensors
+# ---------------------------------------------------------------------------
+
+def _prand(n, seed=b"px"):
+    """Deterministic pseudo-random bytes (md5-chained)."""
+    out, s = bytearray(), seed
+    while len(out) < n:
+        s = hashlib.md5(s).digest()
+        out += s
+    return bytes(out[:n])
+
+
+def _png_encode(w, h, color_type, raster, filter_types, palette=None,
+                split_idat=False):
+    """A real PNG encoder for the test side: applies the requested
+    per-row filter types (0..4) before deflate, so the decoder's
+    unfilter path is proven against every filter, with correct CRCs."""
+    import struct, zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = w * spp
+    prev = bytes(stride)
+    enc = bytearray()
+    for y in range(h):
+        ft = filter_types[y % len(filter_types)]
+        row = raster[y * stride:(y + 1) * stride]
+        if ft == 0:
+            e = row
+        elif ft == 1:
+            e = bytes((row[i] - (row[i - spp] if i >= spp else 0)) & 255
+                      for i in range(stride))
+        elif ft == 2:
+            e = bytes((row[i] - prev[i]) & 255 for i in range(stride))
+        elif ft == 3:
+            e = bytes((row[i] - (((row[i - spp] if i >= spp else 0)
+                                  + prev[i]) >> 1)) & 255
+                      for i in range(stride))
+        else:  # Paeth
+            def paeth(i):
+                a = row[i - spp] if i >= spp else 0
+                b = prev[i]
+                c = prev[i - spp] if i >= spp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            e = bytes((row[i] - paeth(i)) & 255 for i in range(stride))
+        enc += bytes([ft]) + e
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    z = zlib.compress(bytes(enc))
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette)
+    if split_idat:  # decoder must concatenate multiple IDAT chunks
+        body += chunk(b"IDAT", z[:7]) + chunk(b"IDAT", z[7:])
+    else:
+        body += chunk(b"IDAT", z)
+    return b"\x89PNG\r\n\x1a\n" + body + chunk(b"IEND", b"")
+
+
+def _bmp_encode(w, h, bits, pixels_rgb, top_down=False, palette=None):
+    """A real BMP encoder for the test side: takes top-down RGB(A)
+    pixels and stores them as the container does (BGR(A), 4-byte padded
+    rows, bottom-up unless top_down)."""
+    import struct
+
+    bpp = bits // 8
+    stride = (w * bpp + 3) & ~3
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            if bits == 8:
+                row.append(pixels_rgb[y * w + x])  # palette index
+            elif bits == 24:
+                r, g, b = pixels_rgb[(y * w + x) * 3:(y * w + x) * 3 + 3]
+                row += bytes([b, g, r])
+            else:
+                r, g, b, a = pixels_rgb[(y * w + x) * 4:(y * w + x) * 4 + 4]
+                row += bytes([b, g, r, a])
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()
+    body = b"".join(rows)
+    pal = b""
+    n_colors = 0
+    if bits == 8:
+        n_colors = len(palette)
+        pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    off = 54 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1,
+                       bits, 0, len(body), 2835, 2835, n_colors, 0)
+    return header + info + pal + body
+
+
+def _decode_px(spark, payloads):
+    rows = [(i + 1, "media", bytearray(p) if p is not None else None)
+            for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    return {r["media_id"]: r for r in
+            multimodal.decode_pixels(media, decoder="real").collect()}
+
+
+def test_real_pixel_decode_png_every_filter_and_colortype(spark):
+    """decode_pixels(decoder='real') recovers the EXACT raster from
+    genuine PNGs exercising all five filter types, all five in-scope
+    color types, and a split-IDAT stream."""
+    cases = []
+    expected = []
+    for ct in (0, 2, 4, 6):
+        spp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        raster = _prand(5 * 4 * spp, seed=f"ct{ct}".encode())
+        cases.append(_png_encode(5, 4, ct, raster, [0, 1, 2, 3, 4],
+                                 split_idat=(ct == 2)))
+        expected.append((5, 4, spp, raster))
+    # palette: indices expand to RGB triples, channels reports 3
+    palette = bytes(range(48))  # 16 RGB entries
+    idx = bytes(b % 16 for b in _prand(6 * 3, seed=b"pal"))
+    cases.append(_png_encode(6, 3, 3, idx, [0, 1, 4], palette=palette))
+    expected.append((6, 3, 3, b"".join(
+        palette[i * 3:i * 3 + 3] for i in idx)))
+    out = _decode_px(spark, cases)
+    for mid, (w, h, ch, raster) in enumerate(expected, start=1):
+        r = out[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch), mid
+        assert bytes(r["pixels"]) == raster, f"raster mismatch case {mid}"
+
+
+def test_real_pixel_decode_bmp_variants(spark):
+    """24-bit bottom-up, 32-bit with alpha, 8-bit palette, and top-down
+    DIB — all recovered as top-down RGB(A)."""
+    rgb = _prand(7 * 3 * 3, seed=b"bmp24")
+    rgba = _prand(3 * 2 * 4, seed=b"bmp32")
+    pal = [(10 + i, 20 + i, 30 + i) for i in range(5)]
+    idx = bytes(b % 5 for b in _prand(4 * 2, seed=b"bmp8"))
+    out = _decode_px(spark, [
+        _bmp_encode(7, 3, 24, rgb),
+        _bmp_encode(3, 2, 32, rgba),
+        _bmp_encode(4, 2, 8, idx, palette=pal),
+        _bmp_encode(7, 3, 24, rgb, top_down=True),
+    ])
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (7, 3, 3)
+    assert bytes(out[1]["pixels"]) == rgb
+    assert out[2]["channels"] == 4 and bytes(out[2]["pixels"]) == rgba
+    assert out[3]["channels"] == 3
+    assert bytes(out[3]["pixels"]) == b"".join(
+        bytes(pal[i]) for i in idx)
+    assert bytes(out[4]["pixels"]) == rgb  # top-down stored == decoded
+
+
+def test_real_pixel_decode_wav_pcm(spark):
+    """WAV PCM through the uniform tensor contract: width = frames,
+    height = 1, pixels = the exact sample bytes the stdlib encoder
+    wrote."""
+    import io
+    import wave
+
+    samples = _prand(100 * 2 * 2, seed=b"wav")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples)
+    out = _decode_px(spark, [buf.getvalue()])
+    r = out[1]
+    assert (r["width"], r["height"], r["channels"]) == (100, 1, 2)
+    assert bytes(r["pixels"]) == samples
+
+
+def test_real_pixel_decode_quarantine_contract(spark):
+    """JPEG/GIF rows keep REAL header dims with NULL pixels (the
+    narrowed entropy gate); torn/unknown/NULL payloads quarantine
+    entirely; 16-bit PNG is out of scope."""
+    import struct, zlib
+
+    png16 = bytearray(_png(4, 4))
+    # patch depth byte to 16 and fix the IHDR CRC
+    png16[24] = 16
+    ihdr = bytes(png16[12:29])
+    struct.pack_into(">I", png16, 29, zlib.crc32(ihdr))
+    torn_png = _png(8, 8)[:40]  # signature + IHDR, no complete IDAT
+    out = _decode_px(spark, [
+        _jpeg(123, 45),
+        _gif(9, 7),
+        bytes(png16),
+        torn_png,
+        b"\x00\x01not media",
+        None,
+    ])
+    assert (out[1]["width"], out[1]["height"]) == (123, 45)
+    assert out[1]["pixels"] is None
+    assert (out[2]["width"], out[2]["height"]) == (9, 7)
+    assert out[2]["pixels"] is None
+    for mid in (3, 4, 5, 6):
+        assert out[mid]["width"] is None and out[mid]["pixels"] is None, mid
+
+
+def test_decode_pixels_fake_is_deterministic_and_shuffle_free(spark):
+    media = _media(spark, ["hello", "world"])
+    a = multimodal.decode_pixels(media).collect()
+    b = multimodal.decode_pixels(media).collect()
+    assert a == b
+    assert all(len(bytes(r["pixels"])) == 4 * 4 * 3 for r in a)
+    plan = multimodal.decode_pixels(media)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bmp_os2_core_header_metadata():
+    """ADVICE r15: 'BM' magic alone is not BITMAPINFOHEADER — an OS/2
+    BITMAPCOREHEADER (DIB size 12) packs 16-bit w/h at 18/20; parse it
+    correctly instead of unpacking garbage; unknown DIB sizes
+    quarantine."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import _real_dims
+
+    core = (struct.pack("<2sIHHI", b"BM", 26 + 12, 0, 0, 26 + 12)
+            + struct.pack("<IHHHH", 12, 320, 200, 1, 24))
+    assert _real_dims(core) == (320, 200, 3)
+    weird = (struct.pack("<2sIHHI", b"BM", 40, 0, 0, 40)
+             + struct.pack("<IHHHH", 16, 320, 200, 1, 24))
+    assert _real_dims(weird) == (None, None, None)
+    # pixel decode of a core-header BMP: metadata-only support
+    assert multimodal._bmp_raster(core) is None
+
+
+def test_wav_non_pcm_quarantines():
+    """ADVICE r15: a compressed RIFF payload (ADPCM etc.) has a
+    block_align that is not bytes-per-frame — report NULL metadata, not
+    confidently-wrong frame counts."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import _wav_meta
+
+    def riff(fmt_code):
+        fmt = struct.pack("<HHIIHH", fmt_code, 2, 22050, 22050 * 4, 4, 16)
+        data = b"\x00" * 64
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    assert _wav_meta(riff(1)) == (22050, 2, 16, 16)     # PCM: in scope
+    assert _wav_meta(riff(3)) == (22050, 2, 16, 16)     # IEEE float
+    assert _wav_meta(riff(0xFFFE)) == (22050, 2, 16, 16)  # extensible
+    assert _wav_meta(riff(2)) == (None,) * 4            # ADPCM: quarantine
+    assert _wav_meta(riff(0x55)) == (None,) * 4         # MP3-in-RIFF
