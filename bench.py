@@ -18,6 +18,18 @@ pipeline, heavy joins/aggs, windows, dedup (MinHash-LSH + exact
 Jaccard), ANN search + the split IVF-PQ build/serve pair, and text
 scoring.  $SPARK_GRAFT_BENCH_QUERIES (comma-separated subset) supports
 like-for-like diagnostics.
+
+Round-over-round comparison rule (PERF.md round 15): ratios between two
+committed BENCH files are read NORMALIZED by the ratio of their fixed
+synthetic controls (``drift.control_sec`` — a job executing zero
+registry code, so its movement is pure host condition).  Raw ratios are
+reported but never quoted as breaches or wins on their own; a file
+whose control deviates >1.15x from the prior round's is
+conditioned-invalid for absolute contract numbers (BENCH_r14, control
+1.374x vs r13, was the motivating case: suite raw 1.36x, normalized
+0.99x, every touched query 0.74-0.98x).  Normalized per-query ratios
+under ~1.4x are band noise on this box unless an interleaved A/B
+confirms.
 """
 
 from __future__ import annotations

@@ -466,10 +466,11 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int, order_cols,
     )
 
 
-def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int = 4,
+def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int | None = None,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          salt: str = "balance",
-                         centroids: DataFrame | None = None) -> DataFrame:
+                         centroids: DataFrame | None = None,
+                         target_cell_rows: int | None = None) -> DataFrame:
     """Cluster-balanced subsampling over an embedding table — the
     topic-flattening stage of curated-pretraining recipes (DataComp-
     style cluster balancing): assign every vector to a sign-LSH cell
@@ -485,13 +486,25 @@ def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int = 4,
     Scale: cell assignment is a map-only expression over the first
     ``bits`` coordinates (no payload shuffle); the cap is the two-phase
     decomposable top-k, and only (id, cell, hash) rows ever shuffle —
-    never the vectors.  Pass ``centroids`` (cell long, cvec
-    array<float> — ``similarity.kmeans_centroids`` /
-    ``seed_centroids``) to balance over TRAINED clusters instead of the
-    sign grid: assignment routes through ``assign_cells_gemm`` (one
-    streaming GEMM pass, still no payload shuffle) and ``bits`` is
-    ignored — the same cell knob, and the same reason, as
-    ``semantic_dedup``'s.
+    never the vectors.
+
+    Cell modes (the same knob family, and the same reason, as
+    ``semantic_dedup``'s — a fixed grid's cell count must grow with the
+    corpus or rare topics drown in merged cells):
+
+    * DEFAULT (no knob): occupancy-scaled sign grid at
+      ``similarity.DEFAULT_TARGET_CELL_ROWS`` expected rows per cell —
+      one cheap count() pass picks ``bits`` via
+      ``similarity.semantic_dedup_auto_bits``, so the naive call holds
+      its per-topic resolution as the corpus grows.
+    * explicit ``bits``: fixed sign grid — plan-stable, no count() job;
+      the registered oracle query pins this mode.
+    * ``target_cell_rows``: occupancy-scaled with an explicit target.
+    * ``centroids`` (cell long, cvec array<float> —
+      ``similarity.kmeans_centroids`` / ``seed_centroids``): balance
+      over TRAINED clusters; assignment routes through
+      ``assign_cells_gemm`` (one streaming GEMM pass, still no payload
+      shuffle).  Mutually exclusive with the grid knobs.
 
     Admission contract (shared with the whole vector family): feed
     this a relation already behind :func:`similarity.valid_vectors` —
@@ -502,15 +515,24 @@ def cell_balanced_sample(vectors: DataFrame, cap: int, bits: int = 4,
     """
     # lazy import: sampling is imported by modules similarity depends on
     from dirt_hadoop_similarity_spark.operators.similarity import (
+        DEFAULT_TARGET_CELL_ROWS,
         assign_cells_gemm,
+        semantic_dedup_auto_bits,
         sign_bucket,
     )
 
+    if sum(x is not None for x in (centroids, target_cell_rows, bits)) > 1:
+        raise ValueError(
+            "pass at most one of centroids / target_cell_rows / bits")
     if centroids is not None:
         cells = assign_cells_gemm(vectors, centroids, id_col, vec_col).select(
             F.col(id_col), "cell"
         )
     else:
+        if bits is None:
+            if target_cell_rows is None:
+                target_cell_rows = DEFAULT_TARGET_CELL_ROWS  # scale-safe
+            bits = semantic_dedup_auto_bits(vectors.count(), target_cell_rows)
         cells = vectors.select(
             F.col(id_col), sign_bucket(F.col(vec_col), bits).alias("cell")
         )

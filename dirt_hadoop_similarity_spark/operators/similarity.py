@@ -535,7 +535,13 @@ def assign_cells_gemm(
     """
     cells, CB = panel if panel is not None else _collect_centroids(centroids)
 
-    out_schema = f"{id_col} long, {vec_col} array<float>, cell long"
+    # passthrough vector keeps the INPUT's element type: declaring it
+    # array<float> unconditionally silently narrowed an array<double>
+    # corpus, so a value near a quantization boundary could flip between
+    # this path and plans that quantize the original column (ADVICE r14
+    # — semantic_dedup's centroids mode vs its sign-grid mode)
+    elem = vectors.schema[vec_col].dataType.elementType.simpleString()
+    out_schema = f"{id_col} long, {vec_col} array<{elem}>, cell long"
 
     def assign(batches):
         import numpy as np
@@ -1255,10 +1261,17 @@ def semantic_dedup_auto_bits(
     return bits
 
 
+#: default expected cell occupancy for the occupancy-scaled cell modes —
+#: the knob that keeps the cell self-join's pair volume ~linear in the
+#: corpus (measured r14: fixed 8-bit grid 72.3× time at 100× rows vs
+#: 8.2× for target-occupancy scaling)
+DEFAULT_TARGET_CELL_ROWS = 2000
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.7,
-    bits: int = 8,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -1292,23 +1305,30 @@ def semantic_dedup(
     Cell modes — the scale knob (the self-join is quadratic in cell
     OCCUPANCY, so the cell partition must grow with the corpus):
 
-    * default (both extras None): fixed ``bits``-wide sign grid — the
-      deterministic, oracle-checkable small-scale mode.  At a fixed
-      grid, occupancy (and candidate volume) grows linearly with the
-      corpus and pair volume QUADRATICALLY — measured 78.9× at 100×
-      rows on 8 bits.  Do not ship this at 100 TB.
-    * ``target_cell_rows``: occupancy-scaled grid — one count() pass
-      picks ``bits`` via :func:`semantic_dedup_auto_bits` so expected
-      occupancy stays ~constant and pair volume grows ~linearly.
+    * DEFAULT (no knob passed): occupancy-scaled sign grid at
+      ``DEFAULT_TARGET_CELL_ROWS`` expected rows per cell — one cheap
+      count() pass picks ``bits`` via :func:`semantic_dedup_auto_bits`,
+      so the naive call is scale-safe (VERDICT r14: the fixed-grid
+      default was the engine's last ship-blocker at 100 TB — measured
+      72.3× time at 100× rows vs 8.2× occupancy-scaled).
+    * explicit ``bits``: fixed sign grid — the deterministic,
+      plan-stable small-scale mode the registered oracle queries pin
+      (no count() job, fingerprint-identical plans).  At a fixed grid,
+      pair volume grows QUADRATICALLY with the corpus (measured 78.9×
+      candidates at 100× rows on 8 bits).  Do not ship this at 100 TB.
+    * ``target_cell_rows``: occupancy-scaled grid with an explicit
+      occupancy target (the default mode's knob spelled out).
     * ``centroids`` (cell long, cvec array<float>): trained clustering
       (:func:`kmeans_centroids` / :func:`seed_centroids`) — cells are
       assigned by max-cosine GEMM (:func:`assign_cells_gemm`, one
       streaming corpus pass, no shuffle), matching the SemDeDup paper's
-      k-means clustering.  Mutually exclusive with ``target_cell_rows``.
+      k-means clustering.  Mutually exclusive with the grid knobs.
     """
-    if centroids is not None and target_cell_rows is not None:
+    if sum(x is not None for x in (centroids, target_cell_rows, bits)) > 1:
         raise ValueError(
-            "pass at most one of centroids / target_cell_rows")
+            "pass at most one of centroids / target_cell_rows / bits")
+    if centroids is None and bits is None and target_cell_rows is None:
+        target_cell_rows = DEFAULT_TARGET_CELL_ROWS  # scale-safe default
     # prescored per-vector (quantized array + int64 norm² before the
     # cell self-join — the embedding_near_duplicates shape): a cell of
     # d vectors contributes d·(d−1)/2 pairs, so in-join quantized_cosine

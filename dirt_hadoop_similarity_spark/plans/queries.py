@@ -81,105 +81,85 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # ROUND-14 ROTATION (VERDICT r13 tasks 1-2, 6-7).
-    # Head: the registry's two oldest rows (r10-green, displaced by the
-    # r12 and r13 changed-plan re-earners; pytest-pinned end-to-end by
-    # test_streaming, restart semantics now also pinned by the two-file
-    # replay tests next to stream_dedup's):
-    "stream_windowed_counts",
-    "stream_interval_join",
-    # changed plans this round (fingerprint diff, tools/plan_fingerprints):
-    #   cluster_balanced_sample — the valid_vectors admission gate landed
-    #     (the one vector consumer left outside the r13 gate; a NULL
-    #     embedding sign-bucketed to cell 0 and displaced valid keepers —
-    #     must-fail pin in test_sampling flipped);
-    #   quality_classifier / source_cap_keepers — tokenize-once rebinds
-    #     (bind the token arrays / the logit before reuse; exceptAll 0/0,
-    #     0.93x / 0.92x interleaved min-of-3 at sf0.1);
-    #   curation_funnel — annotate now binds per-language marker counts
-    #     and argmaxes over cheap int columns (the text_langid shape):
-    "cluster_balanced_sample",
-    "quality_classifier",
-    "source_cap_keepers",
-    "curation_funnel",
-    # conservative rotation: semantic_dedup's backing function gained
-    # the trained-centroids / occupancy-scaled-bits modes — the default
-    # fixed-grid plan is fingerprint-identical, but the function body
-    # changed (similarity.py UDF-source hash), so it re-earns anyway:
+    # ROUND-15 ROTATION (VERDICT r14 tasks 1, 3-5; ledger below).
+    # Head: this round's re-earners.
+    #   profile_approx — CHANGED PLAN (fingerprint diff) and the
+    #     registry's only never-hash-green name until now: it emits
+    #     exact stats + sketch-within-band booleans since r15, so its
+    #     oracle value-checks it and the rows-only whitelist is empty;
+    #   semantic_dedup — similarity.py UDF-source rotation: the
+    #     operator's DEFAULT became the occupancy-scaled grid and
+    #     assign_cells_gemm now preserves the input element type (the
+    #     registered plan pins bits=8, fingerprint-identical);
+    #   cluster_balanced_sample — same default change in sampling.py
+    #     (registered plan pins bits=4, fingerprint-identical);
+    #   media_* — multimodal.py UDF-source rotation: real pixel decode
+    #     (PNG/BMP/WAV) landed plus the OS/2-BMP and non-PCM-WAV
+    #     header-quarantine fixes (registered plans use the fake
+    #     decoder; conservative module-hash rotation, r14 precedent):
+    "profile_approx",
     "semantic_dedup",
-    # freshness cohort: every remaining r11-green name (the oldest
-    # evidence after the head), code-unchanged since their rows:
-    "anti_join_customers",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
-    "bpe_train_batched",
-    "cohort_retention",
-    "corpus_diff",
-    "corr_price_quantity",
-    "cube_status_priority",
-    "dataset_split",
-    "decimal_revenue_exact",
-    "dirt_mi",
-    "dirt_sim",
-    "doc_chunking",
-    "dsir_importance",
-    "duplicate_spans",
-    "join_orders_lineitem",
-    "join_salted_skew",
-    "lm_perplexity_tiers",
-    "lm_quality",
-    "media_features",
+    "cluster_balanced_sample",
     "media_metadata",
-    "q1_pricing_summary",
-    "reservoir_per_group",
-    "set_ops_cohorts",
-    "skew_profile",
-    "text_repetition",
-    "vocab_oov_rate",
-    "window_range_frame",
-    "zorder_events",
-    # UDF-source rotation: multimodal.py (a UDF_SOURCE_FILES module)
-    # gained the real header decoder this round, so ALL its queries
-    # re-earn — media_features/media_metadata are in the r11 cohort
-    # above; these two are r12:
+    "media_features",
     "media_frames",
     "media_frames_text",
-    # freshness filler: 12 of the 42 remaining r12-green names
-    # (alphabetical; the other 30, plus the two dedup names these media
-    # rotations displaced, lead the r15 window — see the ledger below),
-    # so the window is exactly full:
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "decontaminate",
-    "dedup_cluster_keepers",
-    "dedup_components",
-    "dedup_components_ls",
-    "dedup_distinct",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_lsh_verified",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # freshness cohort: ALL 30 r12-green names — at r15 their rows hit
+    # the two-round ceiling exactly (the ledger's planned window):
+    "dedup_pagerank",
+    "dedup_simhash",
+    "dedup_threshold_sweep",
+    "embedding_near_dups",
+    "event_interarrival",
+    "event_user_outliers",
+    "funnel_conversion",
+    "global_scalar",
+    "grouping_sets_status",
+    "join_broadcast_part",
+    "join_region_revenue",
+    "join_top_spenders",
+    "json_props_extract",
+    "least_greatest_pairs",
+    "mixture_resample",
+    "rolling_distinct_users",
+    "snapshot_upsert",
+    "source_budget_waterfill",
+    "split_contamination",
+    "sql_grouping_sets",
+    "sql_monthly_top_orders",
+    "sql_running_total",
+    "temperature_mixture",
+    "text_boilerplate",
+    "text_cosine_pairs",
+    "text_cosine_topk",
+    "text_normalize",
+    "text_rolling_hash",
+    "text_token_budget",
+    "timeseries_gapfill",
+    # freshness filler: the first 13 r13-green names (alphabetical, per
+    # the ledger) — this happens to cover the entire ann_* family, i.e.
+    # every possible transitive consumer of the assign_cells_gemm
+    # element-type change rotates in rather than relying on the
+    # "float input => identical plan" argument:
+    "ann_gemm_topk",
+    "ann_hard_negatives",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "ann_rh_topk",
+    "asof_join_events",
+    "bpe_train_merges",
+    "dirt_extract_counts",
 ]
-# Rows-only-by-design queries that may sit past the window:
-#   * profile_approx — engine-specific sketch outputs cannot value-match
-#     any oracle; accuracy bounds are pytest-pinned (test_queries_misc).
-# (dirt_full_pipeline left this set in round 9: its oracle materializes
-# the live stemmer vocabulary as an inline lookup — queries_more.py.)
-_ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
-# Rotation policy: entries whose last driver-green row is OLDEST (or
-# whose code changed, or that never had a row) fill the window; the
-# deferred tail is drawn from the MOST recently checked rounds.
-# Round 14: _PRIORITY is exactly 50 names — the 2 r10-green streaming
-# shapes (the registry's oldest evidence, displaced in r12 AND r13 —
-# the one breach of the two-round ceiling, closed here), the 4
-# changed-plan re-earners (cluster_balanced_sample's admission gate,
-# the quality_classifier / source_cap_keepers / curation_funnel
-# tokenize-once rebinds), semantic_dedup as a conservative
-# UDF-source-hash rotation, the 29 remaining r11-green names, and 14
-# r12-green names as freshness filler.  _DEFERRED enumerates every
-# other name — r12/r13 hash-green, code-unchanged since their row,
-# oracle-backed (or whitelisted rows-only above).
+# Round 15: _PRIORITY is exactly 50 names — 7 re-earners (1 changed
+# plan + 6 conservative UDF-source rotations), the full 30-name
+# r12-green cohort at its freshness ceiling, and 13 r13-green filler.
+# _DEFERRED enumerates every other name — r13/r14 hash-green,
+# code-unchanged since their row, oracle-backed.
 # The contract is machine-checked on BOTH failure modes:
 # tests/test_oracle_all.py recomputes per-query freshness from the
 # committed CORRECTNESS_r*.json files (hash-green rows only —
@@ -199,77 +179,28 @@ _ROWS_ONLY_PAST_WINDOW_OK = {"profile_approx"}
 # From round 11 on, net-new registrations are FROZEN unless the new
 # query retires an existing one (same operator surface, better
 # coverage) or the driver's window grows.  New OPERATORS still land —
-# they either back an existing query (round 11's session-span family
-# re-backs session_windows) or earn their evidence through the pytest
-# contract; what's frozen is registry cardinality, not capability.
-# Machine-checked since round 12: tests/test_oracle_all.py::
-# test_registry_size_frozen fails any 131st registration that does not
-# retire an existing name (escape hatch documented there).
+# they either back an existing query or earn their evidence through
+# the pytest contract; what's frozen is registry cardinality, not
+# capability.  Machine-checked since round 12: tests/test_oracle_all.py
+# ::test_registry_size_frozen fails any 131st registration that does
+# not retire an existing name (escape hatch documented there).
 #
-# ROTATION LEDGER (VERDICT r13 task 7 — plan the next two windows so
-# no name ever exceeds the two-round ceiling again).  Post-r14
-# projected freshness histogram: r14=50, r13=49, r12=30 (the
-# non-filler r12 tail below), plus the rows-only profile_approx.
-#   ROUND-15 WINDOW (assuming no code changes; changed plans always
-#   pre-empt filler): the 30 r12-green names in the deferred tail's
-#   first block (28 never-rotated + dedup_pagerank/dedup_simhash,
-#   displaced by the media UDF-source rotation) — at r15 their rows
-#   are 3 rounds old without this — plus 20 of the 49 r13-green names
-#   (alphabetical) as filler.
-#   ROUND-16 WINDOW: the remaining 29 r13-green names, plus the oldest
-#   r14 cohort as filler.
+# ROTATION LEDGER (plan the next two windows so no name ever exceeds
+# the two-round ceiling).  Post-r15 projected freshness histogram:
+# r15=50, r14=44, r13=36 — and zero names without hash evidence (the
+# profile_approx whitelist retired this round).
+#   ROUND-16 WINDOW (assuming no code changes; changed plans always
+#   pre-empt filler): the 36 remaining r13-green names (they lead
+#   _DEFERRED below and hit the two-round ceiling at r16), plus 14 of
+#   the 44 r14-green names (alphabetical) as filler.
+#   ROUND-17 WINDOW: the remaining 30 r14-green names, plus the oldest
+#   r15 cohort as filler.
 # Steady state: 130 names / 50 slots cycles in <3 rounds with ~20
 # slots/round of headroom for changed-plan re-earners.
 _DEFERRED = [
-    # r12-green (hash) — code-unchanged since their row,
-    # fingerprint-guarded, oracle-backed; they LEAD the r15 window
+    # r13-green (hash) — code-unchanged since their row,
+    # fingerprint-guarded, oracle-backed; they LEAD the r16 window
     # (see the rotation ledger above):
-    "dedup_threshold_sweep",
-    "embedding_near_dups",
-    "event_interarrival",
-    "event_user_outliers",
-    "funnel_conversion",
-    "global_scalar",
-    "grouping_sets_status",
-    "join_broadcast_part",
-    "join_region_revenue",
-    "join_top_spenders",
-    "json_props_extract",
-    "least_greatest_pairs",
-    "dedup_pagerank",
-    "dedup_simhash",
-    "mixture_resample",
-    "rolling_distinct_users",
-    "snapshot_upsert",
-    "source_budget_waterfill",
-    "split_contamination",
-    "sql_grouping_sets",
-    "sql_monthly_top_orders",
-    "sql_running_total",
-    "temperature_mixture",
-    "text_boilerplate",
-    "text_cosine_pairs",
-    "text_cosine_topk",
-    "text_normalize",
-    "text_rolling_hash",
-    "text_token_budget",
-    "timeseries_gapfill",
-    # r13-green (hash) — last round's driver window minus the
-    # rotated semantic_dedup, all code-unchanged since their r13
-    # row, fingerprint-guarded:
-    "ann_gemm_topk",
-    "ann_hard_negatives",
-    "ann_ivf_topk",
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "ann_rh_topk",
-    "asof_join_events",
-    "bpe_train_merges",
-    "dirt_extract_counts",
     "dirt_full_pipeline",
     "dirt_pipeline_exact",
     "event_user_outliers_mad",
@@ -306,9 +237,63 @@ _DEFERRED = [
     "window_cumsum",
     "window_sliding",
     "window_tumbling",
-    # rows-only-by-design (whitelisted above), r5 rows-only row
-    "profile_approx",
+    # r14-green (hash) — last round's driver window minus this round's
+    # six re-earners, all code-unchanged since their r14 row,
+    # fingerprint-guarded:
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "anti_join_customers",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "bpe_train_batched",
+    "cohort_retention",
+    "corpus_diff",
+    "corr_price_quantity",
+    "cube_status_priority",
+    "curation_funnel",
+    "dataset_split",
+    "decimal_revenue_exact",
+    "decontaminate",
+    "dedup_cluster_keepers",
+    "dedup_components",
+    "dedup_components_ls",
+    "dedup_distinct",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dirt_mi",
+    "dirt_sim",
+    "doc_chunking",
+    "dsir_importance",
+    "duplicate_spans",
+    "join_orders_lineitem",
+    "join_salted_skew",
+    "lm_perplexity_tiers",
+    "lm_quality",
+    "q1_pricing_summary",
+    "quality_classifier",
+    "reservoir_per_group",
+    "set_ops_cohorts",
+    "skew_profile",
+    "source_cap_keepers",
+    "stream_interval_join",
+    "stream_windowed_counts",
+    "text_repetition",
+    "vocab_oov_rate",
+    "window_range_frame",
+    "zorder_events",
 ]
+# Rows-only-by-design queries that may sit past the window: NONE since
+# r15.  profile_approx held this set for 14 rounds (engine-specific
+# sketch outputs can't value-match any oracle); it now emits exact
+# stats plus sketch-within-band booleans, so its oracle value-checks it
+# like everything else (queries_more.py).  dirt_full_pipeline left in
+# round 9: its oracle materializes the live stemmer vocabulary as an
+# inline lookup (queries_more.py).  The set stays as the documented
+# escape hatch for a future genuinely-unoracleable sketch.
+_ROWS_ONLY_PAST_WINDOW_OK: set[str] = set()
 
 
 def ordered_registry() -> dict[str, QueryDef]:

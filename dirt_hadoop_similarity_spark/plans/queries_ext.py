@@ -2609,7 +2609,11 @@ FROM buckets b LEFT JOIN matches m ON m.id_b = b.vec_id
     "of that keeper.  Cell equi-join candidates only — never all-pairs.",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.semantic_dedup(_emb(spark, sf_dir), threshold=_SEMANTIC_TAU)
+    # bits pinned explicitly: the operator's DEFAULT is the
+    # occupancy-scaled mode since r15 (scale-safe but corpus-size-
+    # dependent); the oracle needs the fixed plan-stable grid
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir), threshold=_SEMANTIC_TAU, bits=8)
 
 
 _DSIR_BUCKETS = 64

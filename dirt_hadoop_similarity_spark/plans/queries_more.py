@@ -614,18 +614,57 @@ def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "profile_approx",
-    None,  # HLL/quantile sketches differ across engines → rows-only
+    """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           TRUE AS parts_sketch_ok,
+           TRUE AS orders_sketch_ok,
+           TRUE AS median_sketch_ok
+    FROM lineitem
+    """,
     "Approximate profiling: approx_count_distinct + percentile_approx — "
     "the sketch ops a 100 TB profile sweep uses instead of exact "
-    "distincts (accuracy bounds asserted in tests/test_queries_misc.py).",
+    "distincts.  Sketch internals differ across engines, so the raw "
+    "estimates can never value-match an oracle; instead the query "
+    "emits the EXACT stats (hash-checkable) plus booleans asserting "
+    "each sketch lands within its documented error band (HLL++ rsd "
+    "0.05 -> 15% = 3 sigma; percentile_approx rank error 1/accuracy). "
+    "The oracle expects the exact values and literal TRUEs — a sketch "
+    "outside its band goes hash-red.  This retired the registry's one "
+    "permanent rows-only whitelist (r15; raw bounds also pinned in "
+    "tests/test_queries_misc.py).",
 )
 def profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        F.round("med", 4).alias("exact_median"),
+        (F.abs(F.col("ap") - F.col("exact_parts"))
+         <= 0.15 * F.col("exact_parts")).alias("parts_sketch_ok"),
+        (F.abs(F.col("ao") - F.col("exact_orders"))
+         <= 0.15 * F.col("exact_orders")).alias("orders_sketch_ok"),
+        # percentile_approx guarantees a RANK error, not a value error;
+        # a 10% value band is far looser than the rank bound realizes
+        # on this data and is deterministic per input (sketches have no
+        # run-to-run randomness), so the boolean is stable.  coalesce:
+        # on an EMPTY corpus both percentiles are NULL and the band
+        # comparison is NULL — vacuously in-band, matching the oracle's
+        # literal TRUE
+        F.coalesce(
+            F.abs(F.col("am") - F.col("med"))
+            <= 0.10 * F.abs(F.col("med")),
+            F.lit(True),
+        ).alias("median_sketch_ok"),
     )
 
 

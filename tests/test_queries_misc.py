@@ -6,21 +6,36 @@ from pyspark.sql import functions as F
 
 def test_profile_approx_bounds(spark, sf_dir):
     """Sketch results must land within documented error of exact values
-    (approx_count_distinct default rsd = 5%)."""
+    (approx_count_distinct default rsd = 5%; 15% = 3 sigma band).
+    Since r15 the registered query carries the band check in-plan (the
+    *_sketch_ok booleans its oracle pins to TRUE) — this test keeps the
+    RAW sketch bounds pinned independently of the query shape, and
+    checks the query's exact columns against a direct computation."""
     from dirt_hadoop_similarity_spark.plans import queries_more
 
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES, load
 
-    row = QUERIES["profile_approx"].fn(spark, sf_dir).first()
     li = load(spark, sf_dir, "lineitem")
+    raw = li.agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+    ).first()
     exact = li.agg(
         F.countDistinct("l_partkey").alias("p"),
         F.countDistinct("l_orderkey").alias("o"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
     ).first()
-    assert row.approx_parts == pytest.approx(exact.p, rel=0.15)
-    assert row.approx_orders == pytest.approx(exact.o, rel=0.15)
-    assert row.median_price == pytest.approx(exact.med, rel=0.10)
+    assert raw.ap == pytest.approx(exact.p, rel=0.15)
+    assert raw.ao == pytest.approx(exact.o, rel=0.15)
+    assert raw.am == pytest.approx(exact.med, rel=0.10)
+
+    row = QUERIES["profile_approx"].fn(spark, sf_dir).first()
+    assert row.exact_parts == exact.p
+    assert row.exact_orders == exact.o
+    assert row.exact_median == pytest.approx(exact.med, abs=5e-5)
+    assert row.parts_sketch_ok and row.orders_sketch_ok
+    assert row.median_sketch_ok
 
 
 def test_dirt_full_pipeline_exact_summary(spark, sf_dir):

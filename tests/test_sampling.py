@@ -652,3 +652,35 @@ def test_mixture_max_repeat_cap(docs):
             docs, {"en": 1}, "lang", "doc_id",
             max_repeat=sampling.GRANULARITY + 1,
         )
+
+
+class TestCellBalancedScaleDefault:
+    def test_default_is_occupancy_scaled(self, spark, sf_dir):
+        """r15 (VERDICT r14 task 3): the NAIVE call routes to the
+        occupancy-scaled grid — bit-identical to spelling the default
+        target out, and to the explicit bits the auto rule derives."""
+        from dirt_hadoop_similarity_spark.operators.similarity import (
+            DEFAULT_TARGET_CELL_ROWS,
+            semantic_dedup_auto_bits,
+        )
+
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        default = sampling.cell_balanced_sample(vecs, cap=7)
+        spelled = sampling.cell_balanced_sample(
+            vecs, cap=7, target_cell_rows=DEFAULT_TARGET_CELL_ROWS)
+        bits = semantic_dedup_auto_bits(
+            vecs.count(), DEFAULT_TARGET_CELL_ROWS)
+        explicit = sampling.cell_balanced_sample(vecs, cap=7, bits=bits)
+        for other in (spelled, explicit):
+            assert default.exceptAll(other).count() == 0
+            assert other.exceptAll(default).count() == 0
+
+    def test_grid_knobs_are_mutually_exclusive(self, spark):
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="at most one"):
+            sampling.cell_balanced_sample(
+                vecs, cap=1, bits=4, target_cell_rows=10)
+        with pytest.raises(ValueError, match="at most one"):
+            sampling.cell_balanced_sample(
+                vecs, cap=1, bits=4, centroids=vecs)

@@ -700,3 +700,72 @@ def test_filtered_topk_respects_predicate_and_prefilter_guarantee(spark, sf_dir)
     unfiltered = similarity.cosine_topk(e, qids, k=5).collect()
     post = [r for r in unfiltered if r["neighbor_id"] in allowed_ids]
     assert len(post) < len(out)
+
+
+class TestScaleSafeDefaults:
+    def test_semantic_dedup_default_is_occupancy_scaled(self, spark, sf_dir):
+        """r15 (VERDICT r14 task 3): the NAIVE semantic_dedup call routes
+        to the occupancy-scaled grid — bit-identical to spelling the
+        default target out."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        default = similarity.semantic_dedup(emb, threshold=0.7)
+        spelled = similarity.semantic_dedup(
+            emb, threshold=0.7,
+            target_cell_rows=similarity.DEFAULT_TARGET_CELL_ROWS)
+        assert default.exceptAll(spelled).count() == 0
+        assert spelled.exceptAll(default).count() == 0
+
+    def test_semantic_dedup_grid_knobs_exclusive(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="at most one"):
+            similarity.semantic_dedup(emb, bits=8, target_cell_rows=10)
+        with pytest.raises(ValueError, match="at most one"):
+            similarity.semantic_dedup(emb, bits=8, centroids=emb)
+
+
+class TestGemmElementTypePreserved:
+    def test_double_corpus_not_narrowed(self, spark):
+        """ADVICE r15: assign_cells_gemm's passthrough vector declared
+        array<float> unconditionally, silently narrowing an
+        array<double> corpus — a value near a 0.5 quantization boundary
+        then quantized DIFFERENTLY downstream of the GEMM assignment
+        than in plans that quantize the original column.  The schema
+        now follows the input's element type."""
+        import numpy as np
+        from pyspark.sql.types import DoubleType
+
+        # find a double whose exact-HALF_UP micro-quantization flips
+        # under float32 narrowing (plenty exist: float32 spacing near
+        # 0.1 is ~7.5e-9, far coarser than the 1e-11 gap to the .5
+        # boundary used here)
+        cand = (np.arange(1, 50000, dtype=np.float64) + 0.4999999) / 1e6
+        narrowed = cand.astype(np.float32).astype(np.float64)
+
+        def half_up(v):
+            return np.floor(v * 1e6 + 0.5)
+
+        flips = np.nonzero(half_up(cand) != half_up(narrowed))[0]
+        assert flips.size, "no boundary value found — widen the search"
+        x = float(cand[flips[0]])
+
+        e = spark.createDataFrame(
+            [(0, [x, 1.0])], "vec_id long, embedding array<double>")
+        cent = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell long, cvec array<float>")
+        out = similarity.assign_cells_gemm(e, cent)
+        assert isinstance(
+            out.schema["embedding"].dataType.elementType, DoubleType)
+        # passthrough value is bit-identical to the input double
+        assert out.collect()[0]["embedding"][0] == x
+        # downstream quantization of the passthrough == quantizing the
+        # original column (the parity the two semantic_dedup modes need)
+        q_orig = e.select(
+            similarity._quantize(F.col("embedding")).alias("q")
+        ).collect()[0]["q"]
+        q_thru = out.select(
+            similarity._quantize(F.col("embedding")).alias("q")
+        ).collect()[0]["q"]
+        assert q_orig == q_thru
+        # and the float32 narrowing REALLY would have flipped it
+        assert round(np.float32(x) * 1e6) != q_orig[0]
