@@ -10,11 +10,12 @@ Decode is split at the line the formats themselves draw:
     pass works in production.
   * ``decode_pixels(decoder="real")`` performs REAL pixel/sample
     decode for the stdlib-decodable codecs — PNG (zlib inflate +
-    per-row unfilter + palette expansion), BMP (uncompressed
-    8/24/32-bit) and WAV PCM — emitting a uniform raw-tensor row.
-    JPEG/GIF entropy streams are the ONE genuinely codec-bound step
-    (``inflate_entropy_coded`` is the narrowed NotImplementedError
-    gate); their rows quarantine with real header dims + NULL pixels.
+    per-row unfilter + palette expansion), GIF (pure-Python LZW +
+    palette + de-interlace), BMP (uncompressed 8/24/32-bit) and WAV
+    PCM — emitting a uniform raw-tensor row.  JPEG's entropy stream is
+    the ONE genuinely codec-bound step (``inflate_entropy_coded`` is
+    the narrowed NotImplementedError gate); its rows quarantine with
+    real header dims + NULL pixels.
   * ``decoder="fake"`` (the default, and what the synthetic testdata
     exercises — its payloads are utf-8 text, not image containers)
     derives deterministic metadata/features from md5(payload).
@@ -397,6 +398,144 @@ def _bmp_raster(payload: bytes):
         return None
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int):
+    """Decode a GIF LZW code stream (sub-blocks already concatenated)
+    to palette-index bytes, or None for a torn/corrupt stream.  The
+    mainstream width convention (giflib / PIL): codes are read
+    LSB-first at ``width`` bits, and width grows when the table size
+    reaches 2**width, capped at 12 bits (a full table then emits
+    12-bit codes unchanged until a CLEAR — the "deferred clear" rule).
+    """
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    stream = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev = None
+    out = bytearray()
+
+    def reset():
+        nonlocal width, table, prev
+        width = min_code_size + 1
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        prev = None
+
+    reset()
+    while True:
+        if pos + width > nbits:
+            # bits exhausted before an END code: real-world encoders
+            # (e.g. the ubiquitous 1x1 tracking pixel) omit END and
+            # mainstream decoders tolerate it — return what decoded;
+            # the CALLER's pixel-count check is the torn-stream gate
+            return bytes(out)
+        code = (stream >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table) and code != clear and code != end:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None  # code past the table: corrupt
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_deinterlace(indices: bytes, w: int, h: int) -> bytes:
+    """Reorder GIF interlaced rows (4 passes: every 8th from 0, every
+    8th from 4, every 4th from 2, every 2nd from 1) to top-down."""
+    rows = [b""] * h
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            rows[y] = indices[src * w:(src + 1) * w]
+            src += 1
+    return b"".join(rows)
+
+
+def _gif_raster(payload: bytes):
+    """REAL GIF pixel decode, stdlib-only: LZW (variable-width,
+    LSB-first) is ~50 lines of plain Python, so unlike JPEG's
+    Huffman+DCT it needs no codec library.  Decodes the FIRST image
+    frame: (frame_width, frame_height, 3, RGB raster) or None.
+    Palette indices expand through the active (local-over-global)
+    color table; interlaced frames are reordered to top-down."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        packed = payload[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = payload[pos:pos + 3 * n]
+            if len(gct) != 3 * n:
+                return None
+            pos += 3 * n
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer before any image frame
+                return None
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:  # unknown block type: corrupt
+                return None
+            _left, _top, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = payload[pos:pos + 3 * n]
+                if len(pal) != 3 * n:
+                    return None
+                pos += 3 * n
+            if pal is None or iw == 0 or ih == 0:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                n = payload[pos]
+                chunk = payload[pos + 1:pos + 1 + n]
+                if len(chunk) != n:
+                    return None
+                data += chunk
+                pos += 1 + n
+            indices = _gif_lzw_decode(bytes(data), min_code)
+            if indices is None or len(indices) < iw * ih:
+                return None
+            indices = indices[:iw * ih]
+            npal = len(pal) // 3
+            if any(i >= npal for i in indices):
+                return None  # index past the palette: corrupt
+            if (ipacked >> 6) & 1:
+                indices = _gif_deinterlace(indices, iw, ih)
+            return iw, ih, 3, b"".join(
+                pal[i * 3:i * 3 + 3] for i in indices)
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 def _wav_samples(payload: bytes):
     """REAL WAV PCM payload decode: (n_frames, 1, channels, sample
     bytes) or None — the audio row of the uniform tensor contract
@@ -429,17 +568,18 @@ def _wav_samples(payload: bytes):
 
 
 def inflate_entropy_coded(payload: bytes):  # pragma: no cover - gate
-    """The ONE remaining codec gate (narrowed from all-of-decode_pixels
-    in r14/r15): JPEG's Huffman/arithmetic entropy stream and GIF's LZW
-    stream genuinely need a codec library (libjpeg / PIL) absent from
-    this environment — unlike PNG (zlib is stdlib), BMP and WAV PCM,
-    which :func:`decode_pixels` decodes for real.  Slot the codec call
-    here; :func:`decode_pixels` quarantines such rows (header dims
-    kept, pixels NULL) instead of failing the task."""
+    """The ONE remaining codec gate (narrowed twice in r15): JPEG's
+    Huffman/arithmetic entropy stream + IDCT genuinely needs a codec
+    library (libjpeg / PIL) absent from this environment — unlike PNG
+    (zlib is stdlib), GIF (LZW is ~50 lines of plain Python,
+    :func:`_gif_lzw_decode`), BMP and WAV PCM, which
+    :func:`decode_pixels` decodes for real.  Slot the codec call here;
+    :func:`decode_pixels` quarantines JPEG rows (header dims kept,
+    pixels NULL) instead of failing the task."""
     raise NotImplementedError(
-        "JPEG/GIF entropy decode requires codec libraries not present "
-        "in this environment; PNG/BMP/WAV payloads decode for real via "
-        "decode_pixels(decoder='real')"
+        "JPEG entropy decode requires codec libraries not present in "
+        "this environment; PNG/GIF/BMP/WAV payloads decode for real "
+        "via decode_pixels(decoder='real')"
     )
 
 
@@ -465,7 +605,13 @@ def _raster(payload: bytes):
         return _bmp_raster(payload) or (None, None, None, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_samples(payload) or (None, None, None, None)
-    if payload[:2] == b"\xff\xd8" or payload[:6] in (b"GIF87a", b"GIF89a"):
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        r = _gif_raster(payload)
+        if r:
+            return r
+        w, h, ch = _real_dims(payload)  # torn frame: header-only row
+        return w, h, ch, None
+    if payload[:2] == b"\xff\xd8":
         w, h, ch = _real_dims(payload)  # entropy-coded: header only
         return w, h, ch, None
     return None, None, None, None
@@ -484,9 +630,10 @@ def decode_pixels(media: DataFrame, decoder: str = "fake") -> DataFrame:
         1 x frames x channels tensor.
 
     ``decoder="real"`` decodes PNG (zlib inflate + per-row unfilter),
-    BMP (BI_RGB 8/24/32-bit) and WAV PCM payloads for REAL, stdlib-only.
-    JPEG/GIF entropy streams are the one genuinely codec-bound step
-    (:func:`inflate_entropy_coded`): their rows keep real header dims
+    GIF (pure-Python LZW, first frame, de-interlaced), BMP (BI_RGB
+    8/24/32-bit) and WAV PCM payloads for REAL, stdlib-only.  JPEG's
+    entropy stream is the one genuinely codec-bound step
+    (:func:`inflate_entropy_coded`): its rows keep real header dims
     with NULL pixels.  Torn/unknown/NULL payloads quarantine as
     all-NULL rows — one bad payload never fails the task.
 

@@ -545,3 +545,152 @@ def test_wav_non_pcm_quarantines():
     assert _wav_meta(riff(0xFFFE)) == (22050, 2, 16, 16)  # extensible
     assert _wav_meta(riff(2)) == (None,) * 4            # ADPCM: quarantine
     assert _wav_meta(riff(0x55)) == (None,) * 4         # MP3-in-RIFF
+
+
+# ---------------------------------------------------------------------------
+# real GIF decode (r15, second narrowing): LZW is stdlib-implementable
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(indices, min_code):
+    """A real GIF LZW encoder for the test side.  Width handling
+    mirrors the DECODER's table state exactly (the foolproof way to
+    stay convention-compatible): each code is emitted at the width the
+    decoder will read it with, including growth to 12 bits and the
+    deferred-clear full-table regime."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = nacc = 0
+    st = {"width": min_code + 1, "size": clear + 2, "first": True}
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += st["width"]
+        while nacc >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nacc -= 8
+        if code == clear:
+            st.update(width=min_code + 1, size=clear + 2, first=True)
+        elif code != end:
+            if st["first"]:
+                st["first"] = False
+            elif st["size"] < 4096:
+                st["size"] += 1
+                if st["size"] == (1 << st["width"]) and st["width"] < 12:
+                    st["width"] += 1
+
+    emit(clear)
+    d = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in d:
+            w = wk
+            continue
+        emit(d[w])
+        if next_code < 4096:
+            d[wk] = next_code
+            next_code += 1
+        w = wk[-1:]
+    if w:
+        emit(d[w])
+    emit(end)
+    if nacc:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_full(w, h, indices, pal, interlace=False):
+    """A complete GIF89a container for the test side: global color
+    table, one image frame, 255-byte sub-block splitting."""
+    import struct
+
+    n = len(pal) // 3
+    size, k = 2, 0
+    while size < n:
+        size <<= 1
+        k += 1
+    gct = pal + b"\x00" * (3 * size - len(pal))
+    min_code = max(2, k + 1)
+    lsd = struct.pack("<HHBBB", w, h, 0x80 | k, 0, 0)
+    idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                        0x40 if interlace else 0)
+    data = _lzw_encode(indices, min_code)
+    blocks = b"".join(
+        bytes([len(data[i:i + 255])]) + data[i:i + 255]
+        for i in range(0, len(data), 255)
+    ) + b"\x00"
+    # a comment extension before the frame proves the block walk
+    ext = b"\x21\xfe\x05hello\x00"
+    return (b"GIF89a" + lsd + gct + ext + idesc + bytes([min_code])
+            + blocks + b"\x3b")
+
+
+def test_gif_decode_known_external_sample(spark):
+    """The canonical 1x1 tracking-pixel GIF (a REAL file produced by
+    standard tooling, not this test's encoder): decodes to one black
+    pixel — the external anchor proving the LZW width convention."""
+    import base64
+
+    px = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    out = _decode_px(spark, [px])
+    r = out[1]
+    assert (r["width"], r["height"], r["channels"]) == (1, 1, 3)
+    assert bytes(r["pixels"]) == b"\x00\x00\x00"
+
+
+def test_gif_lzw_roundtrip_through_width_growth(spark):
+    """Random index streams over 4- and 256-color palettes, long enough
+    to grow the code width (256-color: past 9/10/11 bits into the
+    full-table deferred-clear regime), through the full container."""
+    pal4 = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 255, 255, 255])
+    idx4 = bytes(b % 4 for b in _prand(500, seed=b"gif4"))
+    pal256 = _prand(256 * 3, seed=b"gifpal")
+    idx256 = _prand(12000, seed=b"gif256")
+    out = _decode_px(spark, [
+        _gif_full(25, 20, idx4, pal4),
+        _gif_full(120, 100, idx256, pal256),
+    ])
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (25, 20, 3)
+    assert bytes(out[1]["pixels"]) == b"".join(
+        pal4[i * 3:i * 3 + 3] for i in idx4)
+    assert (out[2]["width"], out[2]["height"]) == (120, 100)
+    assert bytes(out[2]["pixels"]) == b"".join(
+        pal256[i * 3:i * 3 + 3] for i in idx256)
+
+
+def test_gif_interlaced_frame_reorders_to_top_down():
+    """Interlaced storage (8/8/4/2 passes) decodes to top-down rows."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import _gif_raster
+
+    w, h = 5, 13
+    pal = _prand(8 * 3, seed=b"ipal")
+    top_down = bytes(b % 8 for b in _prand(w * h, seed=b"igif"))
+    pass_order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            pass_order += top_down[y * w:(y + 1) * w]
+    stored = bytes(pass_order)
+    r = _gif_raster(_gif_full(w, h, stored, pal, interlace=True))
+    assert r is not None and (r[0], r[1], r[2]) == (w, h, 3)
+    assert r[3] == b"".join(pal[i * 3:i * 3 + 3] for i in top_down)
+
+
+def test_gif_torn_and_dataless_quarantine():
+    """A GIF with no image frame keeps header dims + NULL pixels; a
+    truncated LZW stream (no END code reachable) quarantines the same
+    way; an out-of-palette index is corrupt."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _gif_raster,
+        _raster,
+    )
+
+    assert _gif_raster(_gif(9, 7)) is None          # no frame at all
+    assert _raster(_gif(9, 7)) == (9, 7, 3, None)   # header-only row
+    full = _gif_full(10, 10, bytes(100), bytes(6))
+    torn = full[:len(full) - 12]                     # cut mid-stream
+    assert _gif_raster(torn) is None
