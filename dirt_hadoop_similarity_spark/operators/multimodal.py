@@ -289,13 +289,47 @@ def _png_unfilter(raw: bytes, width: int, height: int, spp: int):
     return bytes(out)
 
 
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_adam7(raw: bytes, w: int, h: int, spp: int):
+    """Unfilter and scatter an Adam7-interlaced inflated stream: each
+    pass is an independently-filtered sub-image (PNG spec §8.2); empty
+    passes contribute no scanlines.  Returns the top-down raster or
+    None for a wrong-length stream."""
+    out = bytearray(w * h * spp)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        sub_len = ph * (1 + pw * spp)
+        sub = _png_unfilter(raw[pos:pos + sub_len], pw, ph, spp)
+        if sub is None:
+            return None
+        pos += sub_len
+        for j in range(ph):
+            row = (y0 + j * ys) * w
+            for i in range(pw):
+                dst = (row + x0 + i * xs) * spp
+                src = (j * pw + i) * spp
+                out[dst:dst + spp] = sub[src:src + spp]
+    if pos != len(raw):
+        return None
+    return bytes(out)
+
+
 def _png_raster(payload: bytes):
     """REAL PNG pixel decode, stdlib-only (zlib inflate + per-row
     unfilter + palette expansion): (width, height, channels, raster) or
-    None.  In scope: 8-bit depth, non-interlaced, color types 0/2/3/4/6
-    — everything the baseline encoder family emits.  Palette images
-    expand through PLTE to RGB, so ``channels`` reports the RASTER's
-    sample count (3), not the header's index count (1)."""
+    None.  In scope: 8-bit depth, color types 0/2/3/4/6, both
+    non-interlaced and Adam7-interlaced — everything the baseline
+    encoder family emits.  Palette images expand through PLTE to RGB,
+    so ``channels`` reports the RASTER's sample count (3), not the
+    header's index count (1)."""
     import struct
     import zlib
 
@@ -304,8 +338,8 @@ def _png_raster(payload: bytes):
     try:
         w, h = struct.unpack(">II", payload[16:24])
         depth, color, comp, filt, interlace = payload[24:29]
-        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-            return None  # 1/2/4/16-bit packing and Adam7 out of scope
+        if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+            return None  # 1/2/4/16-bit sample packing out of scope
         spp = _PNG_CHANNELS.get(color)
         if spp is None or w == 0 or h == 0:
             return None
@@ -328,7 +362,8 @@ def _png_raster(payload: bytes):
         if not idat or (color == 3 and (plte is None or len(plte) % 3)):
             return None
         raw = zlib.decompress(b"".join(idat))
-        raster = _png_unfilter(raw, w, h, spp)
+        raster = (_png_adam7 if interlace else _png_unfilter)(
+            raw, w, h, spp)
         if raster is None:
             return None
         if color == 3:  # palette indices -> RGB triples

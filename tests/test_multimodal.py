@@ -694,3 +694,62 @@ def test_gif_torn_and_dataless_quarantine():
     full = _gif_full(10, 10, bytes(100), bytes(6))
     torn = full[:len(full) - 12]                     # cut mid-stream
     assert _gif_raster(torn) is None
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode (r15): encode each pass as an independently-filtered
+    sub-image (the test side extracts pass pixels from the top-down
+    raster), decode, recover the exact raster.  Odd dims exercise
+    ragged and empty passes; 1x1 leaves only pass 1."""
+    import struct, zlib
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _ADAM7,
+        _png_raster,
+    )
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    def adam7_png(w, h, color_type, raster):
+        spp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        enc = bytearray()
+        for pi, (x0, y0, xs, ys) in enumerate(_ADAM7):
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = bytearray()
+            for j in range(ph):
+                for i in range(pw):
+                    p = ((y0 + j * ys) * w + (x0 + i * xs)) * spp
+                    sub += raster[p:p + spp]
+            # filter each sub-image with a varying type via the
+            # straight-line encoder already proven on sequential PNGs
+            stride = pw * spp
+            prev = bytes(stride)
+            for j in range(ph):
+                row = bytes(sub[j * stride:(j + 1) * stride])
+                ft = (pi + j) % 3  # None/Sub/Up across passes and rows
+                if ft == 0:
+                    e = row
+                elif ft == 1:
+                    e = bytes((row[i] - (row[i - spp] if i >= spp else 0))
+                              & 255 for i in range(stride))
+                else:
+                    e = bytes((row[i] - prev[i]) & 255
+                              for i in range(stride))
+                enc += bytes([ft]) + e
+                prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(enc)))
+                + chunk(b"IEND", b""))
+
+    for w, h, ct in ((13, 11, 2), (8, 8, 6), (1, 1, 0), (3, 9, 4)):
+        spp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        raster = _prand(w * h * spp, seed=f"a7-{w}x{h}".encode())
+        got = _png_raster(adam7_png(w, h, ct, raster))
+        assert got is not None, (w, h, ct)
+        assert (got[0], got[1], got[2]) == (w, h, spp)
+        assert got[3] == raster, f"adam7 raster mismatch {w}x{h} ct{ct}"
