@@ -582,6 +582,9 @@ def _wav_samples(payload: bytes):
     rate, ch, bits, n_frames = _wav_meta(payload)
     if rate is None or not n_frames:
         return None
+    if n_frames > 0x7FFFFFFF:
+        return None  # width is int32 in PIXELS_SCHEMA; an 8-bit-mono
+        # RIFF can declare up to 2^32-1 frames — quarantine, don't wrap
     try:
         i = 12
         while i + 8 <= len(payload):

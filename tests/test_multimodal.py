@@ -753,3 +753,90 @@ def test_png_adam7_interlaced_roundtrip():
         assert got is not None, (w, h, ct)
         assert (got[0], got[1], got[2]) == (w, h, spp)
         assert got[3] == raster, f"adam7 raster mismatch {w}x{h} ct{ct}"
+
+
+def test_wav_frame_count_past_int32_quarantines():
+    """PIXELS_SCHEMA's width is int32; an 8-bit-mono RIFF can declare
+    up to 2^32-1 frames — such a payload quarantines instead of
+    wrapping the frame count."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _wav_samples,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    big = 0x80000000  # declared, not materialized: data chunk is torn
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", big))
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body) + big) + b"WAVE" + body
+    assert _wav_samples(payload) is None
+
+
+# ---------------------------------------------------------------------------
+# decoder property tests: round-trip laws + the never-raises contract
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.binary(min_size=1, max_size=600),
+)
+def test_gif_lzw_roundtrip_property(min_code, raw):
+    """decode(encode(x)) == x for any index stream over any code size —
+    the LZW pair as an algebraic law, not just the fixed vectors."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    indices = bytes(b % (1 << min_code) for b in raw)
+    assert _gif_lzw_decode(_lzw_encode(indices, min_code),
+                           min_code) == indices
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.sampled_from([0, 2, 4, 6]),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=9),
+    st.integers(min_value=0),
+)
+def test_png_roundtrip_property(w, h, ct, filters, seed):
+    """Encode/decode identity across random dims, color types and
+    filter schedules."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _png_raster,
+    )
+
+    spp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    raster = _prand(w * h * spp, seed=str(seed).encode())
+    got = _png_raster(_png_encode(w, h, ct, raster, filters))
+    assert got == (w, h, spp, raster)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=5), st.integers(min_value=0),
+       st.integers(min_value=1, max_value=200))
+def test_raster_dispatch_never_raises_on_truncation(kind, seed, cut):
+    """The quarantine contract as a property: any PREFIX of a valid
+    container (torn download — inevitable at 100 TB) must decode to a
+    row tuple, never an exception."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import _raster
+
+    payloads = [
+        _png_encode(6, 5, 2, _prand(90, seed=str(seed).encode()),
+                    [0, 1, 2, 3, 4]),
+        _bmp_encode(5, 4, 24, _prand(60, seed=str(seed).encode())),
+        _gif_full(7, 4, bytes(b % 4 for b in _prand(28, seed=b"q")),
+                  bytes(12)),
+        _jpeg(40, 30),
+        b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00" + bytes(20),
+        _prand(64, seed=str(seed).encode()),  # garbage
+    ]
+    p = payloads[kind]
+    out = _raster(p[:max(1, len(p) - cut)])
+    assert isinstance(out, tuple) and len(out) == 4
