@@ -147,6 +147,8 @@ def _real_dims(payload: bytes):
                 return w, h, max(1, bits // 8)
             if dib >= 40:  # BITMAPINFOHEADER and its V4/V5 extensions
                 w, h, _planes, bits = struct.unpack("<iihH", payload[18:30])
+                if w <= 0 or h == 0:  # width is signed but never valid <= 0
+                    return None, None, None
                 return w, abs(h), max(1, bits // 8)  # h<0 = top-down DIB
             return None, None, None  # unknown DIB variant: quarantine
     except (struct.error, IndexError):
@@ -163,12 +165,14 @@ def _wav_meta(payload: bytes):
     the same NULL-row quarantine contract as :func:`_real_dims`.
 
     Only uncompressed sample streams are in scope: format codes 1
-    (PCM), 3 (IEEE float) and 0xFFFE (WAVE_FORMAT_EXTENSIBLE wrapping
-    either).  A compressed RIFF payload (ADPCM, MP3-in-RIFF, …) has a
-    block_align that is NOT bytes-per-frame, so reporting
-    data_size / block_align as "frames" would be confidently wrong
-    metadata (ADVICE r14) — those rows quarantine as all-None like any
-    other out-of-scope codec."""
+    (PCM), 3 (IEEE float) and 0xFFFE (WAVE_FORMAT_EXTENSIBLE) whose
+    SubFormat GUID wraps 1 or 3 — an extensible header can wrap ADPCM
+    just as well, so the tag alone is not a PCM guarantee.  A
+    compressed RIFF payload (ADPCM, MP3-in-RIFF, …) has a block_align
+    that is NOT bytes-per-frame, so reporting data_size / block_align
+    as "frames" would be confidently wrong metadata (ADVICE r14) —
+    those rows quarantine as all-None like any other out-of-scope
+    codec."""
     import struct
 
     none = (None, None, None, None)
@@ -184,11 +188,18 @@ def _wav_meta(payload: bytes):
             if tag == b"fmt ":
                 fmt_code, ch, rate, _br, block, bits = struct.unpack(
                     "<HHIIHH", payload[i + 8:i + 24])
+                if fmt_code == 0xFFFE:
+                    # WAVEFORMATEXTENSIBLE: SubFormat GUID Data1 (the
+                    # wrapped format code) sits at offset 24 of the fmt
+                    # data (16 base + cbSize 2 + validBits 2 +
+                    # channelMask 4)
+                    (fmt_code,) = struct.unpack(
+                        "<I", payload[i + 8 + 24:i + 8 + 28])
             elif tag == b"data":
                 if block:  # fmt is spec-required to precede data
                     n_frames = size // block
             i += 8 + size + (size & 1)  # RIFF even-padding rule
-        if rate is None or fmt_code not in (1, 3, 0xFFFE):
+        if rate is None or fmt_code not in (1, 3):
             return none
         return rate, ch, bits, n_frames
     except (struct.error, IndexError):
@@ -246,6 +257,13 @@ PIXELS_SCHEMA = (
     "media_id long, kind string, width int, height int, channels int, "
     "pixels binary"
 )
+
+#: per-row raster budget for the real decoders: declared dims (or an
+#: LZW/deflate stream expanding past them) beyond this quarantine
+#: instead of allocating — a decompression bomb must cost its victim a
+#: NULL row, never an executor (256 MiB ≈ a 9000x9000 RGBA frame,
+#: far past any sane per-row media payload)
+_MAX_RASTER_BYTES = 1 << 28
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, spp: int):
@@ -361,7 +379,27 @@ def _png_raster(payload: bytes):
             i += 12 + clen  # length + tag + data + CRC
         if not idat or (color == 3 and (plte is None or len(plte) % 3)):
             return None
-        raw = zlib.decompress(b"".join(idat))
+        if interlace:  # one filter byte per PASS-scanline
+            expected = sum(
+                ph * (1 + pw * spp)
+                for pw, ph in (
+                    ((w - x0 + xs - 1) // xs, (h - y0 + ys - 1) // ys)
+                    for x0, y0, xs, ys in _ADAM7
+                )
+                if pw > 0 and ph > 0
+            )
+        else:
+            expected = h * (w * spp + 1)  # filter byte per scanline
+        if expected > _MAX_RASTER_BYTES:
+            return None  # declared dims past the per-row budget
+        # bounded inflate: a decompression bomb (tiny IDAT declaring
+        # tiny dims but inflating to GiB) must quarantine BEFORE the
+        # allocation, not OOM the executor — cap at expected+1 and
+        # treat any overflow as corrupt
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
+        if len(raw) != expected or dec.unconsumed_tail:
+            return None
         raster = (_png_adam7 if interlace else _png_unfilter)(
             raw, w, h, spp)
         if raster is None:
@@ -433,21 +471,26 @@ def _bmp_raster(payload: bytes):
         return None
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int):
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    max_out: int | None = None):
     """Decode a GIF LZW code stream (sub-blocks already concatenated)
     to palette-index bytes, or None for a torn/corrupt stream.  The
     mainstream width convention (giflib / PIL): codes are read
     LSB-first at ``width`` bits, and width grows when the table size
     reaches 2**width, capped at 12 bits (a full table then emits
     12-bit codes unchanged until a CLEAR — the "deferred clear" rule).
-    """
+
+    Bits feed a rolling byte accumulator — O(stream) total, never
+    "whole stream as one big int >> pos" (that copies the remaining
+    bits per code: quadratic, a multi-MB GIF would hang the task) —
+    and ``max_out`` stops decode once the frame's pixel count is
+    reached, so a stream expanding past its declared dims costs its
+    row a quarantine, not the executor an allocation."""
     if not 2 <= min_code_size <= 11:
         return None
     clear = 1 << min_code_size
     end = clear + 1
-    stream = int.from_bytes(data, "little")
-    nbits = len(data) * 8
-    pos = 0
+    acc = nacc = ptr = 0
     width = min_code_size + 1
     table: list[bytes] = []
     prev = None
@@ -461,14 +504,20 @@ def _gif_lzw_decode(data: bytes, min_code_size: int):
 
     reset()
     while True:
-        if pos + width > nbits:
-            # bits exhausted before an END code: real-world encoders
-            # (e.g. the ubiquitous 1x1 tracking pixel) omit END and
-            # mainstream decoders tolerate it — return what decoded;
-            # the CALLER's pixel-count check is the torn-stream gate
-            return bytes(out)
-        code = (stream >> pos) & ((1 << width) - 1)
-        pos += width
+        while nacc < width:
+            if ptr >= len(data):
+                # bits exhausted before an END code: real-world
+                # encoders (e.g. the ubiquitous 1x1 tracking pixel)
+                # omit END and mainstream decoders tolerate it —
+                # return what decoded; the CALLER's pixel-count check
+                # is the torn-stream gate
+                return bytes(out)
+            acc |= data[ptr] << nacc
+            ptr += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
         if code == clear:
             reset()
             continue
@@ -486,6 +535,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int):
             if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
+        if max_out is not None and len(out) >= max_out:
+            return bytes(out)
 
 
 def _gif_deinterlace(indices: bytes, w: int, h: int) -> bytes:
@@ -545,6 +596,8 @@ def _gif_raster(payload: bytes):
                 pos += 3 * n
             if pal is None or iw == 0 or ih == 0:
                 return None
+            if iw * ih * 3 > _MAX_RASTER_BYTES:
+                return None  # declared dims past the per-row budget
             min_code = payload[pos]
             pos += 1
             data = bytearray()
@@ -555,7 +608,8 @@ def _gif_raster(payload: bytes):
                     return None
                 data += chunk
                 pos += 1 + n
-            indices = _gif_lzw_decode(bytes(data), min_code)
+            indices = _gif_lzw_decode(bytes(data), min_code,
+                                      max_out=iw * ih)
             if indices is None or len(indices) < iw * ih:
                 return None
             indices = indices[:iw * ih]
@@ -587,12 +641,21 @@ def _wav_samples(payload: bytes):
         # RIFF can declare up to 2^32-1 frames — quarantine, don't wrap
     try:
         i = 12
+        block_align = None
         while i + 8 <= len(payload):
             tag = payload[i:i + 4]
             size = struct.unpack("<I", payload[i + 4:i + 8])[0]
-            if tag == b"data":
+            if tag == b"fmt ":
+                (block_align,) = struct.unpack(
+                    "<H", payload[i + 20:i + 22])
+            elif tag == b"data":
+                # n_frames was counted in fmt's block_align units; the
+                # tensor contract needs packed ch x bits frames — a
+                # header whose block_align disagrees with ch*bits/8
+                # (padded or malformed framing) is out of scope, NOT a
+                # stream to slice by the wrong stride
                 block = ch * (bits // 8)
-                if block == 0:
+                if block == 0 or block_align != block:
                     return None
                 want = n_frames * block
                 data = payload[i + 8:i + 8 + want]
@@ -634,25 +697,33 @@ def _fake_raster(payload: bytes):
 
 def _raster(payload: bytes):
     """Container dispatch for :func:`decode_pixels`: (width, height,
-    channels, raster-or-None).  JPEG/GIF keep their real header dims
-    but NULL pixels (the :func:`inflate_entropy_coded` gate); unknown
-    or torn containers quarantine entirely."""
+    channels, raster-or-None).  Any known container whose PIXELS are
+    out of scope or torn keeps whatever header metadata still parses
+    (dims + NULL pixels — JPEG's entropy gate, a 16-bit PNG, an RLE
+    BMP, a truncated stream), matching what :func:`decode_metadata`
+    reports for the same payload; unknown containers quarantine
+    entirely."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return _png_raster(payload) or (None, None, None, None)
-    if payload[:2] == b"BM":
-        return _bmp_raster(payload) or (None, None, None, None)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _wav_samples(payload) or (None, None, None, None)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        r = _png_raster(payload)
+    elif payload[:2] == b"BM":
+        r = _bmp_raster(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        r = _wav_samples(payload)
+        if r is None:  # header-only fallback in AUDIO terms
+            _rate, ch, _bits, n_frames = _wav_meta(payload)
+            if n_frames and n_frames <= 0x7FFFFFFF:
+                return n_frames, 1, ch, None
+            return None, None, None, None
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
         r = _gif_raster(payload)
-        if r:
-            return r
-        w, h, ch = _real_dims(payload)  # torn frame: header-only row
-        return w, h, ch, None
-    if payload[:2] == b"\xff\xd8":
-        w, h, ch = _real_dims(payload)  # entropy-coded: header only
-        return w, h, ch, None
-    return None, None, None, None
+    elif payload[:2] == b"\xff\xd8":
+        r = None  # JPEG: the inflate_entropy_coded gate
+    else:
+        return None, None, None, None
+    if r:
+        return r
+    w, h, ch = _real_dims(payload)  # header-only row
+    return w, h, ch, None
 
 
 def decode_pixels(media: DataFrame, decoder: str = "fake") -> DataFrame:

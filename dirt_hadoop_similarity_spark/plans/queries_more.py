@@ -617,7 +617,8 @@ def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           CAST(floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5)
+                AS BIGINT) AS exact_median_e4,
            TRUE AS parts_sketch_ok,
            TRUE AS orders_sketch_ok,
            TRUE AS median_sketch_ok
@@ -648,7 +649,13 @@ def profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "exact_parts",
         "exact_orders",
-        F.round("med", 4).alias("exact_median"),
+        # 1e4 micro-quantization via floor(x*1e4 + 0.5): identical IEEE
+        # arithmetic in both engines, unlike round(x, 4) whose HALF_UP
+        # acts on the shortest DECIMAL repr in Spark but the binary
+        # value in DuckDB — a divergence class this repo already
+        # documents for quantized_cosine
+        F.floor(F.col("med") * 10000 + 0.5).cast("long")
+        .alias("exact_median_e4"),
         (F.abs(F.col("ap") - F.col("exact_parts"))
          <= 0.15 * F.col("exact_parts")).alias("parts_sketch_ok"),
         (F.abs(F.col("ao") - F.col("exact_orders"))

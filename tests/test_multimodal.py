@@ -470,9 +470,12 @@ def test_real_pixel_decode_wav_pcm(spark):
 
 
 def test_real_pixel_decode_quarantine_contract(spark):
-    """JPEG/GIF rows keep REAL header dims with NULL pixels (the
-    narrowed entropy gate); torn/unknown/NULL payloads quarantine
-    entirely; 16-bit PNG is out of scope."""
+    """Any known container whose pixels are out of scope or torn keeps
+    whatever header metadata still parses — dims + NULL pixels for a
+    JPEG (the entropy gate), a frameless GIF, a 16-bit PNG, and a
+    truncated PNG with an intact IHDR — matching decode_metadata's
+    report for the same bytes; unknown/NULL payloads quarantine
+    entirely."""
     import struct, zlib
 
     png16 = bytearray(_png(4, 4))
@@ -493,7 +496,12 @@ def test_real_pixel_decode_quarantine_contract(spark):
     assert out[1]["pixels"] is None
     assert (out[2]["width"], out[2]["height"]) == (9, 7)
     assert out[2]["pixels"] is None
-    for mid in (3, 4, 5, 6):
+    # out-of-scope depth / torn stream: header dims survive, pixels NULL
+    assert (out[3]["width"], out[3]["height"]) == (4, 4)
+    assert out[3]["pixels"] is None
+    assert (out[4]["width"], out[4]["height"]) == (8, 8)
+    assert out[4]["pixels"] is None
+    for mid in (5, 6):
         assert out[mid]["width"] is None and out[mid]["pixels"] is None, mid
 
 
@@ -540,11 +548,27 @@ def test_wav_non_pcm_quarantines():
                 + b"data" + struct.pack("<I", len(data)) + data)
         return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
+    def riff_ext(sub_code):
+        # a well-formed WAVEFORMATEXTENSIBLE fmt: 16 base + cbSize=22 +
+        # validBits/channelMask/SubFormat GUID (Data1 = wrapped code)
+        fmt = (struct.pack("<HHIIHH", 0xFFFE, 2, 22050, 22050 * 4, 4, 16)
+               + struct.pack("<HHI", 22, 16, 0x3)
+               + struct.pack("<I", sub_code) + bytes(12))
+        data = b"\x00" * 64
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
     assert _wav_meta(riff(1)) == (22050, 2, 16, 16)     # PCM: in scope
     assert _wav_meta(riff(3)) == (22050, 2, 16, 16)     # IEEE float
-    assert _wav_meta(riff(0xFFFE)) == (22050, 2, 16, 16)  # extensible
     assert _wav_meta(riff(2)) == (None,) * 4            # ADPCM: quarantine
     assert _wav_meta(riff(0x55)) == (None,) * 4         # MP3-in-RIFF
+    # extensible wrapping PCM passes; wrapping ADPCM quarantines — the
+    # 0xFFFE tag alone is no PCM guarantee (the SubFormat GUID decides)
+    assert _wav_meta(riff_ext(1)) == (22050, 2, 16, 16)
+    assert _wav_meta(riff_ext(2)) == (None,) * 4
+    # a malformed 16-byte fmt claiming 0xFFFE has no GUID to check
+    assert _wav_meta(riff(0xFFFE)) == (None,) * 4
 
 
 # ---------------------------------------------------------------------------
@@ -840,3 +864,75 @@ def test_raster_dispatch_never_raises_on_truncation(kind, seed, cut):
     p = payloads[kind]
     out = _raster(p[:max(1, len(p) - cut)])
     assert isinstance(out, tuple) and len(out) == 4
+
+
+def test_decompression_bombs_quarantine_cheaply():
+    """Code-review r15: a payload DECLARING small dims while its
+    compressed stream inflates far past them must cost a NULL row (or
+    a trimmed frame), never an executor allocation.  PNG: bounded
+    inflate caps at expected+1 bytes; GIF: LZW stops at the frame's
+    pixel count; declared-dims past the raster budget quarantine before
+    any decode."""
+    import struct, zlib
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _gif_raster,
+        _png_raster,
+    )
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    # PNG bomb: 4x4 gray dims, IDAT inflating to 8 MB of zeros
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (8 << 20)))
+            + chunk(b"IEND", b""))
+    assert _png_raster(bomb) is None
+
+    # PNG declaring absurd dims with a tiny stream: budget gate fires
+    huge = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 6, 0, 0, 0)
+    big_dims = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", huge)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+                + chunk(b"IEND", b""))
+    assert _png_raster(big_dims) is None
+
+    # GIF whose LZW stream encodes 1M indices for a 4x4 frame: decode
+    # stops at 16 pixels and returns the correct prefix raster
+    pal = bytes(range(12))  # 4 RGB entries
+    long_idx = bytes(b % 4 for b in _prand(1 << 20, seed=b"bomb"))
+    r = _gif_raster(_gif_full(4, 4, long_idx, pal))
+    assert r is not None and (r[0], r[1]) == (4, 4)
+    assert r[3] == b"".join(pal[i * 3:i * 3 + 3] for i in long_idx[:16])
+
+
+def test_wav_block_align_mismatch_quarantines():
+    """Code-review r15: n_frames is counted in fmt's block_align units;
+    a header whose block_align disagrees with ch*bits/8 (padded or
+    malformed framing) must not be sliced by the wrong stride."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _wav_samples,
+    )
+
+    # block_align = 6 but ch*bits/8 = 4: 10 "frames" of 6 bytes
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 6, 6, 16)
+    data = b"\x01" * 60
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = (b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    assert _wav_samples(payload) is None
+
+
+def test_negative_bmp_width_quarantines():
+    """Code-review r15: the signed int32 BMP width field can be
+    negative in a hostile header — metadata must quarantine, not
+    report a negative width."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _real_dims,
+    )
+
+    bad = bytearray(_bmp(8, 4))
+    struct.pack_into("<i", bad, 18, -320)
+    assert _real_dims(bytes(bad)) == (None, None, None)

@@ -33,7 +33,9 @@ def test_profile_approx_bounds(spark, sf_dir):
     row = QUERIES["profile_approx"].fn(spark, sf_dir).first()
     assert row.exact_parts == exact.p
     assert row.exact_orders == exact.o
-    assert row.exact_median == pytest.approx(exact.med, abs=5e-5)
+    import math
+
+    assert row.exact_median_e4 == math.floor(exact.med * 10000 + 0.5)
     assert row.parts_sketch_ok and row.orders_sketch_ok
     assert row.median_sketch_ok
 
