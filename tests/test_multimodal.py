@@ -936,3 +936,184 @@ def test_negative_bmp_width_quarantines():
     bad = bytearray(_bmp(8, 4))
     struct.pack_into("<i", bad, 18, -320)
     assert _real_dims(bytes(bad)) == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# real baseline-JPEG decode (r15, third narrowing): verified against the
+# JVM's javax.imageio codec — a REAL reference encoder and an independent
+# reference decode of the same bytes (PNG is the lossless pixel bridge)
+# ---------------------------------------------------------------------------
+
+def _jvm(spark):
+    return spark.sparkContext._jvm
+
+
+def _png_to_jpeg(spark, png_bytes, quality=None, progressive=False):
+    """Transcode PNG -> JPEG inside the JVM (javax.imageio is a real
+    libjpeg-lineage codec): the reference ENCODER."""
+    jvm = _jvm(spark)
+    bi = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(png_bytes)))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    if quality is None and not progressive:
+        assert jvm.javax.imageio.ImageIO.write(bi, "jpeg", baos)
+    else:
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpeg").next()
+        param = writer.getDefaultWriteParam()
+        if quality is not None:
+            param.setCompressionMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionQuality(float(quality))
+        if progressive:
+            param.setProgressiveMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        writer.setOutput(
+            jvm.javax.imageio.ImageIO.createImageOutputStream(baos))
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None),
+                     param)
+        writer.dispose()
+    return bytes(baos.toByteArray())
+
+
+def _reference_decode(spark, jpeg_bytes):
+    """The reference DECODE of the same jpeg bytes, exported losslessly
+    as PNG and read back through this repo's proven PNG decoder."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _png_raster,
+    )
+
+    jvm = _jvm(spark)
+    bi = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(jpeg_bytes)))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "png", baos)
+    return _png_raster(bytes(baos.toByteArray()))
+
+
+def test_jpeg_decode_matches_reference_codec(spark):
+    """_jpeg_raster vs javax.imageio decoding the SAME file: per-sample
+    agreement at IDCT-rounding level (the spec leaves IDCT and chroma
+    reconstruction to the decoder; the triangle upsampler matches
+    libjpeg's, so the residue is a couple of code points)."""
+    import numpy as np
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _jpeg_raster,
+    )
+
+    cases = []
+    for (w, h) in ((32, 24), (33, 25), (8, 8), (17, 3)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [(xx * 8) % 256, (yy * 10) % 256, ((xx + yy) * 5) % 256],
+            axis=-1).astype(np.uint8)
+        cases.append((w, h, 3, rgb.tobytes(), None))
+    noise = _prand(40 * 20 * 3, seed=b"jnoise")
+    cases.append((40, 20, 3, noise, 0.95))
+    gray = _prand(21 * 14, seed=b"jgray")
+    cases.append((21, 14, 1, gray, None))
+    for w, h, ch, raster, q in cases:
+        png = _png_encode(w, h, 2 if ch == 3 else 0, raster, [0])
+        jpeg = _png_to_jpeg(spark, png, quality=q)
+        mine = _jpeg_raster(jpeg)
+        assert mine is not None, (w, h, ch)
+        ref = _reference_decode(spark, jpeg)
+        assert (mine[0], mine[1]) == (ref[0], ref[1]) == (w, h)
+        a = np.frombuffer(mine[3], dtype=np.uint8).astype(np.int32)
+        a = a.reshape(h, w, mine[2])
+        b = np.frombuffer(ref[3], dtype=np.uint8).astype(np.int32)
+        b = b.reshape(h, w, ref[2])
+        if mine[2] == 1 and ref[2] == 3:  # gray exported as RGB PNG
+            b = b[:, :, :1]
+        d = np.abs(a - b)
+        assert d.max() <= 4 and d.mean() <= 0.1, (w, h, ch, d.max(),
+                                                  float(d.mean()))
+
+
+def test_jpeg_through_decode_pixels_and_progressive_gate(spark):
+    """The mapInPandas path: a reference-encoded baseline JPEG decodes
+    to real pixels; a PROGRESSIVE JPEG (SOF2 — the remaining codec
+    gate) keeps its real header dims with NULL pixels; truncated
+    baseline streams quarantine to header dims."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    rgb = np.stack([xx * 10, yy * 12, xx + yy], axis=-1).astype(np.uint8)
+    png = _png_encode(24, 16, 2, rgb.tobytes(), [0])
+    baseline = _png_to_jpeg(spark, png)
+    progressive = _png_to_jpeg(spark, png, progressive=True)
+    assert b"\xff\xc2" in progressive[:200]  # really SOF2
+    torn = baseline[:baseline.index(b"\xff\xda") + 20]  # cut mid-entropy
+    out = _decode_px(spark, [baseline, progressive, torn])
+    assert (out[1]["width"], out[1]["height"]) == (24, 16)
+    assert out[1]["pixels"] is not None
+    assert (out[2]["width"], out[2]["height"]) == (24, 16)
+    assert out[2]["pixels"] is None  # the progressive gate
+    assert (out[3]["width"], out[3]["height"]) == (24, 16)
+    assert out[3]["pixels"] is None  # torn entropy stream
+
+
+def test_jpeg_restart_markers_and_dc_reset():
+    """A hand-built minimal baseline JPEG with DRI=1: two flat 8x8
+    gray MCUs separated by RST0.  Flat blocks at q=8 reconstruct
+    EXACTLY (DC-only, orthonormal IDCT), and the second MCU only
+    decodes right if the DC predictor resets at the restart."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _jpeg_raster,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    # DC table: symbols 5 and 7 at length 2 (codes 00, 01); AC table:
+    # symbol 0x00 (EOB) as the single length-1 code 0
+    bits_dc = [0, 2] + [0] * 14
+    dht_dc = seg(0xC4, bytes([0x00] + bits_dc + [5, 7]))
+    bits_ac = [1] + [0] * 15
+    dht_ac = seg(0xC4, bytes([0x10] + bits_ac + [0x00]))
+    dri = seg(0xDD, struct.pack(">H", 1))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    class W:
+        def __init__(self):
+            self.bits = ""
+
+        def put(self, val, n):
+            self.bits += format(val, f"0{n}b")
+
+        def flush(self):
+            pad = (-len(self.bits)) % 8
+            self.bits += "1" * pad
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                b = int(self.bits[i:i + 8], 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)  # byte stuffing
+            self.bits = ""
+            return bytes(out)
+
+    # MCU 1: flat 100 -> DC level (100-128)*8/8 = -28, category 5,
+    # negative encoding -28 + 2^5 - 1 = 3; then EOB (code 0, 1 bit)
+    w1 = W()
+    w1.put(0b00, 2)   # DC symbol 5
+    w1.put(3, 5)      # -28
+    w1.put(0, 1)      # EOB
+    # MCU 2 (after RST0, predictor reset): flat 50 -> DC -78,
+    # category 7, encoding -78 + 2^7 - 1 = 49
+    w2 = W()
+    w2.put(0b01, 2)   # DC symbol 7
+    w2.put(49, 7)     # -78
+    w2.put(0, 1)      # EOB
+    entropy = w1.flush() + b"\xff\xd0" + w2.flush()
+    jpeg = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
+            + entropy + b"\xff\xd9")
+    r = _jpeg_raster(jpeg)
+    assert r is not None and (r[0], r[1], r[2]) == (16, 8, 1)
+    import numpy as np
+    img = np.frombuffer(r[3], dtype=np.uint8).reshape(8, 16)
+    assert (img[:, :8] == 100).all(), img[:, :8]
+    assert (img[:, 8:] == 50).all(), img[:, 8:]
