@@ -12,11 +12,12 @@ Decode is split at the line the formats themselves draw:
     decode, dependency-free — PNG (zlib inflate + per-row unfilter +
     Adam7 + palette expansion), GIF (pure-Python LZW + palette +
     de-interlace), BMP (uncompressed 8/24/32-bit), WAV PCM, and
-    baseline-JPEG (canonical Huffman + numpy IDCT + libjpeg-parity
-    chroma upsampling, verified against javax.imageio) — emitting a
-    uniform raw-tensor row.  Only progressive/arithmetic JPEG scans
-    remain codec-bound (``inflate_entropy_coded``); their rows
-    quarantine with real header dims + NULL pixels.
+    JPEG in both Huffman forms — sequential AND progressive —
+    (canonical Huffman + numpy IDCT + libjpeg-parity chroma
+    upsampling, verified against javax.imageio) — emitting a uniform
+    raw-tensor row.  Only arithmetic-coded/lossless JPEG remains
+    codec-bound (``inflate_entropy_coded``); those rows quarantine
+    with real header dims + NULL pixels.
   * ``decoder="fake"`` (the default, and what the synthetic testdata
     exercises — its payloads are utf-8 text, not image containers)
     derives deterministic metadata/features from md5(payload).
@@ -768,21 +769,232 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_dc_block(br, dc_t, block, preds, cid, ah, al):
+    """One block's DC contribution: first pass decodes the Huffman
+    magnitude + predictor diff (stored shifted by the scan's point
+    transform); refinement passes OR in one correction bit."""
+    if ah == 0:
+        t = br.huffdecode(dc_t)
+        if t is None or t > 15:
+            return False
+        diff = br.receive(t) if t else 0
+        if diff is None:
+            return False
+        preds[cid] += _jpeg_extend(diff, t)
+        block[0] = preds[cid] << al
+    else:
+        b = br.receive(1)
+        if b is None:
+            return False
+        if b:
+            block[0] |= 1 << al
+    return True
+
+
+def _jpeg_ac_first(br, ac_t, block, ss, se, al, eobrun):
+    """One block's first AC pass over the zigzag band ss..se (ISO
+    10918-1 G.1.2.2 / libjpeg decode_mcu_AC_first): run-length zeros,
+    EOB-run accumulation across blocks, values shifted by ``al``.
+    Returns the updated EOB run, or None on a torn/corrupt stream."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huffdecode(ac_t)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eb = 1 << r
+            if r:
+                g = br.receive(r)
+                if g is None:
+                    return None
+                eb += g
+            return eb - 1  # this block closes the first run member
+        k += r
+        if k > se:
+            return None
+        v = br.receive(s)
+        if v is None:
+            return None
+        block[k] = _jpeg_extend(v, s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(br, ac_t, block, ss, se, al, eobrun):
+    """One block's AC refinement pass (ISO 10918-1 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine): already-nonzero coefficients absorb
+    correction bits; runs count only zero-history positions; newly
+    significant coefficients enter at ±2^al.  Returns the updated EOB
+    run, or None on a torn/corrupt stream."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huffdecode(ac_t)
+            if rs is None:
+                return None
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    return None  # refinement magnitudes are single bits
+                b = br.receive(1)
+                if b is None:
+                    return None
+                val = p1 if b else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    g = br.receive(r)
+                    if g is None:
+                        return None
+                    eobrun += g
+                break  # correction sweep below finishes this block
+            while k <= se:
+                if block[k] != 0:
+                    b = br.receive(1)
+                    if b is None:
+                        return None
+                    if b and (int(block[k]) & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                b = br.receive(1)
+                if b is None:
+                    return None
+                if b and (int(block[k]) & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_seq_block(br, dc_t, ac_t, block, preds, cid):
+    """One block of a SEQUENTIAL scan: DC diff then the full AC
+    run-length band, straight into zigzag-order coefficients."""
+    t = br.huffdecode(dc_t)
+    if t is None or t > 15:
+        return False
+    diff = br.receive(t) if t else 0
+    if diff is None:
+        return False
+    preds[cid] += _jpeg_extend(diff, t)
+    block[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = br.huffdecode(ac_t)
+        if rs is None:
+            return False
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            return False
+        v = br.receive(s)
+        if v is None:
+            return False
+        block[k] = _jpeg_extend(v, s)
+        k += 1
+    return True
+
+
+def _jpeg_decode_scan(br, scomps, ss, se, ah, al, progressive, coefs,
+                      huff, dri, geom):
+    """Decode one scan's entropy data into the per-component
+    coefficient grids.  Interleaved scans (ns > 1) walk MCUs;
+    non-interleaved scans walk the single component's own block grid
+    (which can be SMALLER than the MCU-padded grid — padding blocks are
+    simply never coded).  Restart markers reset DC predictors and the
+    EOB run."""
+    fw, fh, hmax, vmax, mcux, mcuy = geom
+    interleaved = len(scomps) > 1
+    if not interleaved:
+        cid, td, ta, ch, cv = scomps[0]
+        cw = -(-fw * ch // hmax)   # component width/height in samples
+        chh = -(-fh * cv // vmax)
+        bw = -(-cw // 8)           # the component's OWN block grid
+        bh = -(-chh // 8)
+        n_units = bw * bh
+    else:
+        n_units = mcux * mcuy
+    preds = {c[0]: 0 for c in scomps}
+    eobrun = 0
+    for u in range(n_units):
+        if dri and u and u % dri == 0:
+            if not br.align_to_restart():
+                return False
+            preds = {c[0]: 0 for c in scomps}
+            eobrun = 0
+        for cid, td, ta, ch, cv in scomps:
+            dc_t = huff.get((0, td))
+            ac_t = huff.get((1, ta))
+            n_blocks = ch * cv if interleaved else 1
+            for b in range(n_blocks):
+                if interleaved:
+                    gy = (u // mcux) * cv + b // ch
+                    gx = (u % mcux) * ch + b % ch
+                else:
+                    gy, gx = u // bw, u % bw
+                block = coefs[cid][gy, gx]
+                if not progressive:
+                    if dc_t is None or ac_t is None:
+                        return False
+                    if not _jpeg_seq_block(br, dc_t, ac_t, block,
+                                           preds, cid):
+                        return False
+                elif ss == 0:  # DC scan (se must be 0)
+                    if se != 0 or (ah == 0 and dc_t is None):
+                        return False
+                    if not _jpeg_dc_block(br, dc_t, block, preds,
+                                          cid, ah, al):
+                        return False
+                else:  # AC scan: spec requires ns == 1
+                    if interleaved or ac_t is None:
+                        return False
+                    fn = _jpeg_ac_first if ah == 0 else _jpeg_ac_refine
+                    eobrun = fn(br, ac_t, block, ss, se, al, eobrun)
+                    if eobrun is None:
+                        return False
+    return True
+
+
 def _jpeg_raster(payload: bytes):
-    """REAL baseline-JPEG pixel decode — stdlib + numpy only: marker
-    parse, canonical-Huffman entropy decode with byte-unstuffing and
-    restart markers, dequantization, batched numpy IDCT (orthonormal
-    DCT-II matrix pair), per-component box upsampling and BT.601
+    """REAL JPEG pixel decode — stdlib + numpy only: marker parse,
+    canonical-Huffman entropy decode with byte-unstuffing and restart
+    markers, dequantization, batched numpy IDCT (orthonormal DCT-II
+    matrix pair), libjpeg-parity triangle chroma upsampling and BT.601
     YCbCr->RGB.  (width, height, channels, raster) or None.
 
-    In scope: SOF0/SOF1 (sequential Huffman — what javax.imageio,
-    libjpeg default paths and virtually all camera/web encoders emit),
-    8-bit samples, 1 or 3 components, integer sampling ratios, DRI/RST.
-    Progressive (SOF2) and arithmetic-coded (SOF9+) streams stay
-    quarantined: header dims + NULL pixels via the caller's fallback.
-    Verified in tests against the JVM's javax.imageio codec (the
-    reference encoder AND an independent reference decode of the same
-    bytes)."""
+    In scope: SEQUENTIAL Huffman (SOF0/SOF1 — what javax.imageio,
+    libjpeg default paths and virtually all camera/web encoders emit)
+    AND PROGRESSIVE Huffman (SOF2 — spectral-selection / successive-
+    approximation scans with DC refinement and AC EOB-run semantics,
+    accumulated into whole-image coefficient grids and rendered once
+    at EOI).  8-bit samples, 1 or 3 components, integer sampling
+    ratios, DRI/RST.  Arithmetic-coded streams (SOF9+, which mainstream
+    encoders never emit) stay quarantined: header dims + NULL pixels
+    via the caller's fallback.  Verified in tests against the JVM's
+    javax.imageio codec (the reference encoder AND an independent
+    reference decode of the same bytes)."""
     import struct
 
     import numpy as np
@@ -793,9 +1005,12 @@ def _jpeg_raster(payload: bytes):
         qt = {}
         huff = {}
         frame = None
+        progressive = False
+        coefs = None
+        geom = None
         dri = 0
+        n_scans = 0
         i = 2
-        sos = None
         while i + 2 <= len(payload):
             if payload[i] != 0xFF:
                 return None
@@ -807,7 +1022,7 @@ def _jpeg_raster(payload: bytes):
                 i += 2
                 continue
             if m == 0xD9:
-                return None  # EOI before SOS
+                break  # EOI
             (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
             seg = payload[i + 4:i + 2 + seglen]
             if len(seg) != seglen - 2:
@@ -821,12 +1036,11 @@ def _jpeg_raster(payload: bytes):
                         tbl = list(seg[p:p + 64])
                         p += 64
                     else:
-                        tbl = list(struct.unpack(
-                            ">64H", seg[p:p + 128]))
+                        tbl = list(struct.unpack(">64H", seg[p:p + 128]))
                         p += 128
                     if len(tbl) != 64:
                         return None
-                    qt[tq] = np.array(tbl, dtype=np.int32)
+                    qt[tq] = np.array(tbl, dtype=np.int64)
             elif m == 0xC4:  # DHT: one or more tables
                 p = 0
                 while p + 17 <= len(seg):
@@ -838,123 +1052,94 @@ def _jpeg_raster(payload: bytes):
                         return None
                     huff[(tc, th)] = _jpeg_huff_table(bits, vals)
                     p += 17 + n
-            elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+                if frame is not None:
+                    return None
+                progressive = m == 0xC2
                 prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
-                if prec != 8 or nc not in (1, 3):
+                if prec != 8 or nc not in (1, 3) or fw == 0 or fh == 0:
                     return None
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + c * 3:9 + c * 3]
                     comps.append((cid, hv >> 4, hv & 15, tq))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax == 0 or vmax == 0:
+                    return None
+                if any(c[1] == 0 or c[2] == 0 or hmax % c[1] or vmax % c[2]
+                       for c in comps):
+                    return None
+                if fw * fh * nc > _MAX_RASTER_BYTES:
+                    return None
+                mcux = -(-fw // (8 * hmax))
+                mcuy = -(-fh // (8 * vmax))
                 frame = (fw, fh, comps)
-            elif 0xC2 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-                return None  # progressive/arithmetic: the codec gate
+                geom = (fw, fh, hmax, vmax, mcux, mcuy)
+                coefs = {
+                    cid: np.zeros((mcuy * cv, mcux * ch, 64),
+                                  dtype=np.int32)
+                    for cid, ch, cv, _tq in comps
+                }
+            elif 0xC3 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                return None  # lossless/arithmetic: the codec gate
             elif m == 0xDD:
                 (dri,) = struct.unpack(">H", seg[:2])
-            elif m == 0xDA:  # SOS: entropy data follows
+            elif m == 0xDA:  # one scan's worth of entropy data
+                if frame is None:
+                    return None
+                n_scans += 1
+                if n_scans > 64:
+                    return None  # adversarial scan spam
                 ns = seg[0]
-                smap = {}
+                byid = {c[0]: c for c in frame[2]}
+                scomps = []
                 for c in range(ns):
                     cs, tdta = seg[1 + c * 2:3 + c * 2]
-                    smap[cs] = (tdta >> 4, tdta & 15)
-                sos = (smap, i + 2 + seglen)
-                break
+                    if cs not in byid:
+                        return None
+                    _cid, ch, cv, _tq = byid[cs]
+                    scomps.append((cs, tdta >> 4, tdta & 15, ch, cv))
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                br = _JpegBits(payload, i + 2 + seglen)
+                if not _jpeg_decode_scan(
+                        br, scomps, ss, se, ahal >> 4, ahal & 15,
+                        progressive, coefs, huff, dri, geom):
+                    return None
+                i = br.p  # resume the marker walk after the entropy data
+                continue
             i += 2 + seglen
-        if frame is None or sos is None:
+        if frame is None or coefs is None or n_scans == 0:
             return None
         fw, fh, comps = frame
-        if fw == 0 or fh == 0:
+        _fw, _fh, hmax, vmax, mcux, mcuy = geom
+        if any(c[3] not in qt for c in comps):
             return None
-        smap, data_pos = sos
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        if hmax == 0 or vmax == 0:
-            return None
-        if any(hmax % c[1] or vmax % c[2] for c in comps):
-            return None  # non-integer upsampling ratio: out of scope
-        if fw * fh * len(comps) > _MAX_RASTER_BYTES:
-            return None
-        mcux = -(-fw // (8 * hmax))
-        mcuy = -(-fh // (8 * vmax))
-        br = _JpegBits(payload, data_pos)
-        zz = np.array(_ZIGZAG)
-        blocks = {c[0]: [] for c in comps}
-        preds = {c[0]: 0 for c in comps}
-        n_mcu = 0
-        for _ in range(mcux * mcuy):
-            if dri and n_mcu and n_mcu % dri == 0:
-                if not br.align_to_restart():
-                    return None
-                preds = {c[0]: 0 for c in comps}
-            for cid, ch, cv, tq in comps:
-                if cid not in smap or tq not in qt:
-                    return None
-                dc_t = huff.get((0, smap[cid][0]))
-                ac_t = huff.get((1, smap[cid][1]))
-                if dc_t is None or ac_t is None:
-                    return None
-                for _b in range(ch * cv):
-                    t = br.huffdecode(dc_t)
-                    if t is None or t > 15:
-                        return None
-                    diff = br.receive(t) if t else 0
-                    if diff is None:
-                        return None
-                    preds[cid] += _jpeg_extend(diff, t)
-                    coef = np.zeros(64, dtype=np.int64)
-                    coef[0] = preds[cid]
-                    k = 1
-                    while k < 64:
-                        rs = br.huffdecode(ac_t)
-                        if rs is None:
-                            return None
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            return None
-                        v = br.receive(s)
-                        if v is None:
-                            return None
-                        coef[k] = _jpeg_extend(v, s)
-                        k += 1
-                    blocks[cid].append(coef * qt[tq])
-            n_mcu += 1
         # batched IDCT: orthonormal DCT-II matrix pair (x = T.T @ X @ T)
         u = np.arange(8)
         T = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
         T *= np.sqrt(2.0 / 8)
         T[0] *= np.sqrt(0.5)
+        zz = np.array(_ZIGZAG)
         planes = {}
-        for cid, ch, cv, _tq in comps:
-            blk = np.stack(blocks[cid]).astype(np.float64)
+        for cid, ch, cv, tq in comps:
+            grid = coefs[cid].astype(np.int64) * qt[tq][None, None, :]
+            gh, gw = grid.shape[:2]
+            blk = grid.reshape(-1, 64).astype(np.float64)
             nat = np.zeros_like(blk)
             nat[:, zz] = blk  # inverse zigzag
             nat = nat.reshape(-1, 8, 8)
             pix = np.einsum("ux,nuv,vy->nxy", T, nat, T) + 128.0
             pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
-            # blocks arrive MCU-major, then cv x ch within the MCU
-            pw, ph = mcux * ch * 8, mcuy * cv * 8
-            plane = np.zeros((ph, pw), dtype=np.uint8)
-            bi = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for by in range(cv):
-                        for bx in range(ch):
-                            y0 = (my * cv + by) * 8
-                            x0 = (mx * ch + bx) * 8
-                            plane[y0:y0 + 8, x0:x0 + 8] = pix[bi]
-                            bi += 1
+            plane = pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+            plane = plane.reshape(gh * 8, gw * 8)
             # crop MCU padding BEFORE upsampling: the triangle filter's
             # edge replication must see the component's true last
             # row/column, not block-padding garbage
             cw = -(-fw * ch // hmax)
             chh = -(-fh * cv // vmax)
-            plane = _jpeg_upsample(plane[:chh, :cw], hmax // ch, vmax // cv)
+            plane = _jpeg_upsample(plane[:chh, :cw], hmax // ch,
+                                   vmax // cv)
             planes[cid] = plane[:fh, :fw].astype(np.float64)
         if len(comps) == 1:
             gray = planes[comps[0][0]].astype(np.uint8)
@@ -1014,22 +1199,23 @@ def _wav_samples(payload: bytes):
 
 
 def inflate_entropy_coded(payload: bytes):  # pragma: no cover - gate
-    """The remaining codec gate (narrowed three times in r15, now down
-    to JPEG's two rare variants): PROGRESSIVE (SOF2) and
-    ARITHMETIC-coded (SOF9+) JPEG scans.  Everything else decodes for
-    real, dependency-free: PNG (zlib + unfilter + Adam7), GIF
-    (pure-Python LZW), BMP, WAV PCM, and baseline/extended-sequential
-    Huffman JPEG (:func:`_jpeg_raster` — marker parse, canonical
-    Huffman, numpy IDCT, libjpeg-parity triangle upsampling, verified
-    against the JVM's javax.imageio codec).  Slot a codec-library call
-    here if those variants ever matter; :func:`decode_pixels`
-    quarantines their rows (header dims kept, pixels NULL) instead of
-    failing the task."""
+    """The remaining codec gate (narrowed four times in r15, now down
+    to one vestigial variant): ARITHMETIC-coded JPEG scans (SOF9+) and
+    lossless JPEG (SOF3+) — formats mainstream encoders never emit
+    (historically patent-bound; javax.imageio cannot even write them).
+    Everything real-world decodes dependency-free: PNG (zlib +
+    unfilter + Adam7), GIF (pure-Python LZW), BMP, WAV PCM, and JPEG in
+    BOTH its Huffman forms — sequential (SOF0/SOF1) and progressive
+    (SOF2: spectral-selection / successive-approximation scans) — via
+    :func:`_jpeg_raster`, verified against the JVM's javax.imageio
+    codec.  Slot a codec-library call here if the arithmetic variant
+    ever matters; :func:`decode_pixels` quarantines such rows (header
+    dims kept, pixels NULL) instead of failing the task."""
     raise NotImplementedError(
-        "progressive/arithmetic JPEG entropy decode requires codec "
+        "arithmetic-coded/lossless JPEG decode requires codec "
         "libraries not present in this environment; PNG/GIF/BMP/WAV "
-        "and baseline-JPEG payloads decode for real via "
-        "decode_pixels(decoder='real')"
+        "and sequential/progressive Huffman JPEG payloads decode for "
+        "real via decode_pixels(decoder='real')"
     )
 
 
@@ -1089,12 +1275,13 @@ def decode_pixels(media: DataFrame, decoder: str = "fake") -> DataFrame:
 
     ``decoder="real"`` decodes PNG (zlib inflate + per-row unfilter,
     Adam7), GIF (pure-Python LZW, first frame, de-interlaced), BMP
-    (BI_RGB 8/24/32-bit), WAV PCM and baseline-JPEG (canonical
-    Huffman + numpy IDCT, javax.imageio-verified) payloads for REAL,
-    dependency-free.  Only progressive/arithmetic JPEG scans remain
-    codec-bound (:func:`inflate_entropy_coded`): those rows keep real
-    header dims with NULL pixels.  Torn/unknown/NULL payloads
-    quarantine — one bad payload never fails the task.
+    (BI_RGB 8/24/32-bit), WAV PCM and JPEG — sequential AND
+    progressive Huffman (canonical Huffman + numpy IDCT,
+    javax.imageio-verified) — for REAL, dependency-free.  Only
+    arithmetic-coded/lossless JPEG remains codec-bound
+    (:func:`inflate_entropy_coded`): those rows keep real header dims
+    with NULL pixels.  Torn/unknown/NULL payloads quarantine — one bad
+    payload never fails the task.
 
     At 100 TB this is the bandwidth-dominant operator: rasters are
     ~2-50x the compressed payload, so decode LATE (after every filter

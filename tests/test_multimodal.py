@@ -223,12 +223,12 @@ def test_real_decode_edge_dims():
 
 
 def test_entropy_decode_is_the_documented_gate():
-    """The NotImplementedError gate narrowed again in r15: pixel decode
-    is REAL for PNG/BMP/WAV; only JPEG/GIF entropy streams remain
-    codec-bound."""
+    """The NotImplementedError gate narrowed four times in r15: pixel
+    decode is REAL for PNG/GIF/BMP/WAV and both Huffman JPEG forms;
+    only arithmetic-coded/lossless JPEG remains codec-bound."""
     import pytest
 
-    with pytest.raises(NotImplementedError, match="entropy decode"):
+    with pytest.raises(NotImplementedError, match="arithmetic-coded"):
         multimodal.inflate_entropy_coded(b"\xff\xd8")
 
 
@@ -1012,9 +1012,17 @@ def test_jpeg_decode_matches_reference_codec(spark):
     cases.append((40, 20, 3, noise, 0.95))
     gray = _prand(21 * 14, seed=b"jgray")
     cases.append((21, 14, 1, gray, None))
+    # progressive (SOF2): multi-scan spectral selection + successive
+    # approximation, decoded since r15 — same parity bar
+    cases.append((32, 24, 3, cases[0][3], "progressive"))
+    cases.append((33, 25, 3, cases[1][3], "progressive"))
     for w, h, ch, raster, q in cases:
         png = _png_encode(w, h, 2 if ch == 3 else 0, raster, [0])
-        jpeg = _png_to_jpeg(spark, png, quality=q)
+        if q == "progressive":
+            jpeg = _png_to_jpeg(spark, png, progressive=True)
+            assert b"\xff\xc2" in jpeg[:200]
+        else:
+            jpeg = _png_to_jpeg(spark, png, quality=q)
         mine = _jpeg_raster(jpeg)
         assert mine is not None, (w, h, ch)
         ref = _reference_decode(spark, jpeg)
@@ -1030,11 +1038,11 @@ def test_jpeg_decode_matches_reference_codec(spark):
                                                   float(d.mean()))
 
 
-def test_jpeg_through_decode_pixels_and_progressive_gate(spark):
-    """The mapInPandas path: a reference-encoded baseline JPEG decodes
-    to real pixels; a PROGRESSIVE JPEG (SOF2 — the remaining codec
-    gate) keeps its real header dims with NULL pixels; truncated
-    baseline streams quarantine to header dims."""
+def test_jpeg_through_decode_pixels_and_arithmetic_gate(spark):
+    """The mapInPandas path: reference-encoded baseline AND progressive
+    JPEGs decode to real pixels; an ARITHMETIC-coded stream (SOF9 —
+    the remaining codec gate) keeps its real header dims with NULL
+    pixels; truncated baseline streams quarantine to header dims."""
     import numpy as np
 
     yy, xx = np.mgrid[0:16, 0:24]
@@ -1044,13 +1052,16 @@ def test_jpeg_through_decode_pixels_and_progressive_gate(spark):
     progressive = _png_to_jpeg(spark, png, progressive=True)
     assert b"\xff\xc2" in progressive[:200]  # really SOF2
     torn = baseline[:baseline.index(b"\xff\xda") + 20]  # cut mid-entropy
-    out = _decode_px(spark, [baseline, progressive, torn])
+    arith = baseline.replace(b"\xff\xc0", b"\xff\xc9", 1)  # fake SOF9
+    out = _decode_px(spark, [baseline, progressive, torn, arith])
     assert (out[1]["width"], out[1]["height"]) == (24, 16)
     assert out[1]["pixels"] is not None
     assert (out[2]["width"], out[2]["height"]) == (24, 16)
-    assert out[2]["pixels"] is None  # the progressive gate
+    assert out[2]["pixels"] is not None  # progressive decodes since r15
     assert (out[3]["width"], out[3]["height"]) == (24, 16)
     assert out[3]["pixels"] is None  # torn entropy stream
+    assert (out[4]["width"], out[4]["height"]) == (24, 16)
+    assert out[4]["pixels"] is None  # the arithmetic-coding gate
 
 
 def test_jpeg_restart_markers_and_dc_reset():
