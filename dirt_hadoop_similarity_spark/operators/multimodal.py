@@ -1010,6 +1010,7 @@ def _jpeg_raster(payload: bytes):
         geom = None
         dri = 0
         n_scans = 0
+        adobe_transform = None
         i = 2
         while i + 2 <= len(payload):
             if payload[i] != 0xFF:
@@ -1035,9 +1036,11 @@ def _jpeg_raster(payload: bytes):
                     if pq == 0:
                         tbl = list(seg[p:p + 64])
                         p += 64
-                    else:
+                    elif pq == 1:
                         tbl = list(struct.unpack(">64H", seg[p:p + 128]))
                         p += 128
+                    else:
+                        return None  # Pq is 0/1 only: corrupt segment
                     if len(tbl) != 64:
                         return None
                     qt[tq] = np.array(tbl, dtype=np.int64)
@@ -1070,7 +1073,14 @@ def _jpeg_raster(payload: bytes):
                 if any(c[1] == 0 or c[2] == 0 or hmax % c[1] or vmax % c[2]
                        for c in comps):
                     return None
-                if fw * fh * nc > _MAX_RASTER_BYTES:
+                # tighter budget than the raster cap: JPEG decode
+                # holds int32 coefficient grids for the whole file and
+                # renders through int64/float64 intermediates — peak
+                # allocation runs ~40-60x the sample count, so bound
+                # SAMPLES at cap/64 (~4M pixels) or a crafted 1 MB
+                # stream declaring huge dims OOMs the worker long
+                # before the output raster exists (code review r15)
+                if fw * fh * nc > _MAX_RASTER_BYTES // 64:
                     return None
                 mcux = -(-fw // (8 * hmax))
                 mcuy = -(-fh // (8 * vmax))
@@ -1085,6 +1095,12 @@ def _jpeg_raster(payload: bytes):
                 return None  # lossless/arithmetic: the codec gate
             elif m == 0xDD:
                 (dri,) = struct.unpack(">H", seg[:2])
+            elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+                # APP14 color-transform flag: 1 = YCbCr (the default
+                # assumption), 0 = components stored as plain RGB —
+                # applying the YCbCr matrix to RGB data garbles colors
+                # silently (code review r15)
+                adobe_transform = seg[11]
             elif m == 0xDA:  # one scan's worth of entropy data
                 if frame is None:
                     return None
@@ -1144,6 +1160,14 @@ def _jpeg_raster(payload: bytes):
         if len(comps) == 1:
             gray = planes[comps[0][0]].astype(np.uint8)
             return fw, fh, 1, gray.tobytes()
+        # 3-component color interpretation: YCbCr unless the stream
+        # says otherwise — APP14 transform=0 or the informal
+        # 'R','G','B' component-id convention mean the planes ARE the
+        # RGB channels (javax.imageio honors the same two signals)
+        cids = tuple(c[0] for c in comps)
+        if adobe_transform == 0 or cids == (0x52, 0x47, 0x42):
+            rgb = np.stack([planes[c[0]] for c in comps], axis=-1)
+            return fw, fh, 3, rgb.astype(np.uint8).tobytes()
         y, cb, cr = (planes[c[0]] for c in comps)
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -1252,7 +1276,7 @@ def _raster(payload: bytes):
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         r = _gif_raster(payload)
     elif payload[:2] == b"\xff\xd8":
-        r = _jpeg_raster(payload)  # progressive/arithmetic: gate -> None
+        r = _jpeg_raster(payload)  # arithmetic/lossless: gate -> None
     else:
         return None, None, None, None
     if r:

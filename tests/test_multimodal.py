@@ -1128,3 +1128,93 @@ def test_jpeg_restart_markers_and_dc_reset():
     img = np.frombuffer(r[3], dtype=np.uint8).reshape(8, 16)
     assert (img[:, :8] == 100).all(), img[:, :8]
     assert (img[:, 8:] == 50).all(), img[:, 8:]
+
+
+def test_jpeg_truncation_sweep_never_raises(spark):
+    """Every prefix of real sequential AND progressive JPEGs decodes to
+    a row tuple (dims when the SOF survives, NULLs otherwise) — never
+    an exception; cuts land in headers, tables, scan headers and
+    entropy data alike."""
+    import numpy as np
+    from dirt_hadoop_similarity_spark.operators.multimodal import _raster
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    rgb = np.stack([xx * 9, yy * 11, xx * yy % 256],
+                   axis=-1).astype(np.uint8)
+    png = _png_encode(24, 16, 2, rgb.tobytes(), [0])
+    for jpeg in (_png_to_jpeg(spark, png),
+                 _png_to_jpeg(spark, png, progressive=True)):
+        for cut in range(1, len(jpeg), 7):
+            out = _raster(jpeg[:cut])
+            assert isinstance(out, tuple) and len(out) == 4, cut
+        full = _raster(jpeg)
+        assert full[3] is not None  # and the uncut stream decodes
+
+
+def test_jpeg_app14_rgb_and_dqt_validation(spark):
+    """Code-review r15 follow-ups: (1) APP14 transform=0 means the
+    three components ARE RGB — pinned as a self-consistency law: the
+    raw planes from a transform=0 decode, pushed through the BT.601
+    matrix, reproduce the YCbCr decode of the same stream exactly, and
+    transform=1 decodes identically to no APP14 at all; (2) a DQT
+    precision nibble outside 0/1 quarantines instead of mis-parsing."""
+    import struct
+    import numpy as np
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _jpeg_raster,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    rgb = np.stack([xx * 10, yy * 12, xx + yy], axis=-1).astype(np.uint8)
+    jpeg = _png_to_jpeg(spark, _png_encode(24, 16, 2, rgb.tobytes(), [0]))
+
+    def with_app14(transform):
+        body = b"Adobe" + struct.pack(">HHHB", 0x65, 0, 0, transform)
+        seg = b"\xff\xee" + struct.pack(">H", len(body) + 2) + body
+        return jpeg[:2] + seg + jpeg[2:]
+
+    base = _jpeg_raster(jpeg)
+    same = _jpeg_raster(with_app14(1))
+    assert same is not None and same[3] == base[3]  # transform=1 == none
+
+    raw = _jpeg_raster(with_app14(0))  # planes returned untransformed
+    assert raw is not None and (raw[0], raw[1], raw[2]) == (24, 16, 3)
+    p = np.frombuffer(raw[3], dtype=np.uint8).reshape(16, 24, 3)
+    y, cb, cr = (p[:, :, i].astype(np.float64) for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    conv = np.clip(np.rint(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
+    assert conv.tobytes() == base[3]  # the law: raw planes + matrix == YCbCr path
+
+    bad_dqt = bytearray(jpeg)
+    i = bad_dqt.index(b"\xff\xdb")
+    bad_dqt[i + 4] = (bad_dqt[i + 4] & 0x0F) | 0x20  # Pq=2: invalid
+    assert _jpeg_raster(bytes(bad_dqt)) is None
+
+
+def test_jpeg_declared_dims_budget():
+    """Code-review r15: decode intermediates amplify ~40-60x past the
+    output raster, so declared dims are budgeted at cap/64 BEFORE any
+    allocation — a tiny stream declaring enormous dims quarantines
+    immediately instead of looping millions of MCUs."""
+    import struct, time
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _jpeg_raster,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 30000, 30000, 1)
+              + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00, 0, 2] + [0] * 14 + [5, 7]))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bomb = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + b"\x00" * 32 + b"\xff\xd9")
+    t0 = time.perf_counter()
+    assert _jpeg_raster(bomb) is None
+    assert time.perf_counter() - t0 < 1.0  # rejected up front, no loop
