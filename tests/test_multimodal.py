@@ -1218,3 +1218,32 @@ def test_jpeg_declared_dims_budget():
     t0 = time.perf_counter()
     assert _jpeg_raster(bomb) is None
     assert time.perf_counter() - t0 < 1.0  # rejected up front, no loop
+
+
+def test_metadata_filter_then_decode_late_composition(spark):
+    """The documented 100 TB recipe as a working plan: header-pass
+    metadata filters FIRST (cheap, no decompression), pixel decode runs
+    only on survivors, and the composed plan still adds no Exchange —
+    payload bytes never shuffle."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    small = _png_encode(8, 8, 2, _prand(8 * 8 * 3, seed=b"s"), [0])
+    yy, xx = np.mgrid[0:64, 0:64]
+    big = _png_encode(64, 64, 2, _prand(64 * 64 * 3, seed=b"b"), [0])
+    rows = [(i, "image", bytearray(big if i % 2 else small))
+            for i in range(20)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    meta = multimodal.decode_metadata(media, decoder="real")
+    keep = meta.filter("width >= 32").select("media_id")
+    survivors = media.join(keep, "media_id", "left_semi")
+    decoded = multimodal.decode_pixels(survivors, decoder="real")
+    out = decoded.collect()
+    assert len(out) == 10  # only the big images were decoded
+    assert all(r["width"] == 64 and r["pixels"] is not None for r in out)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    # the semi-join broadcasts the tiny id set; the payload relation
+    # itself must not shuffle
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", "")
