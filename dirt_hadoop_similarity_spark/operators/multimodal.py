@@ -5,9 +5,11 @@ Decode is split at the line the formats themselves draw:
   * ``decode_metadata(decoder="real")`` performs REAL container-header
     decode, stdlib-only — PNG/JPEG/GIF/BMP dimensions and channel
     counts parsed from the header bytes (``_real_dims``), unknown or
-    torn headers quarantined as NULL-metadata rows.  Header parsing
-    never decompresses pixels, which is exactly how a 100 TB metadata
-    pass works in production.
+    torn headers quarantined as NULL-metadata rows; the audio twin
+    (``decode_audio_metadata``) covers WAV/AIFF/FLAC/MP3 headers and
+    the video twin (``decode_video_metadata``) walks the MP4/ISO-BMFF
+    box tree.  Header parsing never decompresses payloads, which is
+    exactly how a 100 TB metadata pass works in production.
   * ``decode_pixels(decoder="real")`` performs REAL pixel/sample
     decode, dependency-free — PNG (zlib inflate + per-row unfilter +
     Adam7 + palette expansion), GIF (pure-Python LZW + palette +
@@ -208,6 +210,123 @@ def _wav_meta(payload: bytes):
         return none
 
 
+def _aiff_meta(payload: bytes):
+    """REAL AIFF (FORM/AIFF, big-endian IFF) header decode, stdlib-only:
+    the COMM chunk carries channels, frame count, bit depth and the
+    sample rate as an 80-bit IEEE 754 extended float (sign + 15-bit
+    exponent + 64-bit mantissa with explicit integer bit).  Same
+    (rate, channels, bits, n_frames) tuple and NULL-quarantine contract
+    as :func:`_wav_meta`."""
+    import struct
+
+    none = (None, None, None, None)
+    try:
+        if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+            return none
+        i = 12
+        while i + 8 <= len(payload):
+            tag = payload[i:i + 4]
+            (size,) = struct.unpack(">I", payload[i + 4:i + 8])
+            if tag == b"COMM":
+                ch, n_frames, bits = struct.unpack(
+                    ">hIh", payload[i + 8:i + 16])
+                exp, mant = struct.unpack(">HQ", payload[i + 16:i + 26])
+                if mant == 0:
+                    return none
+                sign = -1 if exp & 0x8000 else 1
+                rate = sign * mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
+                if not 1 <= rate <= 10_000_000:
+                    return none
+                return int(round(rate)), ch, bits, n_frames
+            i += 8 + size + (size & 1)  # IFF even-padding rule
+        return none
+    except (struct.error, IndexError):
+        return none
+
+
+def _flac_meta(payload: bytes):
+    """REAL FLAC header decode, stdlib-only: STREAMINFO (the mandatory
+    first metadata block) bit-packs sample rate (20 bits), channels-1
+    (3), bits-per-sample-1 (5) and total samples (36) into 8 bytes."""
+    none = (None, None, None, None)
+    try:
+        if payload[:4] != b"fLaC":
+            return none
+        if payload[4] & 0x7F != 0:  # STREAMINFO must come first
+            return none
+        blen = int.from_bytes(payload[5:8], "big")
+        si = payload[8:8 + blen]
+        if blen < 34 or len(si) < 34:
+            return none
+        v = int.from_bytes(si[10:18], "big")
+        rate = v >> 44
+        ch = ((v >> 41) & 0x7) + 1
+        bits = ((v >> 36) & 0x1F) + 1
+        n_frames = v & ((1 << 36) - 1)
+        if rate == 0:
+            return none
+        return rate, ch, bits, n_frames or None
+    except IndexError:
+        return none
+
+
+#: MPEG audio sample-rate tables by version bits (3=MPEG1, 2=MPEG2,
+#: 0=MPEG2.5) and 2-bit sample-rate index
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_meta(payload: bytes):
+    """REAL MPEG-audio (MP3) first-frame header decode, stdlib-only:
+    skip an ID3v2 tag (syncsafe size), find the 11-bit frame sync in
+    the first 4 KiB, and read version/sample-rate/channel-mode.  Bit
+    depth is meaningless for a lossy codec and an exact frame count
+    needs a full VBR frame walk, so both stay NULL — honest partial
+    metadata beats a fabricated number."""
+    none = (None, None, None, None)
+    try:
+        i = 0
+        if payload[:3] == b"ID3" and len(payload) >= 10:
+            i = 10 + ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                      | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        end = min(len(payload) - 4, i + 4096)
+        while i <= end:
+            if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+                ver = (payload[i + 1] >> 3) & 0x3
+                layer = (payload[i + 1] >> 1) & 0x3
+                sr_idx = (payload[i + 2] >> 2) & 0x3
+                mode = (payload[i + 3] >> 6) & 0x3
+                if ver == 1 or layer == 0 or sr_idx == 3:
+                    i += 1  # reserved fields: a false sync
+                    continue
+                return (_MP3_RATES[ver][sr_idx],
+                        1 if mode == 3 else 2, None, None)
+            i += 1
+        return none
+    except IndexError:
+        return none
+
+
+def _audio_meta_real(payload: bytes):
+    """Audio-container dispatch for ``decode_audio_metadata('real')``:
+    WAV (PCM-gated), AIFF, FLAC and MP3 headers all parse stdlib-only;
+    anything else quarantines."""
+    if payload[:4] == b"RIFF":
+        return _wav_meta(payload)
+    if payload[:4] == b"FORM":
+        return _aiff_meta(payload)
+    if payload[:4] == b"fLaC":
+        return _flac_meta(payload)
+    if payload[:3] == b"ID3" or (
+            len(payload) > 1 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0):
+        return _mp3_meta(payload)
+    return None, None, None, None
+
+
 def _fake_audio_meta(payload: bytes):
     h = hashlib.md5(payload).digest()
     rate = (8000, 16000, 22050, 44100, 48000)[h[0] % 5]
@@ -222,16 +341,19 @@ def decode_audio_metadata(media: DataFrame,
     (sample_rate, channels, bits, n_frames, n_bytes), Arrow-batched
     ``mapInPandas``, no shuffle, NULL-payload/undecodable rows
     quarantined with NULL metadata.  ``decoder="real"`` performs real
-    RIFF/WAVE header decode (:func:`_wav_meta` — genuinely valid for
-    anything the stdlib ``wave`` module writes); compressed codecs
-    (MP3/OGG/FLAC frames) are the pixel-decode analogue and stay out
-    of scope.  ``decoder="fake"`` md5-derives the fields so the
-    synthetic testdata (utf-8 payloads) exercises the plumbing."""
+    header decode across the standard audio containers
+    (:func:`_audio_meta_real`): WAV (PCM/float-gated, including the
+    EXTENSIBLE SubFormat check), AIFF (80-bit extended-float sample
+    rate, reference-anchored against the JVM's javax.sound writer),
+    FLAC STREAMINFO bit fields, and MP3 first-frame headers (bit depth
+    and exact frame count honestly NULL for the lossy codec).
+    ``decoder="fake"`` md5-derives the fields so the synthetic
+    testdata (utf-8 payloads) exercises the plumbing."""
 
     def _decode(batches):
         import pandas as pd
 
-        meta_of = _wav_meta if decoder == "real" else _fake_audio_meta
+        meta_of = _audio_meta_real if decoder == "real" else _fake_audio_meta
         for pdf in batches:
             metas = [
                 meta_of(bytes(p)) if p is not None else (None,) * 4
@@ -253,6 +375,124 @@ def decode_audio_metadata(media: DataFrame,
             )
 
     return media.mapInPandas(_decode, AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "duration_ms long, n_bytes long"
+)
+
+
+def _mp4_video_meta(payload: bytes):
+    """REAL MP4 / ISO-BMFF video-header decode, stdlib-only: walk the
+    size+type box tree (64-bit largesize and to-end-of-file sizes
+    included) for moov → mvhd (timescale + duration → milliseconds)
+    and moov → trak → tkhd (16.16 fixed-point presentation width and
+    height; the largest track wins — the video track, next to audio
+    tracks whose tkhd dims are zero).  (width, height, duration_ms) or
+    all-None for unknown magic / torn boxes — the dimensions live in
+    moov, so like every other header pass this never touches mdat."""
+    import struct
+
+    none = (None, None, None)
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[i:i + 4])
+            tag = payload[i + 4:i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", payload[i + 8:i + 16])
+                body = i + 16
+            elif size == 0:  # box extends to the end
+                size = hi - i
+            if size < 8 or i + size > hi:
+                return  # torn/corrupt box: stop the walk
+            yield tag, body, i + size
+            i += size
+
+    try:
+        if payload[4:8] not in (b"ftyp", b"styp", b"moov", b"free",
+                                b"wide", b"skip", b"mdat", b"pnot"):
+            return none
+        w = h = dur_ms = None
+        for tag, lo, hi in boxes(0, len(payload)):
+            if tag != b"moov":
+                continue
+            for t2, lo2, hi2 in boxes(lo, hi):
+                if t2 == b"mvhd":
+                    ver = payload[lo2]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", payload[lo2 + 20:lo2 + 32])
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", payload[lo2 + 12:lo2 + 20])
+                    if ts:
+                        dur_ms = int(dur * 1000 // ts)
+                elif t2 == b"trak":
+                    for t3, lo3, _hi3 in boxes(lo2, hi2):
+                        if t3 != b"tkhd":
+                            continue
+                        ver = payload[lo3]
+                        base = lo3 + (88 if ver == 1 else 76)
+                        tw, th = struct.unpack(
+                            ">II", payload[base:base + 8])
+                        tw, th = tw >> 16, th >> 16  # 16.16 fixed
+                        if tw and th and (w is None or tw * th > w * h):
+                            w, h = tw, th
+        if w is None and dur_ms is None:
+            return none
+        return w, h, dur_ms
+    except (struct.error, IndexError):
+        return none
+
+
+def _fake_video_meta(payload: bytes):
+    h = hashlib.md5(payload).digest()
+    width = 160 + 8 * (h[0] % 210)
+    height = 120 + 8 * (h[1] % 120)
+    return width, height, int.from_bytes(h[2:5], "big")
+
+
+def decode_video_metadata(media: DataFrame,
+                          decoder: str = "fake") -> DataFrame:
+    """Video twin of :func:`decode_metadata`: payloads →
+    (width, height, duration_ms, n_bytes), Arrow-batched
+    ``mapInPandas``, no shuffle, NULL-payload/undecodable rows
+    quarantined with NULL metadata.  ``decoder="real"`` walks the MP4 /
+    ISO-BMFF box tree (:func:`_mp4_video_meta`) — headers only, the
+    mdat payload is never touched, which is what makes a 100 TB video
+    metadata pass I/O-bound rather than codec-bound.  ``decoder="fake"``
+    md5-derives the fields for the synthetic testdata."""
+
+    def _decode(batches):
+        import pandas as pd
+
+        meta_of = _mp4_video_meta if decoder == "real" else _fake_video_meta
+        for pdf in batches:
+            metas = [
+                meta_of(bytes(p)) if p is not None else (None,) * 3
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "duration_ms": [m[2] for m in metas],
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_decode, VIDEO_SCHEMA)
 
 
 PIXELS_SCHEMA = (

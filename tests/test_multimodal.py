@@ -1247,3 +1247,137 @@ def test_metadata_filter_then_decode_late_composition(spark):
     # itself must not shuffle
     assert "ShuffleExchange" not in plan.replace(
         "BroadcastExchange", "")
+
+
+# ---------------------------------------------------------------------------
+# audio/video container metadata (r15): AIFF / FLAC / MP3 / MP4 headers
+# ---------------------------------------------------------------------------
+
+def test_aiff_metadata_matches_jvm_reference_writer(spark):
+    """decode_audio_metadata('real') on REAL AIFF bytes the JVM's
+    javax.sound.sampled writer produced — including the 80-bit
+    extended-float sample rate (22050 and the non-power-of-two 44100)."""
+    jvm = _jvm(spark)
+
+    def aiff(rate, ch, bits, frames):
+        af = jvm.javax.sound.sampled.AudioFormat(
+            float(rate), bits, ch, True, True)
+        data = jvm.java.io.ByteArrayInputStream(
+            bytearray(b"\x01" * (frames * ch * (bits // 8))))
+        ais = jvm.javax.sound.sampled.AudioInputStream(data, af, frames)
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.sound.sampled.AudioSystem.write(
+            ais, jvm.javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+        return bytes(out.toByteArray())
+
+    rows = [
+        (1, "audio", bytearray(aiff(22050, 2, 16, 100))),
+        (2, "audio", bytearray(aiff(44100, 1, 8, 37))),
+        (3, "audio", bytearray(aiff(8000, 2, 16, 5)[:20])),  # torn
+        (4, "audio", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.decode_audio_metadata(media, decoder="real").collect()}
+    assert (out[1]["sample_rate"], out[1]["channels"], out[1]["bits"],
+            out[1]["n_frames"]) == (22050, 2, 16, 100)
+    assert (out[2]["sample_rate"], out[2]["channels"], out[2]["bits"],
+            out[2]["n_frames"]) == (44100, 1, 8, 37)
+    assert out[3]["sample_rate"] is None and out[4]["sample_rate"] is None
+
+
+def test_flac_and_mp3_header_metadata():
+    """Spec-built STREAMINFO and MPEG frame headers: FLAC's bit-packed
+    fields round-trip; MP3 reports rate/channels with bit depth and
+    frame count honestly NULL; ID3v2 tags are skipped by their
+    syncsafe size; reserved field combinations are rejected as false
+    syncs."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _flac_meta,
+        _mp3_meta,
+    )
+
+    def flac(rate, ch, bits, frames):
+        v = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | frames
+        si = bytes(10) + v.to_bytes(8, "big") + bytes(16)
+        return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
+
+    assert _flac_meta(flac(44100, 2, 16, 123456)) == (44100, 2, 16, 123456)
+    assert _flac_meta(flac(96000, 8, 24, 1)) == (96000, 8, 24, 1)
+    assert _flac_meta(flac(44100, 2, 16, 9)[:20]) == (None,) * 4  # torn
+    bad = bytearray(flac(44100, 2, 16, 9))
+    bad[4] = 0x84  # first block not STREAMINFO
+    assert _flac_meta(bytes(bad)) == (None,) * 4
+
+    def mp3(b1, b2, b3, id3_pad=0):
+        head = b""
+        if id3_pad:
+            head = (b"ID3\x03\x00\x00"
+                    + bytes([0, 0, id3_pad >> 7, id3_pad & 0x7F])
+                    + b"\x00" * id3_pad)
+        return head + bytes([0xFF, b1, b2, b3]) + b"\x00" * 32
+
+    # MPEG1 Layer III, 44100, stereo
+    assert _mp3_meta(mp3(0xFB, 0x90, 0x00)) == (44100, 2, None, None)
+    # MPEG2, sr index 1 -> 24000, mono; behind a 200-byte ID3v2 tag
+    assert _mp3_meta(mp3(0xF3, 0x94, 0xC0, id3_pad=200)) == \
+        (24000, 1, None, None)
+    # reserved version (bits 01) is a false sync -> no frame found
+    assert _mp3_meta(mp3(0xEB, 0x90, 0x00)) == (None,) * 4
+
+
+def test_mp4_video_metadata_box_walk(spark):
+    """Spec-built ISO-BMFF: ftyp + moov{mvhd, audio trak (zero dims),
+    video trak} + mdat.  The walk finds the video track's 16.16 dims
+    and the mvhd duration, never touching mdat; torn boxes and
+    version-1 (64-bit) headers both work."""
+    import struct
+
+    def box(tag, body):
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    def tkhd(w, h, ver=0):
+        pre = bytes([ver]) + bytes(3)
+        pre += bytes(8 if ver == 0 else 16)  # created/modified
+        pre += struct.pack(">I", 1) + bytes(4)  # track id + reserved
+        pre += bytes(4 if ver == 0 else 8)  # duration
+        pre += bytes(8 + 2 + 2 + 2 + 2 + 36)  # reserved..matrix
+        return box(b"tkhd", pre + struct.pack(">II", w << 16, h << 16))
+
+    def mvhd(ts, dur, ver=0):
+        if ver == 0:
+            body = bytes([0, 0, 0, 0]) + bytes(8) + struct.pack(
+                ">II", ts, dur) + bytes(80)
+        else:
+            body = bytes([1, 0, 0, 0]) + bytes(16) + struct.pack(
+                ">IQ", ts, dur) + bytes(80)
+        return box(b"mvhd", body)
+
+    def mp4(ver=0):
+        moov = box(b"moov", mvhd(600, 7200, ver)
+                   + box(b"trak", tkhd(0, 0))        # audio track
+                   + box(b"trak", tkhd(1920, 1080, ver)))
+        return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+                + moov + box(b"mdat", b"\x00" * 64))
+
+    rows = [
+        (1, "video", bytearray(mp4(0))),
+        (2, "video", bytearray(mp4(1))),   # 64-bit mvhd/tkhd variant
+        (3, "video", bytearray(mp4(0)[:40])),  # torn mid-moov
+        (4, "video", bytearray(b"not a video")),
+        (5, "video", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in multimodal.decode_video_metadata(
+        media, decoder="real").collect()}
+    for mid in (1, 2):
+        assert (out[mid]["width"], out[mid]["height"],
+                out[mid]["duration_ms"]) == (1920, 1080, 12000), mid
+    for mid in (3, 4, 5):
+        assert out[mid]["width"] is None, mid
+    assert out[4]["n_bytes"] == 11 and out[5]["n_bytes"] is None
+
+    fake = multimodal.decode_video_metadata(media).collect()
+    assert fake == multimodal.decode_video_metadata(media).collect()
