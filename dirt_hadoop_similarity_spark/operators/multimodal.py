@@ -237,6 +237,8 @@ def _aiff_meta(payload: bytes):
                 rate = sign * mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
                 if not 1 <= rate <= 10_000_000:
                     return none
+                if ch < 1 or bits < 1:
+                    return none  # signed fields, never valid <= 0
                 return int(round(rate)), ch, bits, n_frames
             i += 8 + size + (size & 1)  # IFF even-padding rule
         return none
@@ -282,7 +284,11 @@ _MP3_RATES = {
 def _mp3_meta(payload: bytes):
     """REAL MPEG-audio (MP3) first-frame header decode, stdlib-only:
     skip an ID3v2 tag (syncsafe size), find the 11-bit frame sync in
-    the first 4 KiB, and read version/sample-rate/channel-mode.  Bit
+    the 4 KiB after it, and read version/sample-rate/channel-mode.
+    The dispatch gate (:func:`_audio_meta_real`) only routes payloads
+    that START with an ID3 tag or a frame sync — a global sniff would
+    misclassify arbitrary binaries whose first bytes happen to look
+    like a sync, so leading junk without an ID3 tag quarantines.  Bit
     depth is meaningless for a lossy codec and an exact frame count
     needs a full VBR frame walk, so both stay NULL — honest partial
     metadata beats a fabricated number."""
@@ -297,9 +303,10 @@ def _mp3_meta(payload: bytes):
             if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
                 ver = (payload[i + 1] >> 3) & 0x3
                 layer = (payload[i + 1] >> 1) & 0x3
+                br_idx = payload[i + 2] >> 4
                 sr_idx = (payload[i + 2] >> 2) & 0x3
                 mode = (payload[i + 3] >> 6) & 0x3
-                if ver == 1 or layer == 0 or sr_idx == 3:
+                if ver == 1 or layer == 0 or sr_idx == 3 or br_idx == 15:
                     i += 1  # reserved fields: a false sync
                     continue
                 return (_MP3_RATES[ver][sr_idx],
@@ -368,7 +375,7 @@ def decode_audio_metadata(media: DataFrame,
                     "bits": [m[2] for m in metas],
                     "n_frames": [m[3] for m in metas],
                     "n_bytes": [
-                        len(bytes(p)) if p is not None else None
+                        len(p) if p is not None else None
                         for p in pdf["payload"]
                     ],
                 }
@@ -426,19 +433,30 @@ def _mp4_video_meta(payload: bytes):
                 if t2 == b"mvhd":
                     ver = payload[lo2]
                     if ver == 1:
+                        if lo2 + 32 > hi2:
+                            return none  # undersized box: corrupt
                         ts, dur = struct.unpack(
                             ">IQ", payload[lo2 + 20:lo2 + 32])
+                        unknown = dur == 0xFFFFFFFFFFFFFFFF
                     else:
+                        if lo2 + 20 > hi2:
+                            return none
                         ts, dur = struct.unpack(
                             ">II", payload[lo2 + 12:lo2 + 20])
-                    if ts:
+                        unknown = dur == 0xFFFFFFFF
+                    # all-ones duration is the spec's "unknown" sentinel
+                    # (fragmented/live files) — report NULL, don't
+                    # fabricate an ~82-day runtime
+                    if ts and not unknown:
                         dur_ms = int(dur * 1000 // ts)
                 elif t2 == b"trak":
-                    for t3, lo3, _hi3 in boxes(lo2, hi2):
+                    for t3, lo3, hi3 in boxes(lo2, hi2):
                         if t3 != b"tkhd":
                             continue
                         ver = payload[lo3]
                         base = lo3 + (88 if ver == 1 else 76)
+                        if base + 8 > hi3:
+                            return none  # undersized box: corrupt
                         tw, th = struct.unpack(
                             ">II", payload[base:base + 8])
                         tw, th = tw >> 16, th >> 16  # 16.16 fixed
@@ -486,7 +504,7 @@ def decode_video_metadata(media: DataFrame,
                     "height": [m[1] for m in metas],
                     "duration_ms": [m[2] for m in metas],
                     "n_bytes": [
-                        len(bytes(p)) if p is not None else None
+                        len(p) if p is not None else None
                         for p in pdf["payload"]
                     ],
                 }
@@ -1616,7 +1634,7 @@ def decode_metadata(media: DataFrame, decoder: str = "fake") -> DataFrame:
                     "height": [d[1] for d in dims],
                     "channels": [d[2] for d in dims],
                     "n_bytes": [
-                        len(bytes(p)) if p is not None else None
+                        len(p) if p is not None else None
                         for p in pdf["payload"]
                     ],
                 }

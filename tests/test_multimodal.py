@@ -1381,3 +1381,46 @@ def test_mp4_video_metadata_box_walk(spark):
 
     fake = multimodal.decode_video_metadata(media).collect()
     assert fake == multimodal.decode_video_metadata(media).collect()
+
+
+def test_container_metadata_hostile_headers_quarantine():
+    """Code-review r15 pins on the container-metadata parsers: the
+    mvhd 'duration unknown' sentinel reports NULL rather than an
+    ~82-day fabrication; undersized mvhd/tkhd boxes quarantine rather
+    than reading sibling-box bytes; an invalid MP3 bitrate index is a
+    false sync; negative AIFF channel counts quarantine."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _aiff_meta,
+        _mp3_meta,
+        _mp4_video_meta,
+    )
+
+    def box(tag, body):
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    # duration sentinel: v0 all-ones
+    mvhd = box(b"mvhd", bytes(4) + bytes(8)
+               + struct.pack(">II", 600, 0xFFFFFFFF) + bytes(80))
+    tkhd_body = (bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+                 + bytes(4) + bytes(8 + 2 + 2 + 2 + 2 + 36)
+                 + struct.pack(">II", 640 << 16, 480 << 16))
+    moov = box(b"moov", mvhd + box(b"trak", box(b"tkhd", tkhd_body)))
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+    assert _mp4_video_meta(mp4) == (640, 480, None)
+
+    # undersized mvhd followed by a sibling whose bytes would parse
+    short_mvhd = box(b"mvhd", bytes(4))  # declared size 12
+    free = box(b"free", struct.pack(">II", 600, 7200) + bytes(72))
+    bad = box(b"ftyp", b"isom") + box(b"moov", short_mvhd + free)
+    assert _mp4_video_meta(bad) == (None, None, None)
+
+    # invalid bitrate index (0xF) is a false sync, not 44100 stereo
+    assert _mp3_meta(b"\xff\xfb\xf0\x00" + bytes(32)) == (None,) * 4
+
+    # negative AIFF channel count
+    comm = struct.pack(">hIh", -2, 100, 16) + struct.pack(
+        ">HQ", 16383 + 15, 44100 << 48)
+    aiff = (b"FORM" + struct.pack(">I", 4 + len(comm) + 8) + b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm)
+    assert _aiff_meta(aiff) == (None,) * 4
