@@ -155,9 +155,124 @@ def _real_dims(payload: bytes):
                     return None, None, None
                 return w, abs(h), max(1, bits // 8)  # h<0 = top-down DIB
             return None, None, None  # unknown DIB variant: quarantine
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return _webp_dims(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return _tiff_dims(payload)
     except (struct.error, IndexError):
         return None, None, None
     return None, None, None  # unknown container
+
+
+def _webp_dims(payload: bytes):
+    """WebP (RIFF/WEBP) header decode, stdlib-only: all three chunk
+    flavors — 'VP8 ' (lossy: 14-bit dims after the 0x9d012a sync code),
+    'VP8L' (lossless: 14+14 bits packed after the 0x2F signature, +1
+    bias, alpha flag in bit 28) and 'VP8X' (extended: 24-bit dims with
+    +1 bias, alpha flag)."""
+    import struct
+
+    none = (None, None, None)
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+            return none
+        tag = payload[12:16]
+        if tag == b"VP8 ":
+            if payload[23:26] != b"\x9d\x01\x2a":
+                return none  # key-frame sync code missing: torn
+            w, h = struct.unpack("<HH", payload[26:30])
+            return w & 0x3FFF, h & 0x3FFF, 3
+        if tag == b"VP8L":
+            if payload[20] != 0x2F:
+                return none
+            (b,) = struct.unpack("<I", payload[21:25])
+            w = (b & 0x3FFF) + 1
+            h = ((b >> 14) & 0x3FFF) + 1
+            return w, h, 4 if (b >> 28) & 1 else 3
+        if tag == b"VP8X":
+            flags = payload[20]
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return w, h, 4 if flags & 0x10 else 3
+        return none
+    except (struct.error, IndexError):
+        return none
+
+
+def _tiff_dims(payload: bytes):
+    """TIFF header decode, stdlib-only: both byte orders ('II'/'MM'),
+    first-IFD walk for ImageWidth (256), ImageLength (257) and
+    SamplesPerPixel (277, default 1).  SHORT values sit in the HIGH
+    half of the big-endian inline value field — the classic TIFF
+    parser trap."""
+    import struct
+
+    none = (None, None, None)
+    try:
+        if payload[:4] == b"II*\x00":
+            e = "<"
+        elif payload[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            return none
+        (ifd,) = struct.unpack(e + "I", payload[4:8])
+        (n,) = struct.unpack(e + "H", payload[ifd:ifd + 2])
+        w = h = None
+        spp = 1
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            tag, typ = struct.unpack(e + "HH", payload[off:off + 4])
+            if tag not in (256, 257, 277):
+                continue
+            if typ == 3:  # SHORT: inline in the first half (per order)
+                (v,) = struct.unpack(e + "H", payload[off + 8:off + 10])
+            elif typ == 4:  # LONG
+                (v,) = struct.unpack(e + "I", payload[off + 8:off + 12])
+            else:
+                continue
+            if tag == 256:
+                w = v
+            elif tag == 257:
+                h = v
+            else:
+                spp = v
+        if not w or not h:
+            return none
+        return w, h, spp
+    except (struct.error, IndexError):
+        return none
+
+
+def _ogg_audio_meta(payload: bytes):
+    """OGG header decode, stdlib-only: the first page's first packet
+    identifies the codec — Vorbis ('\\x01vorbis': channels + rate) or
+    Opus ('OpusHead': channels + input rate).  Frame count needs a
+    last-page scan and bit depth is codec-internal, so both stay
+    NULL."""
+    import struct
+
+    none = (None, None, None, None)
+    try:
+        if payload[:4] != b"OggS" or payload[4] != 0:
+            return none
+        nseg = payload[26]
+        p = 27 + nseg  # past the segment table
+        pkt = payload[p:p + 64]
+        if pkt[:7] == b"\x01vorbis":
+            ch = pkt[11]
+            (rate,) = struct.unpack("<I", pkt[12:16])
+            if rate == 0 or ch == 0:
+                return none
+            return rate, ch, None, None
+        if pkt[:8] == b"OpusHead":
+            ch = pkt[9]
+            (rate,) = struct.unpack("<I", pkt[12:16])
+            if rate == 0 or ch == 0:
+                return none
+            return rate, ch, None, None
+        return none
+    except (struct.error, IndexError):
+        return none
 
 
 def _wav_meta(payload: bytes):
@@ -327,6 +442,8 @@ def _audio_meta_real(payload: bytes):
         return _aiff_meta(payload)
     if payload[:4] == b"fLaC":
         return _flac_meta(payload)
+    if payload[:4] == b"OggS":
+        return _ogg_audio_meta(payload)
     if payload[:3] == b"ID3" or (
             len(payload) > 1 and payload[0] == 0xFF
             and (payload[1] & 0xE0) == 0xE0):
@@ -352,8 +469,9 @@ def decode_audio_metadata(media: DataFrame,
     (:func:`_audio_meta_real`): WAV (PCM/float-gated, including the
     EXTENSIBLE SubFormat check), AIFF (80-bit extended-float sample
     rate, reference-anchored against the JVM's javax.sound writer),
-    FLAC STREAMINFO bit fields, and MP3 first-frame headers (bit depth
-    and exact frame count honestly NULL for the lossy codec).
+    FLAC STREAMINFO bit fields, OGG identification packets (Vorbis and
+    Opus), and MP3 first-frame headers (bit depth and exact frame
+    count honestly NULL for the lossy codecs).
     ``decoder="fake"`` md5-derives the fields so the synthetic
     testdata (utf-8 payloads) exercises the plumbing."""
 

@@ -1424,3 +1424,91 @@ def test_container_metadata_hostile_headers_quarantine():
     aiff = (b"FORM" + struct.pack(">I", 4 + len(comm) + 8) + b"AIFF"
             + b"COMM" + struct.pack(">I", len(comm)) + comm)
     assert _aiff_meta(aiff) == (None,) * 4
+
+
+def test_tiff_dims_match_jdk_reference_writer(spark):
+    """decode_metadata('real') on REAL TIFF bytes the JDK's bundled
+    TIFF ImageIO plugin produced (big-endian), plus a hand-built
+    little-endian IFD with LONG-typed dims — both byte orders and both
+    inline value types."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _real_dims,
+    )
+
+    jvm = _jvm(spark)
+    bi = jvm.java.awt.image.BufferedImage(
+        37, 21, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "tiff", baos)
+    real = bytes(baos.toByteArray())
+    assert _real_dims(real)[:2] == (37, 21)
+    assert _real_dims(real[:6]) == (None, None, None)  # torn header
+
+    # little-endian, LONG dims, SHORT SamplesPerPixel
+    def entry(tag, typ, val):
+        return struct.pack("<HHI", tag, typ, 1) + (
+            struct.pack("<I", val) if typ == 4
+            else struct.pack("<HH", val, 0))
+
+    ifd = (struct.pack("<H", 3) + entry(256, 4, 640)
+           + entry(257, 4, 480) + entry(277, 3, 3)
+           + struct.pack("<I", 0))
+    tiff = b"II*\x00" + struct.pack("<I", 8) + ifd
+    assert _real_dims(tiff) == (640, 480, 3)
+
+
+def test_webp_dims_all_three_flavors():
+    """WebP 'VP8 ' (lossy, sync-code gated), 'VP8L' (lossless, packed
+    14-bit dims, alpha bit) and 'VP8X' (extended, 24-bit dims)."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _real_dims,
+    )
+
+    def riff(chunk_tag, body):
+        chunk = chunk_tag + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # body = 3-byte frame tag, then the 0x9d012a key-frame sync code
+    lossy = riff(b"VP8 ", b"\x00" * 3 + b"\x9d\x01\x2a"
+                 + struct.pack("<HH", 320, 240))
+    assert _real_dims(lossy) == (320, 240, 3)
+    torn = riff(b"VP8 ", b"\x00" * 3 + b"\x9d\x01\x00"
+                + struct.pack("<HH", 320, 240))
+    assert _real_dims(torn) == (None, None, None)  # bad sync code
+
+    packed = (100 - 1) | ((80 - 1) << 14) | (1 << 28)  # 100x80 + alpha
+    lossless = riff(b"VP8L", b"\x2f" + struct.pack("<I", packed))
+    assert _real_dims(lossless) == (100, 80, 4)
+
+    ext = riff(b"VP8X", bytes([0x10]) + bytes(3)
+               + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little"))
+    assert _real_dims(ext) == (1920, 1080, 4)
+
+
+def test_ogg_vorbis_and_opus_headers(spark):
+    """OGG identification packets through the audio metadata pass:
+    Vorbis and Opus report rate/channels with frame count honestly
+    NULL; a non-audio OGG (e.g. Theora) quarantines."""
+    import struct
+
+    def ogg_page(packet):
+        seg = bytes([len(packet)])
+        return (b"OggS\x00\x02" + bytes(20) + bytes([1]) + seg + packet)
+
+    vorbis = ogg_page(b"\x01vorbis" + bytes(4) + bytes([2])
+                      + struct.pack("<I", 44100) + bytes(16))
+    opus = ogg_page(b"OpusHead\x01" + bytes([1]) + bytes(2)
+                    + struct.pack("<I", 48000) + bytes(8))
+    theora = ogg_page(b"\x80theora" + bytes(16))
+    rows = [(1, "audio", bytearray(vorbis)), (2, "audio", bytearray(opus)),
+            (3, "audio", bytearray(theora))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in multimodal.decode_audio_metadata(
+        media, decoder="real").collect()}
+    assert (out[1]["sample_rate"], out[1]["channels"]) == (44100, 2)
+    assert out[1]["n_frames"] is None
+    assert (out[2]["sample_rate"], out[2]["channels"]) == (48000, 1)
+    assert out[3]["sample_rate"] is None
