@@ -144,7 +144,174 @@ HEADLINE = [
     "ann_rh_topk",
     "ann_ivf_topk",
     "semantic_dedup",
+    # round-16 (VERDICT r15 task 5): the real-codec decode path — none
+    # of the registry queries exercises the pixel decoders (their
+    # payloads are synthetic utf-8), so a codec regression was
+    # invisible to the driver.  Fixed synthetic container panel
+    # (PNG/BMP/WAV/JPEG baseline+progressive, deterministic rasters,
+    # JPEGs encoded once by the JVM's javax.imageio), cached outside
+    # the timed region; timed region = decode_pixels(decoder='real')
+    # through the noop sink.
+    "media_decode_pixels",
 ]
+
+
+def _build_media_panel(spark, cpus: str):
+    """Deterministic media panel for the decode bench leg: 16 PNG +
+    8 BMP + 8 WAV + 12 JPEG (6 baseline / 6 progressive, transcoded
+    once via javax.imageio — the same reference-encoder bridge the
+    parity tests use), ~17 MB of real containers at 512x384.  Gradient-
+    plus-noise rasters: smooth enough that JPEG entropy streams look
+    like photographs, not worst-case noise.  Returns a cached,
+    materialized DataFrame — panel build cost stays outside the timed
+    region."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    import numpy as np
+
+    def raster(seed: int, w: int = 512, h: int = 384):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * (3 + seed % 5) + yy * (2 + seed % 7)
+                + (xx // 16) * (yy // 16)) % 256
+        noise = np.random.default_rng(seed).integers(
+            0, 24, size=(h, w, 3), dtype=np.int64)
+        return ((base[:, :, None] + noise) % 256).astype(np.uint8)
+
+    def png(arr):
+        h, w, _ = arr.shape
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    def bmp(arr):
+        h, w, _ = arr.shape
+        bgr = arr[:, :, ::-1]
+        pad = (-(w * 3)) % 4
+        rows = b"".join(bgr[y].tobytes() + b"\x00" * pad
+                        for y in range(h - 1, -1, -1))
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(rows), 2835, 2835, 0, 0)
+        return header + info + rows
+
+    def wav(seed: int):
+        pcm = np.random.default_rng(seed).integers(
+            -20000, 20000, size=44100 * 2, dtype=np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def jpeg(png_bytes: bytes, progressive: bool):
+        jvm = spark.sparkContext._jvm
+        bi = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(png_bytes)))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        if not progressive:
+            jvm.javax.imageio.ImageIO.write(bi, "jpeg", baos)
+        else:
+            writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+                "jpeg").next()
+            param = writer.getDefaultWriteParam()
+            param.setProgressiveMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+            writer.setOutput(
+                jvm.javax.imageio.ImageIO.createImageOutputStream(baos))
+            writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None),
+                         param)
+            writer.dispose()
+        return bytes(baos.toByteArray())
+
+    rows = []
+    for i in range(16):
+        rows.append((len(rows), "image", bytearray(png(raster(i)))))
+    for i in range(8):
+        rows.append((len(rows), "image", bytearray(bmp(raster(100 + i)))))
+    for i in range(8):
+        rows.append((len(rows), "audio", bytearray(wav(200 + i))))
+    for i in range(12):
+        rows.append((len(rows), "image", bytearray(
+            jpeg(png(raster(300 + i)), progressive=i % 2 == 1))))
+    panel = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).repartition(int(cpus)).cache()
+    panel.count()
+    return panel
+
+
+def _time_media_decode(spark, panel) -> float:
+    from dirt_hadoop_similarity_spark.operators import multimodal
+
+    # the isolation clearCache() just evicted the panel: re-materialize
+    # it OUTSIDE the timed region (the leg measures decode, not the
+    # panel's parallelize+shuffle lineage)
+    panel.count()
+    t0 = time.perf_counter()
+    multimodal.decode_pixels(panel, decoder="real").write.format(
+        "noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _vs_prev(repo_dir: str, timings: dict, control_sec: float):
+    """Mechanized round-over-round comparison (VERDICT r15 task 3): the
+    drift-normalization clause (see module docstring / PERF.md round
+    15) executed by the bench itself instead of by hand.  Reads the
+    newest committed BENCH_r*.json and reports the shared-query suite
+    ratio raw AND normalized by the fixed-control ratio, per-query
+    normalized ratios, and whether THIS run is conditioned-valid for
+    absolute contract numbers (control within 1.15x of the prior
+    round's)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    if not files:
+        return None
+    prev_path = files[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    # the driver records its wrapper {"n": ..., "parsed": <our line>};
+    # a hand-committed file may be the bare line — accept both
+    prev = prev.get("parsed") or prev
+    pq = prev.get("queries") or {}
+    shared = sorted(n for n in timings
+                    if pq.get(n) and timings.get(n))
+    if not shared:
+        return None
+    raw = (sum(timings[n] for n in shared)
+           / sum(pq[n] for n in shared))
+    prev_ctl = (prev.get("drift") or {}).get("control_sec")
+    ctl = control_sec / prev_ctl if prev_ctl else None
+    per = {
+        n: round(timings[n] / pq[n] / (ctl or 1.0), 2) for n in shared
+    }
+    worst = max(per, key=per.get)
+    return {
+        "prev_file": os.path.basename(prev_path),
+        "shared_queries": len(shared),
+        "raw_ratio": round(raw, 3),
+        "control_ratio": round(ctl, 3) if ctl else None,
+        "normalized_ratio": round(raw / ctl, 3) if ctl else None,
+        "conditioned_valid": (
+            max(ctl, 1.0 / ctl) <= 1.15 if ctl else None
+        ),
+        "worst_query": {"name": worst, "normalized_ratio": per[worst]},
+        "queries_normalized": per,
+    }
 
 
 def _release_tracked_caches() -> None:
@@ -248,7 +415,8 @@ def main() -> None:
     from dirt_hadoop_similarity_spark.plans.queries import QUERIES
 
     known = set(QUERIES) | {"ann_ivfpq_build", "ann_ivfpq_search",
-                            "text_knn_build", "text_knn_serve"}
+                            "text_knn_build", "text_knn_serve",
+                            "media_decode_pixels"}
     unknown = [n for n in headline if n not in known]
     if unknown:
         sys.exit(
@@ -273,6 +441,7 @@ def main() -> None:
     # Disclosed in the output as "repeats".
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
+    media_panel = None
     t_loop = time.perf_counter()
     # Drift control (VERDICT r9 task 5): a fixed synthetic job timed at
     # the start of every pass + /proc/stat steal over the whole loop.
@@ -305,6 +474,13 @@ def main() -> None:
                 continue
             if name in ("ann_ivfpq_search", "text_knn_serve"):
                 continue  # timed with the build entry
+            if name == "media_decode_pixels":
+                # panel built + cached once, outside every timed region
+                if media_panel is None:
+                    media_panel = _build_media_panel(spark, cpus)
+                el = _time_media_decode(spark, media_panel)
+                timings[name] = min(timings.get(name, el), el)
+                continue
             t0 = time.perf_counter()
             # noop sink, not count(): count() over a final outer join
             # whose right side is unique-keyed lets Catalyst prune the
@@ -352,6 +528,13 @@ def main() -> None:
                 # fixed-control + steal drift meter; interpret ratios
                 # only after checking these (PERF.md round 10)
                 "drift": drift,
+                # mechanized drift-normalized comparison vs the newest
+                # committed BENCH_r*.json (VERDICT r15 task 3); read
+                # normalized_ratio + conditioned_valid, never raw alone
+                "vs_prev": _vs_prev(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    timings, drift["control_sec"],
+                ),
             }
         )
     )

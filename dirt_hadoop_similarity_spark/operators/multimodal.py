@@ -20,9 +20,11 @@ Decode is split at the line the formats themselves draw:
     raw-tensor row.  Only arithmetic-coded/lossless JPEG remains
     codec-bound (``inflate_entropy_coded``); those rows quarantine
     with real header dims + NULL pixels.
-  * ``decoder="fake"`` (the default, and what the synthetic testdata
-    exercises — its payloads are utf-8 text, not image containers)
-    derives deterministic metadata/features from md5(payload).
+  * ``decoder="fake"`` (opt-in; what the synthetic testdata exercises
+    — its payloads are utf-8 text, not image containers) derives
+    deterministic metadata/features from md5(payload).  ``"real"`` is
+    the DEFAULT on all four entry points: a naive call on real media
+    bytes gets the verified decoders, never silent pseudo-metadata.
 
 Everything around that split is real, scale-correct Spark:
 
@@ -316,7 +318,12 @@ def _wav_meta(payload: bytes):
                         "<I", payload[i + 8 + 24:i + 8 + 28])
             elif tag == b"data":
                 if block:  # fmt is spec-required to precede data
-                    n_frames = size // block
+                    # clamp to the bytes actually present: a torn
+                    # stream whose declared data size extends past the
+                    # payload reports the frames it truly carries, not
+                    # an untorn-looking fabrication (ADVICE r15)
+                    avail = max(len(payload) - (i + 8), 0)
+                    n_frames = min(size, avail) // block
             i += 8 + size + (size & 1)  # RIFF even-padding rule
         if rate is None or fmt_code not in (1, 3):
             return none
@@ -460,7 +467,7 @@ def _fake_audio_meta(payload: bytes):
 
 
 def decode_audio_metadata(media: DataFrame,
-                          decoder: str = "fake") -> DataFrame:
+                          decoder: str = "real") -> DataFrame:
     """Audio twin of :func:`decode_metadata`: payloads →
     (sample_rate, channels, bits, n_frames, n_bytes), Arrow-batched
     ``mapInPandas``, no shuffle, NULL-payload/undecodable rows
@@ -595,7 +602,7 @@ def _fake_video_meta(payload: bytes):
 
 
 def decode_video_metadata(media: DataFrame,
-                          decoder: str = "fake") -> DataFrame:
+                          decoder: str = "real") -> DataFrame:
     """Video twin of :func:`decode_metadata`: payloads →
     (width, height, duration_ms, n_bytes), Arrow-batched
     ``mapInPandas``, no shuffle, NULL-payload/undecodable rows
@@ -642,6 +649,12 @@ PIXELS_SCHEMA = (
 #: NULL row, never an executor (256 MiB ≈ a 9000x9000 RGBA frame,
 #: far past any sane per-row media payload)
 _MAX_RASTER_BYTES = 1 << 28
+
+#: blocks per chunked-IDCT batch in the JPEG renderer: bounds the
+#: float64 intermediates at ~8 MiB per array regardless of image size,
+#: which is what lets the declared-dims budget sit at cap/8 (~11 MP
+#: color) instead of cap/64
+_IDCT_CHUNK = 16384
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, spp: int):
@@ -770,6 +783,12 @@ def _png_raster(payload: bytes):
             expected = h * (w * spp + 1)  # filter byte per scanline
         if expected > _MAX_RASTER_BYTES:
             return None  # declared dims past the per-row budget
+        if color == 3 and w * h * 3 > _MAX_RASTER_BYTES:
+            # palette output is 3x the index stream: budget the
+            # POST-expansion raster like _gif_raster does, so the two
+            # palette paths enforce the same effective ceiling
+            # (ADVICE r15)
+            return None
         # bounded inflate: a decompression bomb (tiny IDAT declaring
         # tiny dims but inflating to GiB) must quarantine BEFORE the
         # allocation, not OOM the executor — cap at expected+1 and
@@ -783,13 +802,14 @@ def _png_raster(payload: bytes):
         if raster is None:
             return None
         if color == 3:  # palette indices -> RGB triples
+            import numpy as np
+
             n = len(plte) // 3
-            if any(b >= n for b in raster):
+            idx = np.frombuffer(raster, dtype=np.uint8)
+            if idx.size and int(idx.max()) >= n:
                 return None  # index past the palette: corrupt
-            raster = b"".join(
-                plte[b * 3:b * 3 + 3] for b in raster
-            )
-            return w, h, 3, raster
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(n, 3)
+            return w, h, 3, pal[idx].tobytes()
         return w, h, spp, raster
     except (struct.error, zlib.error, IndexError, ValueError):
         return None
@@ -1368,9 +1388,13 @@ def _jpeg_raster(payload: bytes):
     at EOI).  8-bit samples, 1 or 3 components, integer sampling
     ratios, DRI/RST.  Arithmetic-coded streams (SOF9+, which mainstream
     encoders never emit) stay quarantined: header dims + NULL pixels
-    via the caller's fallback.  Verified in tests against the JVM's
-    javax.imageio codec (the reference encoder AND an independent
-    reference decode of the same bytes)."""
+    via the caller's fallback.  Declared dims are budgeted at
+    ``_MAX_RASTER_BYTES // 8`` samples (~11 MP color / ~33 MP gray —
+    the whole-file coefficient grids progressive decode requires put a
+    hard floor under peak memory); larger frames quarantine with header
+    dims + NULL pixels rather than risk an executor OOM.  Verified in
+    tests against the JVM's javax.imageio codec (the reference encoder
+    AND an independent reference decode of the same bytes)."""
     import struct
 
     import numpy as np
@@ -1450,13 +1474,16 @@ def _jpeg_raster(payload: bytes):
                        for c in comps):
                     return None
                 # tighter budget than the raster cap: JPEG decode
-                # holds int32 coefficient grids for the whole file and
-                # renders through int64/float64 intermediates — peak
-                # allocation runs ~40-60x the sample count, so bound
-                # SAMPLES at cap/64 (~4M pixels) or a crafted 1 MB
-                # stream declaring huge dims OOMs the worker long
-                # before the output raster exists (code review r15)
-                if fw * fh * nc > _MAX_RASTER_BYTES // 64:
+                # holds int32 coefficient grids for the whole file
+                # (progressive needs every scan before render), so
+                # peak allocation runs ~6-8x the sample count even
+                # with the chunked render below — bound SAMPLES at
+                # cap/8 (~33M samples = ~11 MP color / ~33 MP gray)
+                # or a crafted 1 MB stream declaring huge dims OOMs
+                # the worker long before the output raster exists
+                # (code review r15; ceiling raised 8x in r16 by
+                # chunking IDCT + banding the color transform)
+                if fw * fh * nc > _MAX_RASTER_BYTES // 8:
                     return None
                 mcux = -(-fw // (8 * hmax))
                 mcuy = -(-fh // (8 * vmax))
@@ -1515,15 +1542,25 @@ def _jpeg_raster(payload: bytes):
         zz = np.array(_ZIGZAG)
         planes = {}
         for cid, ch, cv, tq in comps:
-            grid = coefs[cid].astype(np.int64) * qt[tq][None, None, :]
-            gh, gw = grid.shape[:2]
-            blk = grid.reshape(-1, 64).astype(np.float64)
-            nat = np.zeros_like(blk)
-            nat[:, zz] = blk  # inverse zigzag
-            nat = nat.reshape(-1, 8, 8)
-            pix = np.einsum("ux,nuv,vy->nxy", T, nat, T) + 128.0
-            pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
-            plane = pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+            # chunked IDCT: same int64/float64 math as a whole-grid
+            # render, but intermediates are bounded at _IDCT_CHUNK
+            # blocks so peak memory stays ~6-8x the sample count
+            # instead of ~40-60x (ADVICE r15 megapixel-ceiling fix)
+            flat = coefs[cid].reshape(-1, 64)
+            gh, gw = coefs[cid].shape[:2]
+            q = qt[tq].astype(np.int64)
+            pix8 = np.empty((flat.shape[0], 8, 8), dtype=np.uint8)
+            for b0 in range(0, flat.shape[0], _IDCT_CHUNK):
+                blk = (flat[b0:b0 + _IDCT_CHUNK].astype(np.int64)
+                       * q[None, :]).astype(np.float64)
+                nat = np.zeros_like(blk)
+                nat[:, zz] = blk  # inverse zigzag
+                nat = nat.reshape(-1, 8, 8)
+                pix = np.einsum("ux,nuv,vy->nxy", T, nat, T) + 128.0
+                pix8[b0:b0 + _IDCT_CHUNK] = np.clip(
+                    np.rint(pix), 0, 255).astype(np.uint8)
+            del coefs[cid]  # drop the int32 grid as soon as rendered
+            plane = pix8.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
             plane = plane.reshape(gh * 8, gw * 8)
             # crop MCU padding BEFORE upsampling: the triangle filter's
             # edge replication must see the component's true last
@@ -1532,10 +1569,12 @@ def _jpeg_raster(payload: bytes):
             chh = -(-fh * cv // vmax)
             plane = _jpeg_upsample(plane[:chh, :cw], hmax // ch,
                                    vmax // cv)
-            planes[cid] = plane[:fh, :fw].astype(np.float64)
+            # uint8 plane (exact: triangle-filter output of uint8
+            # inputs stays in [0,255]); the color transform below
+            # lifts bands to float64 on demand
+            planes[cid] = plane[:fh, :fw].astype(np.uint8)
         if len(comps) == 1:
-            gray = planes[comps[0][0]].astype(np.uint8)
-            return fw, fh, 1, gray.tobytes()
+            return fw, fh, 1, planes[comps[0][0]].tobytes()
         # 3-component color interpretation: YCbCr unless the stream
         # says otherwise — APP14 transform=0 or the informal
         # 'R','G','B' component-id convention mean the planes ARE the
@@ -1543,14 +1582,23 @@ def _jpeg_raster(payload: bytes):
         cids = tuple(c[0] for c in comps)
         if adobe_transform == 0 or cids == (0x52, 0x47, 0x42):
             rgb = np.stack([planes[c[0]] for c in comps], axis=-1)
-            return fw, fh, 3, rgb.astype(np.uint8).tobytes()
-        y, cb, cr = (planes[c[0]] for c in comps)
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack([r, g, b], axis=-1)
-        rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-        return fw, fh, 3, rgb.tobytes()
+            return fw, fh, 3, rgb.tobytes()
+        yp, cbp, crp = (planes[c[0]] for c in comps)
+        # banded YCbCr->RGB: identical float64 elementwise math to a
+        # whole-plane transform, transients bounded per band
+        out = np.empty((fh, fw, 3), dtype=np.uint8)
+        band = max(1, (1 << 22) // max(fw, 1))
+        for r0 in range(0, fh, band):
+            y = yp[r0:r0 + band].astype(np.float64)
+            cb = cbp[r0:r0 + band].astype(np.float64) - 128.0
+            cr = crp[r0:r0 + band].astype(np.float64) - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            out[r0:r0 + band] = np.clip(
+                np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+            ).astype(np.uint8)
+        return fw, fh, 3, out.tobytes()
     except (struct.error, IndexError, ValueError):
         return None
 
@@ -1599,18 +1647,23 @@ def _wav_samples(payload: bytes):
 
 
 def inflate_entropy_coded(payload: bytes):  # pragma: no cover - gate
-    """The remaining codec gate (narrowed four times in r15, now down
-    to one vestigial variant): ARITHMETIC-coded JPEG scans (SOF9+) and
-    lossless JPEG (SOF3+) — formats mainstream encoders never emit
-    (historically patent-bound; javax.imageio cannot even write them).
-    Everything real-world decodes dependency-free: PNG (zlib +
-    unfilter + Adam7), GIF (pure-Python LZW), BMP, WAV PCM, and JPEG in
-    BOTH its Huffman forms — sequential (SOF0/SOF1) and progressive
-    (SOF2: spectral-selection / successive-approximation scans) — via
+    """The remaining codec gate, adjudicated PERMANENT in r16:
+    ARITHMETIC-coded JPEG scans (SOF9+) and lossless JPEG (SOF3+) —
+    formats mainstream encoders never emit (historically patent-bound;
+    javax.imageio can neither write NOR read them).  Wontfix rationale:
+    a from-spec QM-coder implementation (ITU-T T.81 Annex D/G/H) would
+    have no reference encoder or decoder in this environment to verify
+    against — an unverifiable codec is worse than an honest quarantine
+    — and real-world exposure is near-zero.  The contract is pinned by
+    test (test_arithmetic_jpeg_quarantine_contract_is_permanent):
+    :func:`decode_pixels` quarantines such rows (REAL header dims kept,
+    pixels NULL), never raises, and never fails the task.  Everything
+    real-world decodes dependency-free: PNG (zlib + unfilter + Adam7),
+    GIF (pure-Python LZW), BMP, WAV PCM, and JPEG in BOTH its Huffman
+    forms — sequential (SOF0/SOF1) and progressive (SOF2) — via
     :func:`_jpeg_raster`, verified against the JVM's javax.imageio
     codec.  Slot a codec-library call here if the arithmetic variant
-    ever matters; :func:`decode_pixels` quarantines such rows (header
-    dims kept, pixels NULL) instead of failing the task."""
+    ever matters."""
     raise NotImplementedError(
         "arithmetic-coded/lossless JPEG decode requires codec "
         "libraries not present in this environment; PNG/GIF/BMP/WAV "
@@ -1661,7 +1714,7 @@ def _raster(payload: bytes):
     return w, h, ch, None
 
 
-def decode_pixels(media: DataFrame, decoder: str = "fake") -> DataFrame:
+def decode_pixels(media: DataFrame, decoder: str = "real") -> DataFrame:
     """Payload -> raw sample tensor, the step past
     :func:`decode_metadata`'s header pass.  Same distributed shape
     (Arrow-batched ``mapInPandas``, no shuffle, NULL-row quarantine);
@@ -1680,8 +1733,10 @@ def decode_pixels(media: DataFrame, decoder: str = "fake") -> DataFrame:
     javax.imageio-verified) — for REAL, dependency-free.  Only
     arithmetic-coded/lossless JPEG remains codec-bound
     (:func:`inflate_entropy_coded`): those rows keep real header dims
-    with NULL pixels.  Torn/unknown/NULL payloads quarantine — one bad
-    payload never fails the task.
+    with NULL pixels.  JPEG frames past ~11 MP color (the
+    ``_MAX_RASTER_BYTES // 8`` sample budget — see
+    :func:`_jpeg_raster`) quarantine the same way.  Torn/unknown/NULL
+    payloads quarantine — one bad payload never fails the task.
 
     At 100 TB this is the bandwidth-dominant operator: rasters are
     ~2-50x the compressed payload, so decode LATE (after every filter
@@ -1715,7 +1770,7 @@ def decode_pixels(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return media.mapInPandas(_decode, PIXELS_SCHEMA)
 
 
-def decode_metadata(media: DataFrame, decoder: str = "fake") -> DataFrame:
+def decode_metadata(media: DataFrame, decoder: str = "real") -> DataFrame:
     """Decode payloads to (width, height, channels) metadata.
 
     ``mapInPandas`` over the source partitions as-is — no shuffle.  Batch

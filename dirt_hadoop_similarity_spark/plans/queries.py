@@ -81,126 +81,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # ROUND-15 ROTATION (VERDICT r14 tasks 1, 3-5; ledger below).
-    # Head: this round's re-earners.
-    #   profile_approx — CHANGED PLAN (fingerprint diff) and the
-    #     registry's only never-hash-green name until now: it emits
-    #     exact stats + sketch-within-band booleans since r15, so its
-    #     oracle value-checks it and the rows-only whitelist is empty;
-    #   semantic_dedup — similarity.py UDF-source rotation: the
-    #     operator's DEFAULT became the occupancy-scaled grid and
-    #     assign_cells_gemm now preserves the input element type (the
-    #     registered plan pins bits=8, fingerprint-identical);
-    #   cluster_balanced_sample — same default change in sampling.py
-    #     (registered plan pins bits=4, fingerprint-identical);
-    #   media_* — multimodal.py UDF-source rotation: real pixel decode
-    #     (PNG/BMP/WAV) landed plus the OS/2-BMP and non-PCM-WAV
-    #     header-quarantine fixes (registered plans use the fake
-    #     decoder; conservative module-hash rotation, r14 precedent):
-    "profile_approx",
-    "semantic_dedup",
-    "cluster_balanced_sample",
+    # ROUND-16 ROTATION (VERDICT r15 tasks 1-2, 7; ledger below).
+    # Head: the four media_* re-earners — multimodal.py is a
+    # UDF-source module (hashed whole under __udf_sources__) and this
+    # round changed it: decoder default flipped "fake" -> "real" on
+    # all four entry points (registered plans pass the knob explicitly
+    # so their DAGs are unchanged), the ADVICE r15 fixes (WAV torn-data
+    # n_frames clamp, palette-PNG post-expansion budget + numpy
+    # expansion, JPEG chunked-IDCT render raising the declared-dims
+    # budget cap/64 -> cap/8), and the arithmetic-JPEG gate
+    # contract-pin — conservative module-hash rotation, r14/r15
+    # precedent:
     "media_metadata",
     "media_features",
     "media_frames",
     "media_frames_text",
-    # freshness cohort: ALL 30 r12-green names — at r15 their rows hit
-    # the two-round ceiling exactly (the ledger's planned window):
-    "dedup_pagerank",
-    "dedup_simhash",
-    "dedup_threshold_sweep",
-    "embedding_near_dups",
-    "event_interarrival",
-    "event_user_outliers",
-    "funnel_conversion",
-    "global_scalar",
-    "grouping_sets_status",
-    "join_broadcast_part",
-    "join_region_revenue",
-    "join_top_spenders",
-    "json_props_extract",
-    "least_greatest_pairs",
-    "mixture_resample",
-    "rolling_distinct_users",
-    "snapshot_upsert",
-    "source_budget_waterfill",
-    "split_contamination",
-    "sql_grouping_sets",
-    "sql_monthly_top_orders",
-    "sql_running_total",
-    "temperature_mixture",
-    "text_boilerplate",
-    "text_cosine_pairs",
-    "text_cosine_topk",
-    "text_normalize",
-    "text_rolling_hash",
-    "text_token_budget",
-    "timeseries_gapfill",
-    # freshness filler: the first 13 r13-green names (alphabetical, per
-    # the ledger) — this happens to cover the entire ann_* family, i.e.
-    # every possible transitive consumer of the assign_cells_gemm
-    # element-type change rotates in rather than relying on the
-    # "float input => identical plan" argument:
-    "ann_gemm_topk",
-    "ann_hard_negatives",
-    "ann_ivf_topk",
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "ann_rh_topk",
-    "asof_join_events",
-    "bpe_train_merges",
-    "dirt_extract_counts",
-]
-# Round 15: _PRIORITY is exactly 50 names — 7 re-earners (1 changed
-# plan + 6 conservative UDF-source rotations), the full 30-name
-# r12-green cohort at its freshness ceiling, and 13 r13-green filler.
-# _DEFERRED enumerates every other name — r13/r14 hash-green,
-# code-unchanged since their row, oracle-backed.
-# The contract is machine-checked on BOTH failure modes:
-# tests/test_oracle_all.py recomputes per-query freshness from the
-# committed CORRECTNESS_r*.json files (hash-green rows only —
-# rows_match alone is not value evidence) and fails if any
-# never-driver-checked query sits past the window; and
-# test_deferred_plans_unchanged compares every deferred query's
-# analyzed-plan fingerprint against the committed snapshot
-# (tests/plan_fingerprints.json, regenerated at rotation by
-# tools/plan_fingerprints.py), so an operator edit that changes a
-# deferred query's plan fails the suite until the query is rotated in.
-# Safety net for the tail remains the same test file's full oracle
-# sweep.
-#
-# Registry-size policy (VERDICT r10 task 7): the registry holds at 130
-# with a 50-slot driver window — a full evidence sweep already takes
-# ~3 rounds, the documented ceiling for "no row older than two rounds".
-# From round 11 on, net-new registrations are FROZEN unless the new
-# query retires an existing one (same operator surface, better
-# coverage) or the driver's window grows.  New OPERATORS still land —
-# they either back an existing query or earn their evidence through
-# the pytest contract; what's frozen is registry cardinality, not
-# capability.  Machine-checked since round 12: tests/test_oracle_all.py
-# ::test_registry_size_frozen fails any 131st registration that does
-# not retire an existing name (escape hatch documented there).
-#
-# ROTATION LEDGER (plan the next two windows so no name ever exceeds
-# the two-round ceiling).  Post-r15 projected freshness histogram:
-# r15=50, r14=44, r13=36 — and zero names without hash evidence (the
-# profile_approx whitelist retired this round).
-#   ROUND-16 WINDOW (assuming no code changes; changed plans always
-#   pre-empt filler): the 36 remaining r13-green names (they lead
-#   _DEFERRED below and hit the two-round ceiling at r16), plus 14 of
-#   the 44 r14-green names (alphabetical) as filler.
-#   ROUND-17 WINDOW: the remaining 30 r14-green names, plus the oldest
-#   r15 cohort as filler.
-# Steady state: 130 names / 50 slots cycles in <3 rounds with ~20
-# slots/round of headroom for changed-plan re-earners.
-_DEFERRED = [
-    # r13-green (hash) — code-unchanged since their row,
-    # fingerprint-guarded, oracle-backed; they LEAD the r16 window
-    # (see the rotation ledger above):
+    # freshness cohort: ALL 36 r13-green names — at r16 their rows
+    # hit the two-round ceiling exactly (the ledger's planned window):
     "dirt_full_pipeline",
     "dirt_pipeline_exact",
     "event_user_outliers_mad",
@@ -237,9 +134,8 @@ _DEFERRED = [
     "window_cumsum",
     "window_sliding",
     "window_tumbling",
-    # r14-green (hash) — last round's driver window minus this round's
-    # six re-earners, all code-unchanged since their r14 row,
-    # fingerprint-guarded:
+    # freshness filler: the first 10 r14-green names (alphabetical,
+    # per the ledger):
     "ann_cosine_topk",
     "ann_filtered_topk",
     "anti_join_customers",
@@ -250,6 +146,54 @@ _DEFERRED = [
     "corpus_diff",
     "corr_price_quantity",
     "cube_status_priority",
+]
+# Round 16: _PRIORITY is exactly 50 names — 4 conservative UDF-source
+# re-earners (multimodal.py changed; registered plans byte-identical),
+# the full 36-name r13-green cohort at its two-round freshness ceiling
+# (the ledger's planned window), and 10 r14-green filler (alphabetical).
+# _DEFERRED enumerates every other name — r14/r15 hash-green,
+# code-unchanged since their row, oracle-backed.
+# The contract is machine-checked on BOTH failure modes:
+# tests/test_oracle_all.py recomputes per-query freshness from the
+# committed CORRECTNESS_r*.json files (hash-green rows only —
+# rows_match alone is not value evidence) and fails if any
+# never-driver-checked query sits past the window; and
+# test_deferred_plans_unchanged compares every deferred query's
+# analyzed-plan fingerprint against the committed snapshot
+# (tests/plan_fingerprints.json, regenerated at rotation by
+# tools/plan_fingerprints.py), so an operator edit that changes a
+# deferred query's plan fails the suite until the query is rotated in.
+# Safety net for the tail remains the same test file's full oracle
+# sweep.
+#
+# Registry-size policy (VERDICT r10 task 7): the registry holds at 130
+# with a 50-slot driver window — a full evidence sweep already takes
+# ~3 rounds, the documented ceiling for "no row older than two rounds".
+# From round 11 on, net-new registrations are FROZEN unless the new
+# query retires an existing one (same operator surface, better
+# coverage) or the driver's window grows.  New OPERATORS still land —
+# they either back an existing query or earn their evidence through
+# the pytest contract; what's frozen is registry cardinality, not
+# capability.  Machine-checked since round 12: tests/test_oracle_all.py
+# ::test_registry_size_frozen fails any 131st registration that does
+# not retire an existing name (escape hatch documented there).
+#
+# ROTATION LEDGER (plan the next two windows so no name ever exceeds
+# the two-round ceiling).  Post-r16 projected freshness histogram:
+# r16=50, r15=46, r14=34 — zero names without hash evidence, none at
+# or past the two-round ceiling.
+#   ROUND-17 WINDOW (assuming no code changes; changed plans always
+#   pre-empt filler): the 34 remaining r14-green names (they lead
+#   _DEFERRED below and hit the two-round ceiling at r17), plus 16 of
+#   the 46 r15-green names (alphabetical) as filler.
+#   ROUND-18 WINDOW: the remaining 30 r15-green names, plus the oldest
+#   r16 cohort as filler.
+# Steady state: 130 names / 50 slots cycles in <3 rounds with ~20
+# slots/round of headroom for changed-plan re-earners.
+_DEFERRED = [
+    # r14-green (hash) — code-unchanged since their row,
+    # fingerprint-guarded, oracle-backed; they LEAD the r17 window
+    # (see the rotation ledger above):
     "curation_funnel",
     "dataset_split",
     "decimal_revenue_exact",
@@ -284,6 +228,55 @@ _DEFERRED = [
     "vocab_oov_rate",
     "window_range_frame",
     "zorder_events",
+    # r15-green (hash) — last round's driver window minus this
+    # round's four media_* re-earners, all code-unchanged since
+    # their r15 row, fingerprint-guarded:
+    "ann_gemm_topk",
+    "ann_hard_negatives",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "ann_rh_topk",
+    "asof_join_events",
+    "bpe_train_merges",
+    "cluster_balanced_sample",
+    "dedup_pagerank",
+    "dedup_simhash",
+    "dedup_threshold_sweep",
+    "dirt_extract_counts",
+    "embedding_near_dups",
+    "event_interarrival",
+    "event_user_outliers",
+    "funnel_conversion",
+    "global_scalar",
+    "grouping_sets_status",
+    "join_broadcast_part",
+    "join_region_revenue",
+    "join_top_spenders",
+    "json_props_extract",
+    "least_greatest_pairs",
+    "mixture_resample",
+    "profile_approx",
+    "rolling_distinct_users",
+    "semantic_dedup",
+    "snapshot_upsert",
+    "source_budget_waterfill",
+    "split_contamination",
+    "sql_grouping_sets",
+    "sql_monthly_top_orders",
+    "sql_running_total",
+    "temperature_mixture",
+    "text_boilerplate",
+    "text_cosine_pairs",
+    "text_cosine_topk",
+    "text_normalize",
+    "text_rolling_hash",
+    "text_token_budget",
+    "timeseries_gapfill",
 ]
 # Rows-only-by-design queries that may sit past the window: NONE since
 # r15.  profile_approx held this set for 14 rounds (engine-specific

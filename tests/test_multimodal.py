@@ -20,7 +20,8 @@ def test_decode_metadata_matches_md5_derivation(spark):
     texts = ["hello world", "a", "multi modal payload bytes"]
     out = {
         r.media_id: r
-        for r in multimodal.decode_metadata(_media(spark, texts)).collect()
+        for r in multimodal.decode_metadata(
+            _media(spark, texts), decoder="fake").collect()
     }
     for i, t in enumerate(texts):
         h = hashlib.md5(t.encode()).digest()
@@ -286,8 +287,8 @@ def test_fake_audio_meta_is_deterministic(spark):
                               "doc_id long, text string, source string"),
         kind="audio",
     )
-    a = multimodal.decode_audio_metadata(media).collect()
-    b = multimodal.decode_audio_metadata(media).collect()
+    a = multimodal.decode_audio_metadata(media, decoder="fake").collect()
+    b = multimodal.decode_audio_metadata(media, decoder="fake").collect()
     assert a == b and a[0]["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
 
 
@@ -507,13 +508,59 @@ def test_real_pixel_decode_quarantine_contract(spark):
 
 def test_decode_pixels_fake_is_deterministic_and_shuffle_free(spark):
     media = _media(spark, ["hello", "world"])
-    a = multimodal.decode_pixels(media).collect()
-    b = multimodal.decode_pixels(media).collect()
+    a = multimodal.decode_pixels(media, decoder="fake").collect()
+    b = multimodal.decode_pixels(media, decoder="fake").collect()
     assert a == b
     assert all(len(bytes(r["pixels"])) == 4 * 4 * 3 for r in a)
-    plan = multimodal.decode_pixels(media)._jdf.queryExecution() \
+    plan = multimodal.decode_pixels(media, decoder="fake")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_default_decoder_is_real_on_all_four_entry_points(spark):
+    """VERDICT r15 task 2 pin: the no-knob call gets the REAL decoders.
+    A naive caller on real media bytes must receive real metadata and
+    pixels — and on non-media bytes must receive quarantined NULLs, not
+    silently fabricated md5 pseudo-metadata (the fake path is opt-in)."""
+    import io
+    import wave
+
+    png = _png(6, 5, color_type=2)  # RGB 6x5, mid-gray raster
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x01" * (2 * 2 * 25))
+    wav = buf.getvalue()
+    rows = [(1, "image", bytearray(png)), (2, "image", bytearray(b"not media"))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+
+    meta = {r["media_id"]: r
+            for r in multimodal.decode_metadata(media).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["channels"]) \
+        == (6, 5, 3)
+    assert meta[2]["width"] is None  # quarantine, not md5 fabrication
+
+    px = {r["media_id"]: r for r in multimodal.decode_pixels(media).collect()}
+    assert bytes(px[1]["pixels"]) == b"\x7f" * (6 * 5 * 3)
+    assert px[2]["pixels"] is None
+
+    audio = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "audio", bytearray(b"not audio"))],
+        "media_id long, kind string, payload binary")
+    am = {r["media_id"]: r
+          for r in multimodal.decode_audio_metadata(audio).collect()}
+    assert (am[1]["sample_rate"], am[1]["channels"], am[1]["bits"],
+            am[1]["n_frames"]) == (44100, 2, 16, 25)
+    assert am[2]["sample_rate"] is None
+
+    video = spark.createDataFrame(
+        [(1, "video", bytearray(b"not a video"))],
+        "media_id long, kind string, payload binary")
+    vm = multimodal.decode_video_metadata(video).collect()[0]
+    assert vm["width"] is None and vm["duration_ms"] is None
 
 
 def test_bmp_os2_core_header_metadata():
@@ -1064,6 +1111,43 @@ def test_jpeg_through_decode_pixels_and_arithmetic_gate(spark):
     assert out[4]["pixels"] is None  # the arithmetic-coding gate
 
 
+def test_arithmetic_jpeg_quarantine_contract_is_permanent(spark):
+    """VERDICT r15 task 4: the arithmetic-JPEG gate is adjudicated
+    PERMANENT wontfix (no reference codec exists in-sandbox — the JVM's
+    javax.imageio can neither encode nor decode SOF9 — so a from-spec
+    QM-coder would be unverifiable).  This pins the contract forever:
+    a structurally complete arithmetic-coded stream (SOI + DQT + DAC +
+    SOF9 + SOS + entropy bytes + EOI) yields REAL header dims with NULL
+    pixels through every layer — _jpeg_raster returns None without
+    raising, _real_dims reads the SOF9 frame header, and decode_pixels
+    keeps the row quarantined; likewise lossless SOF3."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _jpeg_raster, _real_dims,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    # DAC (T.81 B.2.4.3): one (Tc/Tb nibble pair, conditioning value)
+    dac = seg(0xCC, bytes([0x00, 0x01]))
+    sof9 = seg(0xC9, struct.pack(">BHHB", 8, 21, 17, 1)
+               + bytes([1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    arith = (b"\xff\xd8" + dqt + dac + sof9 + sos
+             + b"\x5a\x1d\x25\x86\x11\x14" + b"\xff\xd9")
+    lossless = arith.replace(b"\xff\xc9", b"\xff\xc3", 1)
+
+    assert _real_dims(arith) == (17, 21, 1)
+    assert _jpeg_raster(arith) is None  # quarantine, never a raise
+    assert _jpeg_raster(lossless) is None
+    out = _decode_px(spark, [arith, lossless])
+    for mid in (1, 2):
+        assert (out[mid]["width"], out[mid]["height"]) == (17, 21), mid
+        assert out[mid]["pixels"] is None, mid
+
+
 def test_jpeg_restart_markers_and_dc_reset():
     """A hand-built minimal baseline JPEG with DRI=1: two flat 8x8
     gray MCUs separated by RST0.  Flat blocks at q=8 reconstruct
@@ -1195,9 +1279,10 @@ def test_jpeg_app14_rgb_and_dqt_validation(spark):
 
 
 def test_jpeg_declared_dims_budget():
-    """Code-review r15: decode intermediates amplify ~40-60x past the
-    output raster, so declared dims are budgeted at cap/64 BEFORE any
-    allocation — a tiny stream declaring enormous dims quarantines
+    """Code-review r15 (ceiling raised r16): the whole-file int32
+    coefficient grids plus chunked-render transients amplify ~6-8x past
+    the output raster, so declared dims are budgeted at cap/8 BEFORE
+    any allocation — a tiny stream declaring enormous dims quarantines
     immediately instead of looping millions of MCUs."""
     import struct, time
     from dirt_hadoop_similarity_spark.operators.multimodal import (
@@ -1379,8 +1464,8 @@ def test_mp4_video_metadata_box_walk(spark):
         assert out[mid]["width"] is None, mid
     assert out[4]["n_bytes"] == 11 and out[5]["n_bytes"] is None
 
-    fake = multimodal.decode_video_metadata(media).collect()
-    assert fake == multimodal.decode_video_metadata(media).collect()
+    fake = multimodal.decode_video_metadata(media, decoder="fake").collect()
+    assert fake == multimodal.decode_video_metadata(media, decoder="fake").collect()
 
 
 def test_container_metadata_hostile_headers_quarantine():
@@ -1512,3 +1597,191 @@ def test_ogg_vorbis_and_opus_headers(spark):
     assert out[1]["n_frames"] is None
     assert (out[2]["sample_rate"], out[2]["channels"]) == (48000, 1)
     assert out[3]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# spec-derived byte-exact anchors (VERDICT r15 task 6): FLAC/MP3/OGG have
+# no reference encoder in-sandbox (javax.sound writes only WAV/AIFF/AU),
+# so these fixtures are LITERAL byte strings whose field values are worked
+# out by hand from the published specs — independent of both the parsers
+# and any fixture-builder function that could share a misreading with them
+# ---------------------------------------------------------------------------
+
+def test_flac_streaminfo_spec_literal_anchor():
+    """RFC 9639 (FLAC) §8.2: STREAMINFO packs, after 10 bytes of block
+    sizes/frame sizes, a big-endian 64-bit group of sample-rate(20) |
+    channels-1(3) | bits-per-sample-1(5) | total-samples(36).
+
+    Worked literal 1 — 44.1 kHz / stereo / 16-bit / 123456 samples:
+      rate   44100  = 0xAC44  -> 0b00001010110001000100 (20 bits)
+      ch-1   1               -> 0b001
+      bps-1  15              -> 0b01111
+      total  123456 = 0x1E240 -> 36-bit 0x00001E240
+      group  = 0xAC44<<44 | 1<<41 | 15<<36 | 0x1E240
+             = 0x0AC442F00001E240
+    Worked literal 2 — 96 kHz / mono / 24-bit / 1 sample:
+      group  = 0x17700<<44 | 0<<41 | 23<<36 | 1 = 0x1770017000000001
+    Container framing (§8.1): 'fLaC', block header byte 0x00
+    (not-last, type 0 = STREAMINFO), u24 length 34 (0x000022)."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _flac_meta,
+    )
+
+    def wrap(group_hex):
+        return (b"fLaC" + b"\x00" + b"\x00\x00\x22"
+                + b"\x10\x00\x10\x00" + bytes(6)   # blocksizes 4096
+                + bytes.fromhex(group_hex) + bytes(16))  # + md5
+
+    assert _flac_meta(wrap("0AC442F00001E240")) == (44100, 2, 16, 123456)
+    assert _flac_meta(wrap("1770017000000001")) == (96000, 1, 24, 1)
+
+
+def test_mp3_frame_header_spec_literal_anchor():
+    """ISO/IEC 11172-3 §2.4.1.3 (and ISO 13818-3 for MPEG2/2.5): the
+    textbook 32-bit frame headers as literals.
+
+    FF FB 90 64: sync 0x7FF | version 11 (MPEG1) | layer 01 (III) |
+    no-CRC 1; bitrate idx 1001 (128 kbps) | sr idx 00 (44100) | pad 0;
+    mode 01 (joint stereo) -> 2 channels.
+    FF E3 90 C0: version bits 00 = MPEG2.5 (13818-3 extension), layer
+    III; sr idx 00 -> 11025; mode 11 (single channel) -> 1.
+    ID3v2.4 §3.1: tag size is 4 SYNCSAFE bytes (7 bits each) —
+    00 00 02 01 -> (2<<7)|1 = 257 bytes to skip."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _mp3_meta,
+    )
+
+    frame = bytes.fromhex("FFFB9064") + bytes(128)
+    assert _mp3_meta(frame) == (44100, 2, None, None)
+    assert _mp3_meta(bytes.fromhex("FFE390C0") + bytes(64)) == \
+        (11025, 1, None, None)
+    id3 = b"ID3" + bytes.fromhex("0400 0000 000201".replace(" ", ""))
+    assert _mp3_meta(id3 + bytes(257) + frame) == (44100, 2, None, None)
+
+
+def test_ogg_vorbis_opus_spec_literal_anchor():
+    """RFC 3533 §6 (Ogg page) + Vorbis I spec §4.2.2 + RFC 7845 §5.1
+    (OpusHead), as literals.
+
+    Page header: 'OggS', version 0, header-type 0x02 (first page of
+    stream), 8-byte granule 0, serial 0x78563412 (LE bytes 12 34 56
+    78), sequence 0, CRC (ignored by a header-only parser; zeroed),
+    1 segment, lacing value = packet length.
+
+    Vorbis id packet (30 bytes): 0x01'vorbis', u32 LE version 0,
+    u8 channels 2, u32 LE rate 44100 (44 AC 00 00), 3 u32 bitrates,
+    blocksizes byte 0xB8, framing bit 01.
+    Opus id packet (19 bytes): 'OpusHead', u8 version 1, u8 channels 2,
+    u16 LE pre-skip 312 (38 01), u32 LE input rate 48000 (80 BB 00 00),
+    u16 output gain 0, u8 mapping family 0."""
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _ogg_audio_meta,
+    )
+
+    def page(packet):
+        return (b"OggS" + b"\x00" + b"\x02" + bytes(8)
+                + bytes.fromhex("12345678") + bytes(4) + bytes(4)
+                + bytes([1, len(packet)]) + packet)
+
+    vorbis = (b"\x01vorbis" + bytes(4) + b"\x02"
+              + bytes.fromhex("44AC0000") + bytes(12) + b"\xb8\x01")
+    assert len(vorbis) == 30
+    assert _ogg_audio_meta(page(vorbis)) == (44100, 2, None, None)
+
+    opus = (b"OpusHead" + b"\x01" + b"\x02" + bytes.fromhex("3801")
+            + bytes.fromhex("80BB0000") + bytes(2) + b"\x00")
+    assert len(opus) == 19
+    assert _ogg_audio_meta(page(opus)) == (48000, 2, None, None)
+
+
+def test_wav_torn_data_chunk_clamps_frame_count():
+    """ADVICE r15: a truncated WAV whose declared data-chunk size
+    extends past the payload must not report a full, untorn-looking
+    frame count — n_frames clamps to the full frames actually
+    present."""
+    import io
+    import wave
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _wav_meta,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x01" * (4 * 1000))
+    whole = buf.getvalue()
+    assert _wav_meta(whole) == (8000, 2, 16, 1000)
+    # cut mid-data: 600 full frames + 2 stray bytes remain
+    torn = whole[:len(whole) - 4 * 400 + 2]
+    assert _wav_meta(torn) == (8000, 2, 16, 600)
+
+
+def test_palette_png_budget_is_post_expansion():
+    """ADVICE r15: palette PNG (color type 3) output is 3x the index
+    stream, so the raster budget must bind on w*h*3 like the GIF path
+    — a declared geometry whose index stream fits the budget but whose
+    RGB expansion would not quarantines before inflate.  Small palette
+    images still decode through the numpy table expansion."""
+    from dirt_hadoop_similarity_spark.operators import multimodal
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _png_raster,
+    )
+
+    pal = bytes([250, 10, 30, 0, 200, 0, 5, 5, 255])  # 3 RGB entries
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    png = _png_encode(3, 2, 3, idx, [0, 0], palette=pal)
+    r = _png_raster(png)
+    assert r is not None and (r[0], r[1], r[2]) == (3, 2, 3)
+    assert r[3] == b"".join(pal[i * 3:i * 3 + 3] for i in idx)
+
+    # index stream (w*h + h filter bytes) sits under the budget, but
+    # the 3x expansion would not: must quarantine up front
+    cap = multimodal._MAX_RASTER_BYTES
+    w = 46000
+    h = cap // (w + 1) - 8  # index stream < cap; w*h*3 ~ 2.9x cap
+    assert h * (w + 1) < cap < w * h * 3
+    import struct, zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+            + chunk(b"IEND", b""))
+    import time
+    t0 = time.perf_counter()
+    assert _png_raster(bomb) is None
+    assert time.perf_counter() - t0 < 1.0  # rejected before inflate
+
+
+def test_jpeg_camera_sized_frame_decodes_after_budget_raise(spark):
+    """ADVICE r15: the old cap/64 sample budget silently quarantined
+    typical camera/web JPEGs (anything past ~1.4 MP color).  The r16
+    chunked-IDCT render raised it to cap/8 (~11 MP color): a 1920x1080
+    frame — 6.2M samples, past the old 4.2M cap — must now decode, and
+    still agree with javax.imageio's reference decode sample-for-sample
+    at IDCT-rounding tolerance."""
+    import numpy as np
+
+    h, w = 1080, 1920
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack([(xx // 7 + yy // 5) % 256, (xx // 9) % 256,
+                    (yy // 11) % 256], axis=-1).astype(np.uint8)
+    jpeg = _png_to_jpeg(spark, _png_encode(w, h, 2, arr.tobytes(),
+                                           [0] * h))
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _jpeg_raster,
+    )
+
+    got = _jpeg_raster(jpeg)
+    assert got is not None and (got[0], got[1], got[2]) == (w, h, 3)
+    ref = _reference_decode(spark, jpeg)
+    a = np.frombuffer(got[3], dtype=np.uint8).astype(np.int16)
+    b = np.frombuffer(ref[3], dtype=np.uint8).astype(np.int16)
+    d = np.abs(a - b)
+    assert int(d.max()) <= 2 and float(d.mean()) < 0.2
