@@ -1,0 +1,197 @@
+"""Image near-duplicate detection: difference-hash over decoded rasters.
+
+The image analog of the text MinHash-LSH chain (``operators/dedup.py``):
+a 64-bit perceptual fingerprint computed once per image in the decode
+pass, then a BANDED equi-join meets candidate pairs — never an all-pairs
+comparison.  Unlike MinHash banding, the recall here is EXACT, not
+probabilistic: splitting 64 bits into ``bands`` equal slices, any pair
+with Hamming distance < bands has at least one identical slice
+(pigeonhole), so ``bands = max_hamming + 1`` catches every true pair and
+the ``bit_count`` verification removes the false ones.
+
+Scale shape at 100 TB:
+
+  * the hash rides the same Arrow-batched ``mapInPandas`` stage as
+    :func:`multimodal.decode_pixels` output — pixels NEVER shuffle; only
+    (media_id, 64-bit hash) leaves the stage (~16 bytes/row vs ~MB/row);
+  * candidate generation is ``bands`` equi-joins (one exploded
+    band-keyed self-join), shuffle volume bounded by real near-dup
+    density exactly like the LSH bucket join;
+  * verification is JVM-side ``bit_count(hash ^ hash)`` — no Python in
+    the pair path.
+
+The dHash itself (Krawetz's difference hash, public domain technique):
+luma -> area-mean resample to (hash_w+1) x hash_w -> sign of horizontal
+adjacent differences.  Robust to re-encoding, resize and uniform
+brightness shifts; NOT robust to crops/rotations (that is embedding
+territory — ``similarity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_SCHEMA = "media_id long, dhash long"
+
+
+def dhash64(pixels: bytes, width: int, height: int, channels: int,
+            grid: int = 8):
+    """64-bit difference hash of one decoded raster (top-down row-major
+    8-bit samples, the :data:`multimodal.PIXELS_SCHEMA` tensor
+    contract), or None for degenerate inputs.  Pure numpy; called from
+    the Arrow-batched hash pass, never per-pair."""
+    import numpy as np
+
+    if pixels is None or not width or not height or not channels:
+        return None
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if arr.size != width * height * channels:
+        return None  # torn tensor: quarantine like the decoders do
+    arr = arr.reshape(height, width, channels).astype(np.float64)
+    if channels >= 3:  # RGB / RGBA -> BT.601 luma
+        gray = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                + 0.114 * arr[:, :, 2])
+    else:  # gray / gray+alpha -> the luma plane
+        gray = arr[:, :, 0]
+    # area-mean resample to (grid+1) x grid: split rows/cols into
+    # near-equal bins (exact when divisible; off-by-one-balanced
+    # otherwise) and average each cell — a box filter, so the hash is
+    # stable under uniform re-scaling of the source
+    ge = np.linspace(0, height, grid + 1).round().astype(int)
+    ce = np.linspace(0, width, grid + 2).round().astype(int)
+    cells = np.empty((grid, grid + 1), dtype=np.float64)
+    for r in range(grid):
+        band = gray[ge[r]:max(ge[r + 1], ge[r] + 1)]
+        for c in range(grid + 1):
+            cells[r, c] = band[:, ce[c]:max(ce[c + 1], ce[c] + 1)].mean()
+    bits = (cells[:, 1:] > cells[:, :-1]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # map to signed int64 (Spark LongType): bit 63 set -> negative
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """(media_id, dhash) from :func:`multimodal.decode_pixels` output.
+
+    Same distributed shape as the decoders: Arrow-batched
+    ``mapInPandas`` over the source partitions as-is — the pixel column
+    is consumed in-stage and never shuffles; only the 8-byte hash
+    leaves.  Quarantined rows (NULL pixels) keep their row with a NULL
+    hash, the uniform one-bad-payload-never-fails-the-task contract."""
+
+    def _hash(batches):
+        import pandas as pd
+
+        def _i(x):
+            # NULL dims arrive as pandas NaN floats; a non-null pixel
+            # row with hostile NULL dims must hash to None via the
+            # size-mismatch gate, not kill the task on int(NaN)
+            return 0 if x is None or x != x else int(x)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [
+                        dhash64(
+                            bytes(p) if p is not None else None,
+                            _i(w), _i(h), _i(c), grid=grid,
+                        )
+                        for p, w, h, c in zip(
+                            pdf["pixels"], pdf["width"],
+                            pdf["height"], pdf["channels"],
+                        )
+                    ],
+                }
+            )
+
+    cols = ["media_id", "width", "height", "channels", "pixels"]
+    return decoded.select(*cols).mapInPandas(_hash, HASH_SCHEMA)
+
+
+def dhash_near_dups(hashes: DataFrame, max_hamming: int = 4,
+                    bands: int | None = None) -> DataFrame:
+    """Near-duplicate image pairs (id_a < id_b, hamming <= max_hamming)
+    from an (media_id, dhash) relation — banded equi-join, EXACT recall.
+
+    ``bands`` defaults to ``max_hamming + 1``: any pair within
+    ``max_hamming`` differing bits has, by pigeonhole, at least one of
+    the ``bands`` 64/bands-bit slices identical, so the slice-keyed
+    equi-join meets every true pair; ``bit_count`` on the XOR then
+    filters to the exact set.  All candidate work is JVM-side (explode,
+    shuffle on (band, key), bit arithmetic) — the plan carries no
+    cartesian product and no Python in the pair path.  Shuffle volume
+    is bands x |images| 16-byte rows for candidates, bounded by true
+    near-dup density for pairs — the MinHash-LSH scale argument
+    verbatim (dedup.py), minus the probabilistic recall caveat."""
+    if bands is None:
+        bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"exact recall needs bands > max_hamming (pigeonhole): "
+            f"got bands={bands}, max_hamming={max_hamming}"
+        )
+    width = 64 // bands  # last band absorbs the remainder bits
+
+    def band_key(b: int):
+        # unsigned slice: shift then mask; the last band's mask spans
+        # the remainder so all 64 bits are keyed.  A >=64-bit slice
+        # (bands=1) is the hash itself — a 2^64-1 literal would
+        # overflow LongType.
+        shifted = F.shiftrightunsigned(F.col("dhash"), b * width)
+        nbits = (64 - b * width) if b == bands - 1 else width
+        if nbits >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << nbits) - 1).cast("long"))
+
+    h = hashes.where(F.col("dhash").isNotNull())
+    keyed = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    band_key(b).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("media_id", "dhash", "bk.band", "bk.key")
+    a, b_ = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        # a pair can match in several bands: dedup BEFORE any consumer
+        # fans out (distinct on the 3 output columns — hamming is
+        # functionally dependent on the pair, so this is pair-distinct)
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def near_dup_images(decoded: DataFrame, max_hamming: int = 4,
+                    grid: int = 8) -> DataFrame:
+    """decode_pixels output -> exact near-dup pairs: the composed
+    hash-then-band chain, one line for pipeline callers."""
+    return dhash_near_dups(image_dhash(decoded, grid=grid),
+                           max_hamming=max_hamming)

@@ -1,0 +1,199 @@
+"""Image near-dup (dHash + banded exact-recall join): operators/imagesim.py."""
+
+import numpy as np
+import pytest
+
+from dirt_hadoop_similarity_spark.operators import imagesim, multimodal
+from dirt_hadoop_similarity_spark.operators.imagesim import (
+    dhash64,
+    dhash_near_dups,
+    image_dhash,
+    near_dup_images,
+)
+
+
+def _gradient(w, h, ch=3, seed=7):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 5 + yy * 3 + (xx // 4) * (yy // 4)) % 160 + 40)
+    noise = np.random.default_rng(seed).integers(0, 10, size=(h, w, ch))
+    return np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+
+
+def _raster_bytes(arr):
+    h, w, ch = arr.shape
+    return (arr.tobytes(), w, h, ch)
+
+
+def test_dhash_invariances():
+    a = _gradient(40, 32)
+    h0 = dhash64(*_raster_bytes(a))
+    assert isinstance(h0, int)
+
+    # uniform brightness shift preserves every adjacent-cell comparison
+    bright = np.clip(a.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    assert dhash64(*_raster_bytes(bright)) == h0
+
+    # 2x pixel doubling: area-mean cells are identical means
+    up = a.repeat(2, axis=0).repeat(2, axis=1)
+    assert dhash64(*_raster_bytes(up)) == h0
+
+    # an unrelated image hashes far away
+    b = _gradient(40, 32, seed=99)
+    other = dhash64(*_raster_bytes(np.rot90(b).copy()))
+    d = (h0 ^ other) & 0xFFFFFFFFFFFFFFFF
+    assert bin(d).count("1") > 8
+
+    # degenerate inputs quarantine as None, never raise
+    assert dhash64(None, 4, 4, 3) is None
+    assert dhash64(b"\x00" * 10, 4, 4, 3) is None  # torn tensor
+    assert dhash64(b"", 0, 0, 0) is None
+
+
+def test_dhash_channel_layouts_agree():
+    rgb = _gradient(24, 24, ch=3)
+    h_rgb = dhash64(*_raster_bytes(rgb))
+    rgba = np.dstack([rgb, np.full((24, 24), 255, dtype=np.uint8)])
+    assert dhash64(*_raster_bytes(rgba)) == h_rgb  # alpha ignored
+
+    gray = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]).astype(np.uint8)[:, :, None]
+    ga = np.dstack([gray[:, :, 0], np.zeros((24, 24), dtype=np.uint8)])
+    # gray and gray+alpha share the luma-plane path
+    assert dhash64(*_raster_bytes(gray)) == dhash64(*_raster_bytes(ga))
+
+
+def test_image_dhash_dataframe_contract(spark):
+    a = _gradient(16, 12)
+    rows = [
+        (1, "image", 16, 12, 3, bytearray(a.tobytes())),
+        (2, "image", None, None, None, None),  # quarantined upstream
+    ]
+    decoded = spark.createDataFrame(
+        rows, multimodal.PIXELS_SCHEMA)
+    out = {r["media_id"]: r["dhash"]
+           for r in image_dhash(decoded).collect()}
+    assert out[1] == dhash64(*_raster_bytes(a))
+    assert out[2] is None  # NULL row kept, NULL hash
+
+    plan = image_dhash(decoded)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pixels never shuffle
+
+
+def _brute_pairs(hashes, max_hamming):
+    out = set()
+    ids = sorted(hashes)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            d = (hashes[x] ^ hashes[y]) & 0xFFFFFFFFFFFFFFFF
+            hd = bin(d).count("1")
+            if hd <= max_hamming:
+                out.add((x, y, hd))
+    return out
+
+
+def test_near_dups_exact_recall_vs_bruteforce(spark):
+    """bands = max_hamming + 1 is EXACT by pigeonhole: the banded join
+    must reproduce the brute-force pair set bit-for-bit — including
+    hashes with bit 63 set (negative as int64, exercising the unsigned
+    shift/mask and bit_count on negatives)."""
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 1 << 63, size=12, dtype=np.int64) * 2 + 1
+    hashes = {}
+    mid = 0
+    for h in base.tolist():
+        hashes[mid] = h & 0xFFFFFFFFFFFFFFFF
+        mid += 1
+        # a few perturbed copies at controlled Hamming distances
+        for k in (1, 3, 4, 5, 9):
+            flips = rng.choice(64, size=k, replace=False)
+            v = hashes[mid - 1]
+            for f in flips.tolist():
+                v ^= 1 << f
+            hashes[mid] = v
+            mid += 1
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame(
+        [(m, signed(v)) for m, v in hashes.items()],
+        imagesim.HASH_SCHEMA)
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in dhash_near_dups(df, max_hamming=4).collect()}
+    assert got == _brute_pairs(hashes, 4)
+
+    # bands=1 degenerates to exact-dup detection
+    got0 = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in dhash_near_dups(df, max_hamming=0, bands=1).collect()}
+    assert got0 == _brute_pairs(hashes, 0)
+
+
+def test_near_dups_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 5), (2, 7)], imagesim.HASH_SCHEMA)
+    pairs = dhash_near_dups(df, max_hamming=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dups_validation():
+    import pandas as pd  # noqa: F401 — symmetry with other tests
+
+    with pytest.raises(ValueError, match="bands"):
+        dhash_near_dups(None, max_hamming=1, bands=0)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_dups(None, max_hamming=5, bands=5)
+
+
+def test_end_to_end_real_containers(spark):
+    """The composed chain on REAL container bytes through the REAL
+    decoders: a PNG, the same raster re-encoded as BMP (exact dup,
+    hamming 0), a brightness-shifted PNG (near dup), and an unrelated
+    image — near_dup_images finds exactly the true pairs."""
+    import struct
+    import zlib
+
+    def png(arr):
+        h, w, _ = arr.shape
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def bmp(arr):
+        h, w, _ = arr.shape
+        bgr = arr[:, :, ::-1]
+        pad = (-(w * 3)) % 4
+        rows = b"".join(bgr[y].tobytes() + b"\x00" * pad
+                        for y in range(h - 1, -1, -1))
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(rows), 2835, 2835, 0, 0)
+        return header + info + rows
+
+    a = _gradient(32, 24)
+    bright = np.clip(a.astype(np.int16) + 15, 0, 255).astype(np.uint8)
+    other = _gradient(32, 24, seed=1234)
+    other = np.rot90(other, 2).copy()
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png(a))),
+            (2, "image", bytearray(bmp(a))),
+            (3, "image", bytearray(png(bright))),
+            (4, "image", bytearray(png(other))),
+            (5, "image", bytearray(b"not an image")),  # quarantines
+        ],
+        "media_id long, kind string, payload binary")
+    decoded = multimodal.decode_pixels(media)  # real decode, no knob
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in near_dup_images(decoded, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0  # container re-encode: exact dup
+    assert (1, 3) in pairs and (2, 3) in pairs  # brightness near-dup
+    assert not any(4 in p or 5 in p for p in pairs)
