@@ -275,43 +275,60 @@ def _vs_prev(repo_dir: str, timings: dict, control_sec: float):
     round's)."""
     import glob
 
-    files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
-    if not files:
-        return None
-    prev_path = files[-1]
+    # a malformed or hand-committed prev file must never crash the
+    # bench after the multi-minute timing loop has already run — the
+    # comparison is advisory, the timings are the product (code review
+    # r16)
     try:
+        files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+        if not files:
+            return None
+        prev_path = files[-1]
         with open(prev_path) as f:
             prev = json.load(f)
-    except (OSError, ValueError):
-        return None
-    # the driver records its wrapper {"n": ..., "parsed": <our line>};
-    # a hand-committed file may be the bare line — accept both
-    prev = prev.get("parsed") or prev
-    pq = prev.get("queries") or {}
-    shared = sorted(n for n in timings
-                    if pq.get(n) and timings.get(n))
-    if not shared:
-        return None
-    raw = (sum(timings[n] for n in shared)
-           / sum(pq[n] for n in shared))
-    prev_ctl = (prev.get("drift") or {}).get("control_sec")
-    ctl = control_sec / prev_ctl if prev_ctl else None
-    per = {
-        n: round(timings[n] / pq[n] / (ctl or 1.0), 2) for n in shared
-    }
-    worst = max(per, key=per.get)
-    return {
-        "prev_file": os.path.basename(prev_path),
-        "shared_queries": len(shared),
-        "raw_ratio": round(raw, 3),
-        "control_ratio": round(ctl, 3) if ctl else None,
-        "normalized_ratio": round(raw / ctl, 3) if ctl else None,
-        "conditioned_valid": (
-            max(ctl, 1.0 / ctl) <= 1.15 if ctl else None
-        ),
-        "worst_query": {"name": worst, "normalized_ratio": per[worst]},
-        "queries_normalized": per,
-    }
+        # the driver records its wrapper {"n": ..., "parsed": <line>};
+        # a hand-committed file may be the bare line — accept both
+        if isinstance(prev, dict) and isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
+        if not isinstance(prev, dict):
+            return None
+        pq = prev.get("queries")
+        if not isinstance(pq, dict):
+            return None
+        shared = sorted(
+            n for n in timings
+            if isinstance(pq.get(n), (int, float)) and pq[n] > 0
+            and timings.get(n)
+        )
+        if not shared:
+            return None
+        raw = (sum(timings[n] for n in shared)
+               / sum(pq[n] for n in shared))
+        prev_ctl = (prev.get("drift") or {}).get("control_sec")
+        ctl = (control_sec / prev_ctl
+               if isinstance(prev_ctl, (int, float)) and prev_ctl > 0
+               else None)
+        per = {
+            n: round(timings[n] / pq[n] / (ctl or 1.0), 2)
+            for n in shared
+        }
+        worst = max(per, key=per.get)
+        return {
+            "prev_file": os.path.basename(prev_path),
+            "shared_queries": len(shared),
+            "raw_ratio": round(raw, 3),
+            "control_ratio": round(ctl, 3) if ctl else None,
+            "normalized_ratio": round(raw / ctl, 3) if ctl else None,
+            "conditioned_valid": (
+                max(ctl, 1.0 / ctl) <= 1.15 if ctl else None
+            ),
+            "worst_query": {
+                "name": worst, "normalized_ratio": per[worst],
+            },
+            "queries_normalized": per,
+        }
+    except Exception as e:  # advisory block: degrade, don't die
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def _release_tracked_caches() -> None:

@@ -43,7 +43,18 @@ def dhash64(pixels: bytes, width: int, height: int, channels: int,
     the Arrow-batched hash pass, never per-pair."""
     import numpy as np
 
+    if not 1 <= grid <= 8:
+        # grid*grid bits must fit the 64-bit hash the banded join and
+        # the LongType schema carry (code review r16)
+        raise ValueError(f"grid must be in [1, 8], got {grid}")
     if pixels is None or not width or not height or not channels:
+        return None
+    if width < grid + 1 or height < grid:
+        # fewer source pixels than hash cells: every tiny image would
+        # collapse to the same near-zero hash (a 1x1 tracking pixel
+        # must NOT read as an exact dup of every other tracking pixel)
+        # — quarantine like any other degenerate input (code review
+        # r16)
         return None
     arr = np.frombuffer(pixels, dtype=np.uint8)
     if arr.size != width * height * channels:
@@ -80,7 +91,12 @@ def image_dhash(decoded: DataFrame, grid: int = 8) -> DataFrame:
     ``mapInPandas`` over the source partitions as-is — the pixel column
     is consumed in-stage and never shuffles; only the 8-byte hash
     leaves.  Quarantined rows (NULL pixels) keep their row with a NULL
-    hash, the uniform one-bad-payload-never-fails-the-task contract."""
+    hash, the uniform one-bad-payload-never-fails-the-task contract.
+    Images smaller than the hash grid quarantine too (NULL hash) — a
+    1x1 tracking pixel carries no gradient structure to fingerprint."""
+    if not 1 <= grid <= 8:
+        # fail at plan-build time, not inside every task
+        raise ValueError(f"grid must be in [1, 8], got {grid}")
 
     def _hash(batches):
         import pandas as pd

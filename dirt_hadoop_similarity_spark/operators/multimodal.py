@@ -1503,6 +1503,12 @@ def _jpeg_raster(payload: bytes):
                 if any(c[1] == 0 or c[2] == 0 or hmax % c[1] or vmax % c[2]
                        for c in comps):
                     return None
+                if len({c[0] for c in comps}) != nc:
+                    # duplicate component ids: hostile header — the
+                    # render loop frees each component's grid after
+                    # use, so a repeated cid would KeyError mid-render
+                    # instead of quarantining (code review r16)
+                    return None
                 # tighter budget than the raster cap: JPEG decode
                 # holds int32 coefficient grids for the whole file
                 # (progressive needs every scan before render), so

@@ -150,33 +150,18 @@ def test_end_to_end_real_containers(spark):
     """The composed chain on REAL container bytes through the REAL
     decoders: a PNG, the same raster re-encoded as BMP (exact dup,
     hamming 0), a brightness-shifted PNG (near dup), and an unrelated
-    image — near_dup_images finds exactly the true pairs."""
-    import struct
-    import zlib
+    image — near_dup_images finds exactly the true pairs.  Container
+    encoders come from test_multimodal's shared reference builders
+    (code review r16: no per-file encoder copies)."""
+    from tests.test_multimodal import _bmp_encode, _png_encode
 
     def png(arr):
         h, w, _ = arr.shape
-
-        def chunk(tag, data):
-            return (struct.pack(">I", len(data)) + tag + data
-                    + struct.pack(">I", zlib.crc32(tag + data)))
-
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(raw))
-                + chunk(b"IEND", b""))
+        return _png_encode(w, h, 2, arr.tobytes(), [0])
 
     def bmp(arr):
         h, w, _ = arr.shape
-        bgr = arr[:, :, ::-1]
-        pad = (-(w * 3)) % 4
-        rows = b"".join(bgr[y].tobytes() + b"\x00" * pad
-                        for y in range(h - 1, -1, -1))
-        header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
-        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                           len(rows), 2835, 2835, 0, 0)
-        return header + info + rows
+        return _bmp_encode(w, h, 24, arr.tobytes())
 
     a = _gradient(32, 24)
     bright = np.clip(a.astype(np.int16) + 15, 0, 255).astype(np.uint8)
@@ -197,3 +182,28 @@ def test_end_to_end_real_containers(spark):
     assert pairs[(1, 2)] == 0  # container re-encode: exact dup
     assert (1, 3) in pairs and (2, 3) in pairs  # brightness near-dup
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_tiny_images_and_grid_validation():
+    """Code review r16: a 1x1 tracking pixel must NOT hash (every tiny
+    image collapsed to hash 0 — unrelated pixels read as exact dups);
+    and a grid whose grid*grid bits exceed the 64-bit hash must fail at
+    the API, not mis-key the banded join."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no mean-of-empty-slice spam
+        assert dhash64(b"\xff\x00\x00", 1, 1, 3) is None
+        assert dhash64(b"\x00\x00\xff", 1, 1, 3) is None
+        assert dhash64(b"\x01" * (4 * 3 * 3), 4, 3, 3) is None  # < grid
+        # smallest hashable geometry: (grid+1) x grid
+        raster98 = bytes((i * 7) % 256 for i in range(9 * 8 * 3))
+        ok = dhash64(raster98, 9, 8, 3)
+        assert ok is not None
+
+    with pytest.raises(ValueError, match="grid"):
+        dhash64(b"\x00" * 300, 10, 10, 3, grid=16)
+    with pytest.raises(ValueError, match="grid"):
+        image_dhash(None, grid=9)  # plan-build-time validation
+    with pytest.raises(ValueError, match="grid"):
+        image_dhash(None, grid=0)

@@ -1785,3 +1785,29 @@ def test_jpeg_camera_sized_frame_decodes_after_budget_raise(spark):
     b = np.frombuffer(ref[3], dtype=np.uint8).astype(np.int16)
     d = np.abs(a - b)
     assert int(d.max()) <= 2 and float(d.mean()) < 0.2
+
+
+def test_jpeg_duplicate_component_ids_quarantine():
+    """Code review r16: the render loop frees each component's
+    coefficient grid after use, so a hostile SOF listing the same
+    component id twice must quarantine at the header — previously it
+    decoded (masking the duplicate) and after the grid-free change it
+    would KeyError mid-render, killing the task."""
+    import struct
+    from dirt_hadoop_similarity_spark.operators.multimodal import (
+        _jpeg_raster,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3)
+              + bytes([1, 0x11, 0]) + bytes([1, 0x11, 0])  # dup id 1
+              + bytes([2, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00, 0, 2] + [0] * 14 + [0, 1]))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 1, 0x00, 2, 0x00, 0, 63, 0]))
+    bad = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+           + b"\x00" * 64 + b"\xff\xd9")
+    assert _jpeg_raster(bad) is None  # quarantine, never a raise
