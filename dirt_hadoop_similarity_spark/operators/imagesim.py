@@ -205,9 +205,37 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 4,
     return pairs
 
 
+def dhash_clusters(hashes: DataFrame) -> DataFrame:
+    """(media_id, dhash, cluster_rep) — exact-hash clustering: every
+    image joins the cluster of the minimum media_id sharing its hash.
+
+    This is the pair-blowup guard for :func:`dhash_near_dups` at scale:
+    a corpus with a million copies of one image has ~5e11 hamming-0
+    PAIRS (quadratic, like any pairwise dedup) but only one cluster
+    row per member (linear).  The scalable composition is therefore
+    cluster first, then run the banded pair join on the one
+    representative per hash (``cluster_rep == media_id``) — identical
+    hashes are trivially near-dups of each other, and near-dupness
+    against the rest of the corpus depends only on the hash, so
+    nothing is lost.  One map-side-combinable groupBy, no join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dhash")
+    return (
+        hashes.where(F.col("dhash").isNotNull())
+        .withColumn("cluster_rep", F.min("media_id").over(w))
+    )
+
+
 def near_dup_images(decoded: DataFrame, max_hamming: int = 4,
                     grid: int = 8) -> DataFrame:
     """decode_pixels output -> exact near-dup pairs: the composed
-    hash-then-band chain, one line for pipeline callers."""
+    hash-then-band chain, one line for pipeline callers.
+
+    At 100 TB compose through :func:`dhash_clusters` instead when the
+    corpus carries heavy exact duplication (crawl data always does):
+    pairwise output over k identical images is k^2/2 rows by
+    definition — cluster the exact-hash groups linearly first and band
+    only the representatives."""
     return dhash_near_dups(image_dhash(decoded, grid=grid),
                            max_hamming=max_hamming)

@@ -207,3 +207,26 @@ def test_tiny_images_and_grid_validation():
         image_dhash(None, grid=9)  # plan-build-time validation
     with pytest.raises(ValueError, match="grid"):
         image_dhash(None, grid=0)
+
+
+def test_dhash_clusters_scalable_composition(spark):
+    """The pair-blowup guard: exact-hash groups cluster linearly (one
+    row per member, min-id representative), and banding only the
+    representatives reproduces every cross-cluster near-dup relation —
+    members inherit their representative's neighbors by hash
+    equality."""
+    rows = [(1, 100), (2, 100), (3, 100),     # 3 exact copies
+            (4, 101),                          # hamming 1 from 100
+            (5, 0xF0F0), (6, 0xF0F0),          # far copy pair (hd 7)
+            (7, None)]                         # quarantined
+    df = spark.createDataFrame(rows, imagesim.HASH_SCHEMA)
+    cl = imagesim.dhash_clusters(df)
+    got = {(r["media_id"], r["cluster_rep"]) for r in cl.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)}
+
+    reps = cl.where("cluster_rep = media_id").select("media_id", "dhash")
+    pairs = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in dhash_near_dups(reps, max_hamming=4).collect()}
+    # only the representative pair appears — 3x2 member pairs of the
+    # 100-cluster never materialize, and 100~101 is found once
+    assert pairs == {(1, 4, 1)}
