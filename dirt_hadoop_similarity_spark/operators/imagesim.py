@@ -33,6 +33,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 HASH_SCHEMA = "media_id long, dhash long"
+FEATURES_SCHEMA = "media_id long, embedding array<float>"
+
+
+def _raster_array(pixels: bytes, width: int, height: int,
+                  channels: int):
+    """(h, w, ch) float64 array from the PIXELS_SCHEMA tensor bytes,
+    or None for a torn tensor."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if arr.size != width * height * channels:
+        return None  # torn tensor: quarantine like the decoders do
+    return arr.reshape(height, width, channels).astype(np.float64)
+
+
+def _to_luma(arr):
+    """BT.601 luma plane from an (h, w, ch) array: RGB/RGBA use the
+    weighted sum (alpha ignored); gray / gray+alpha use channel 0."""
+    if arr.shape[2] >= 3:
+        return (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                + 0.114 * arr[:, :, 2])
+    return arr[:, :, 0]
+
+
+def _area_mean(gray, out_h: int, out_w: int):
+    """Box-filter resample to (out_h, out_w): rows/cols split into
+    near-equal bins (exact when divisible; off-by-one-balanced
+    otherwise), each cell the mean of its bin.  Caller guarantees the
+    source is at least (out_h, out_w)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ge = np.linspace(0, h, out_h + 1).round().astype(int)
+    ce = np.linspace(0, w, out_w + 1).round().astype(int)
+    cells = np.empty((out_h, out_w), dtype=np.float64)
+    for r in range(out_h):
+        band = gray[ge[r]:max(ge[r + 1], ge[r] + 1)]
+        for c in range(out_w):
+            cells[r, c] = band[:, ce[c]:max(ce[c + 1], ce[c] + 1)].mean()
+    return cells
 
 
 def dhash64(pixels: bytes, width: int, height: int, channels: int,
@@ -56,26 +96,12 @@ def dhash64(pixels: bytes, width: int, height: int, channels: int,
         # — quarantine like any other degenerate input (code review
         # r16)
         return None
-    arr = np.frombuffer(pixels, dtype=np.uint8)
-    if arr.size != width * height * channels:
-        return None  # torn tensor: quarantine like the decoders do
-    arr = arr.reshape(height, width, channels).astype(np.float64)
-    if channels >= 3:  # RGB / RGBA -> BT.601 luma
-        gray = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
-                + 0.114 * arr[:, :, 2])
-    else:  # gray / gray+alpha -> the luma plane
-        gray = arr[:, :, 0]
-    # area-mean resample to (grid+1) x grid: split rows/cols into
-    # near-equal bins (exact when divisible; off-by-one-balanced
-    # otherwise) and average each cell — a box filter, so the hash is
-    # stable under uniform re-scaling of the source
-    ge = np.linspace(0, height, grid + 1).round().astype(int)
-    ce = np.linspace(0, width, grid + 2).round().astype(int)
-    cells = np.empty((grid, grid + 1), dtype=np.float64)
-    for r in range(grid):
-        band = gray[ge[r]:max(ge[r + 1], ge[r] + 1)]
-        for c in range(grid + 1):
-            cells[r, c] = band[:, ce[c]:max(ce[c + 1], ce[c] + 1)].mean()
+    arr = _raster_array(pixels, width, height, channels)
+    if arr is None:
+        return None
+    # area-mean resample of the luma plane to (grid+1) x grid — a box
+    # filter, so the hash is stable under uniform re-scaling
+    cells = _area_mean(_to_luma(arr), grid, grid + 1)
     bits = (cells[:, 1:] > cells[:, :-1]).ravel()
     v = 0
     for b in bits:
@@ -239,3 +265,80 @@ def near_dup_images(decoded: DataFrame, max_hamming: int = 4,
     only the representatives."""
     return dhash_near_dups(image_dhash(decoded, grid=grid),
                            max_hamming=max_hamming)
+
+
+def pixel_feature_vec(pixels: bytes, width: int, height: int,
+                      channels: int, thumb: int = 4):
+    """Dependency-free image embedding from one decoded raster, or
+    None for degenerate inputs: a thumb x thumb contrast-normalized
+    luma thumbnail (shape/structure; brightness- and contrast-
+    invariant) followed by per-channel mean and std over 255
+    (global color statistics).  Length ``thumb*thumb + 6``; single-
+    channel images replicate their one channel across the color
+    slots."""
+    import numpy as np
+
+    if not 1 <= thumb <= 16:
+        raise ValueError(f"thumb must be in [1, 16], got {thumb}")
+    if pixels is None or not width or not height or not channels:
+        return None
+    if width < thumb or height < thumb:
+        return None  # fewer pixels than cells: nothing to fingerprint
+    arr = _raster_array(pixels, width, height, channels)
+    if arr is None:
+        return None
+    cells = _area_mean(_to_luma(arr), thumb, thumb).ravel()
+    sd = cells.std()
+    norm = (cells - cells.mean()) / (sd + 1e-6)
+    nch = min(channels, 3)
+    stats = []
+    for c in range(3):
+        ch = arr[:, :, min(c, nch - 1)]
+        stats.append(ch.mean() / 255.0)
+    for c in range(3):
+        ch = arr[:, :, min(c, nch - 1)]
+        stats.append(ch.std() / 255.0)
+    return [float(x) for x in norm] + [float(s) for s in stats]
+
+
+def pixel_features(decoded: DataFrame, thumb: int = 4) -> DataFrame:
+    """(media_id, embedding) from :func:`multimodal.decode_pixels`
+    output — the decode -> embedding bridge: the emitted
+    ``array<float>`` plugs directly into the ANN / semantic-dedup
+    operators (``similarity.cosine_topk(..., id_col='media_id',
+    vec_col='embedding')``, ``embedding_near_duplicates``,
+    ``semantic_dedup``), so the whole vector toolbox applies to
+    images without a model in the loop.  Same distributed shape as
+    the hash pass: Arrow-batched ``mapInPandas``, pixels consumed
+    in-stage and never shuffled, only ``thumb*thumb + 6`` floats per
+    row leave; quarantined/degenerate rows keep a NULL embedding
+    (drop them with ``similarity.valid_vectors`` before indexing, as
+    with any embedding relation)."""
+    if not 1 <= thumb <= 16:
+        raise ValueError(f"thumb must be in [1, 16], got {thumb}")
+
+    def _feats(batches):
+        import pandas as pd
+
+        def _i(x):
+            return 0 if x is None or x != x else int(x)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "embedding": [
+                        pixel_feature_vec(
+                            bytes(p) if p is not None else None,
+                            _i(w), _i(h), _i(c), thumb=thumb,
+                        )
+                        for p, w, h, c in zip(
+                            pdf["pixels"], pdf["width"],
+                            pdf["height"], pdf["channels"],
+                        )
+                    ],
+                }
+            )
+
+    cols = ["media_id", "width", "height", "channels", "pixels"]
+    return decoded.select(*cols).mapInPandas(_feats, FEATURES_SCHEMA)

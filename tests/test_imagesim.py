@@ -230,3 +230,71 @@ def test_dhash_clusters_scalable_composition(spark):
     # only the representative pair appears — 3x2 member pairs of the
     # 100-cluster never materialize, and 100~101 is found once
     assert pairs == {(1, 4, 1)}
+
+
+def test_pixel_feature_vec_structure_and_invariance():
+    """Embedding = contrast-normalized luma thumbnail + per-channel
+    stats: thumbnail block identical under uniform brightness shift
+    (only the mean stats move); gray images replicate their channel
+    across the color slots; degenerate inputs -> None; bad thumb ->
+    ValueError."""
+    a = _gradient(32, 24)
+    v = imagesim.pixel_feature_vec(*_raster_bytes(a))
+    assert len(v) == 4 * 4 + 6
+
+    bright = np.clip(a.astype(np.int16) + 30, 0, 255).astype(np.uint8)
+    vb = imagesim.pixel_feature_vec(*_raster_bytes(bright))
+    assert np.allclose(v[:16], vb[:16], atol=1e-3)  # shape block stable
+    assert vb[16] > v[16]  # mean stat moved up
+
+    gray = a[:, :, :1].copy()
+    vg = imagesim.pixel_feature_vec(*_raster_bytes(gray))
+    assert vg[16] == vg[17] == vg[18]  # replicated channel stats
+
+    assert imagesim.pixel_feature_vec(None, 4, 4, 3) is None
+    assert imagesim.pixel_feature_vec(b"\x00" * 5, 4, 4, 3) is None
+    assert imagesim.pixel_feature_vec(b"\x00" * 27, 3, 3, 3) is None  # < thumb
+    with pytest.raises(ValueError, match="thumb"):
+        imagesim.pixel_feature_vec(b"\x00" * 300, 10, 10, 3, thumb=17)
+    with pytest.raises(ValueError, match="thumb"):
+        imagesim.pixel_features(None, thumb=0)
+
+
+def test_pixel_features_feed_the_ann_toolbox(spark):
+    """The decode -> embedding bridge end-to-end: real containers
+    through the real decoders, pixel_features embeddings through the
+    EXISTING vector operators (valid_vectors admission + brute-force
+    cosine top-k) — the duplicate raster is its twin's nearest
+    neighbor with cosine ~1, and the quarantined row is dropped at
+    admission like any failed embedding job."""
+    from dirt_hadoop_similarity_spark.operators import similarity
+    from tests.test_multimodal import _bmp_encode, _png_encode
+
+    a = _gradient(32, 24)
+    other = np.rot90(_gradient(32, 24, seed=77), 2).copy()
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_png_encode(32, 24, 2, a.tobytes(),
+                                               [0]))),
+            (2, "image", bytearray(_bmp_encode(32, 24, 24, a.tobytes()))),
+            (3, "image", bytearray(_png_encode(32, 24, 2,
+                                               other.tobytes(), [0]))),
+            (4, "image", bytearray(b"junk")),
+        ],
+        "media_id long, kind string, payload binary")
+    from dirt_hadoop_similarity_spark.operators import multimodal
+
+    feats = imagesim.pixel_features(multimodal.decode_pixels(media))
+    rows = {r["media_id"]: r["embedding"] for r in feats.collect()}
+    assert rows[4] is None and len(rows[1]) == 22
+
+    admitted = similarity.valid_vectors(feats, dim=22,
+                                        vec_col="embedding")
+    assert admitted.count() == 3
+    topk = similarity.cosine_topk(admitted, query_ids=[1], k=2,
+                                  id_col="media_id",
+                                  vec_col="embedding")
+    nn = {r["rank"]: (r["neighbor_id"], r["cos"])
+          for r in topk.collect()}
+    assert nn[1][0] == 2 and nn[1][1] > 0.999  # the re-encoded twin
+    assert nn[2][0] == 3 and nn[2][1] < nn[1][1]
