@@ -1855,7 +1855,12 @@ def decode_metadata(media: DataFrame, decoder: str = "real") -> DataFrame:
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Deterministic fake featurizer: payload bytes → dim-float vector
     (md5-chained).  Real models slot in at the marked line; the Spark
-    contract (schema, batching, no driver materialization) is final."""
+    contract (schema, batching, no driver materialization) is final.
+    For a REAL model-free image embedding, use
+    ``imagesim.pixel_features`` over :func:`decode_pixels` output —
+    a contrast-normalized thumbnail + channel stats that feed the ANN
+    and semantic-dedup operators directly; this md5 path stays as the
+    synthetic-payload mode the registered media_features query pins."""
 
     def _featurize(batches):
         import pandas as pd
