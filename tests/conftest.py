@@ -16,7 +16,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="dhs-tests", master="local[4]", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="dhs-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        # the single shared JVM accumulates listener/UI retained state
+        # across ~1,500 tests; at the 1g local-mode default the heap can
+        # OOM late in the run (observed r16: test_cli's chunk count, in
+        # ArrayList.grow, green in isolation) — give the session real
+        # headroom and retain fewer finished executions
+        extra_conf={
+            "spark.driver.memory": "6g",
+            "spark.sql.ui.retainedExecutions": "50",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+        },
+    )
     yield spark
 
 
