@@ -110,7 +110,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     ``edges`` is treated as undirected; self-loops and duplicate edges
     are tolerated (they do not change the fixpoint).
     """
-    und = _undirected(edges, src, dst).distinct().cache()
+    # Pre-partition the cached edge relation by v — the per-round join
+    # key (guide §2.4: two operations keyed the same way share one
+    # exchange).  distinct() groups by (u, v), which HashPartitioning(v)
+    # already satisfies (subset clustering), so the explicit repartition
+    # REPLACES the distinct's own exchange rather than adding one; the
+    # cached relation then enters every round's edge⋈labels join
+    # pre-clustered (labels arrive partitioned by node from the previous
+    # round's aggregate), removing one |2·edges| exchange per iteration.
+    und = _undirected(edges, src, dst).repartition("v").distinct().cache()
 
     # seed = min(self, neighbors): the first propagation step fused into
     # the init aggregate — star-shaped clusters (the common dedup case)
@@ -339,7 +347,14 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     Scale shape: each iteration is one |edges|-keyed join plus a
     node-keyed groupBy-sum (map-side partials); the label relation is
     ``localCheckpoint``-ed per round — same lineage discipline as
-    :func:`connected_components`.  Bound: damping_pct·N·scale < 2^63
+    :func:`connected_components`.  (An r16 experiment composed the
+    rounds lazily — the rank relation feeds its successor only once, so
+    the plan grows linearly — expecting to shave the per-round
+    checkpoint jobs; measured WORSE: the un-truncated plan re-enters
+    Catalyst/AQE per stage and every round's tasks serialize the
+    cumulative lineage, so task-deserialize time grew past what the
+    checkpoint jobs cost.  The per-round cut stays.)  Bound:
+    damping_pct·N·scale < 2^63
     (a star center can collect ~all mass), so N < ~10^14 / scale.
 
     ``salt`` > 1 runs each round's rank→edge join as a salted join
@@ -378,7 +393,15 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
     if salt != "auto" and not isinstance(salt, int):
         raise ValueError(f"salt must be an int or 'auto', got {salt!r}")
-    und = _undirected(edges, src, dst).distinct().cache()
+    # Pre-partition the cached edge relation by u — the key of BOTH the
+    # degree aggregate and every round's contrib⋈edges join (guide
+    # §2.4).  distinct() clusters by (u, v), which HashPartitioning(u)
+    # satisfies, so this replaces the distinct's exchange instead of
+    # stacking one; afterwards deg's groupBy("u") and all ``iters``
+    # rank→edge joins read the cache with no further Exchange (the rank
+    # side arrives partitioned by node: the checkpoint preserves the
+    # left-join output partitioning and the rename keeps the attribute).
+    und = _undirected(edges, src, dst).repartition("u").distinct().cache()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("u").alias("node"), "d"
     ).cache()

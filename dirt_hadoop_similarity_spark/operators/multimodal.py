@@ -840,31 +840,37 @@ def _bmp_raster(payload: bytes):
         stride = (w * bpp + 3) & ~3
         if data_off + stride * height > len(payload):
             return None  # torn pixel array
-        palette = None
+        import numpy as np
+
+        # vectorized row de-padding + channel swizzle: the former
+        # per-pixel slice-reverse-join loop cost ~60 ms on a 512x384
+        # frame — 200k interpreted byte ops for what is one strided
+        # numpy view (~1 ms); same bytes out (BGR(A)->RGB(A), bottom-up
+        # flip, palette expansion via a take() table)
+        grid = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_off
+        ).reshape(height, stride)[:, : w * bpp]
+        if not top_down:
+            grid = grid[::-1]
         if bits == 8:
             (clr_used,) = struct.unpack("<I", payload[46:50])
             n = clr_used or 256
             pal = payload[14 + dib:14 + dib + 4 * n]
             if len(pal) != 4 * n:
                 return None
-            palette = [pal[j * 4:j * 4 + 3] for j in range(n)]  # BGR0
-        rows = []
-        order = range(height) if top_down else range(height - 1, -1, -1)
-        for y in order:
-            row = payload[data_off + y * stride:
-                          data_off + y * stride + w * bpp]
-            if bits == 8:
-                if any(b >= len(palette) for b in row):
-                    return None
-                rows.append(b"".join(palette[b][::-1] for b in row))
-            elif bits == 24:  # BGR -> RGB
-                rows.append(b"".join(
-                    row[x * 3:x * 3 + 3][::-1] for x in range(w)))
+            if int(grid.max(initial=0)) >= n:
+                return None  # index past the palette: torn/hostile
+            table = np.frombuffer(pal, dtype=np.uint8).reshape(n, 4)
+            out = table[:, 2::-1][grid]  # BGR0 entries -> RGB
+        else:
+            px = grid.reshape(height, w, bpp)
+            if bits == 24:  # BGR -> RGB
+                out = px[:, :, ::-1]
             else:  # BGRA -> RGBA
-                rows.append(b"".join(
-                    row[x * 4:x * 4 + 3][::-1] + row[x * 4 + 3:x * 4 + 4]
-                    for x in range(w)))
-        return w, height, 3 if bits != 32 else 4, b"".join(rows)
+                out = px[:, :, [2, 1, 0, 3]]
+        return w, height, 3 if bits != 32 else 4, np.ascontiguousarray(
+            out
+        ).tobytes()
     except (struct.error, IndexError):
         return None
 
@@ -1012,12 +1018,18 @@ def _gif_raster(payload: bytes):
                 return None
             indices = indices[:iw * ih]
             npal = len(pal) // 3
-            if any(i >= npal for i in indices):
-                return None  # index past the palette: corrupt
             if (ipacked >> 6) & 1:
                 indices = _gif_deinterlace(indices, iw, ih)
-            return iw, ih, 3, b"".join(
-                pal[i * 3:i * 3 + 3] for i in indices)
+            # vectorized palette expansion (the _bmp_raster treatment):
+            # range check + table take in numpy instead of two
+            # per-pixel Python loops — same bytes out
+            import numpy as np
+
+            idx = np.frombuffer(bytes(indices), dtype=np.uint8)
+            if int(idx.max(initial=0)) >= npal:
+                return None  # index past the palette: corrupt
+            table = np.frombuffer(pal, dtype=np.uint8).reshape(npal, 3)
+            return iw, ih, 3, table[idx].tobytes()
         return None
     except (struct.error, IndexError):
         return None

@@ -992,7 +992,9 @@ def ivfpq_build(
     )
     lloyd_rsubs = None
     if train_iters > 0:
-        lloyd_rsubs = _rsubs(embeddings).select(id_col, "sub", "svec").cache()
+        lloyd_rsubs = _parallelism_floor(
+            _rsubs(embeddings).select(id_col, "sub", "svec"), embeddings
+        ).cache()
         rcb = _lloyd_subspaces(lloyd_rsubs, rcb, train_iters, id_col)
     rcb = rcb.select("code", "sub", F.col("cvec").alias("cbvec"))
 
@@ -1435,6 +1437,25 @@ def pq_seed_codebooks(embeddings: DataFrame, m: int = 8, dsub: int = 8,
     )
 
 
+def _parallelism_floor(df: DataFrame, scan_df: DataFrame) -> DataFrame:
+    """Repartition ``df`` up to the session's parallelism when the
+    SCAN feeding it has fewer splits than task slots — the
+    pipeline.rebalance_for_extraction guard applied to the cached
+    Lloyd residual relation: a tiny local corpus reads as ONE parquet
+    split, which serializes every training iteration on one core (r16
+    profile: the whole rcb.collect() chain ran 1-task stages, 2-3 s
+    each, 31 cores idle).  Real corpora have >= slots splits, making
+    this a no-op rather than a standing shuffle.  The probe reads the
+    SCAN's partition count (narrow plan, no job), not ``df``'s own —
+    ``df`` may sit under an AQE plan whose partitioning is unknown
+    before execution."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if scan_df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _lloyd_subspaces(subs: DataFrame, cb: DataFrame, iters: int,
                      id_col: str) -> DataFrame:
     """Lloyd's loop over per-subspace int subvectors: ``subs`` is
@@ -1442,14 +1463,31 @@ def _lloyd_subspaces(subs: DataFrame, cb: DataFrame, iters: int,
     Each iteration is a broadcast assign (argmin d2 over the m×ksub
     codebook) + a ((sub, code), component) average whose shuffle is
     m × ksub × dsub rows after partial aggregation — corpus-size-
-    independent, exactly like :func:`kmeans_centroids`."""
-    w = W.partitionBy(id_col, "sub").orderBy("d2", "code")
+    independent, exactly like :func:`kmeans_centroids`.
+
+    The argmin is a ``min_by`` aggregation keyed (d2, code) — NOT a
+    row_number window: the window shape exchanged and sorted all ksub
+    candidate rows per (id, sub) every iteration, where the aggregate
+    collapses them map-side (ObjectHashAggregate partials) so the
+    per-iteration exchange carries 1/ksub of the rows and no sort.
+    (d2, code) is a total order within each group (codes are unique per
+    sub), so the pick — lowest d2, ties to the lowest code — is
+    identical to the former ``orderBy("d2", "code")`` rank-1 row."""
     for _ in range(iters):
         assigned = (
             subs.join(F.broadcast(cb), "sub")
             .withColumn("d2", _int_d2(F.col("svec"), F.col("cvec")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy(id_col, "sub")
+            .agg(
+                F.min_by(
+                    F.struct("code", "svec"), F.struct("d2", "code")
+                ).alias("_best")
+            )
+            .select(
+                id_col, "sub",
+                F.col("_best.code").alias("code"),
+                F.col("_best.svec").alias("svec"),
+            )
         )
         means = (
             assigned.select("sub", "code", F.posexplode("svec").alias("i", "x"))
@@ -1481,11 +1519,14 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 8, dsub: int = 8,
     """Lloyd's per-subspace codebook training, all m subspaces in ONE
     pass per iteration (see :func:`_lloyd_subspaces` for the loop's
     shuffle shape — corpus-size-independent)."""
-    subs = embeddings.select(
-        F.col(id_col),
-        F.posexplode(
-            subvector_split(F.col(vec_col), m, dsub)
-        ).alias("sub", "svec"),
+    subs = _parallelism_floor(
+        embeddings.select(
+            F.col(id_col),
+            F.posexplode(
+                subvector_split(F.col(vec_col), m, dsub)
+            ).alias("sub", "svec"),
+        ),
+        embeddings,
     ).cache()
     cb = pq_seed_codebooks(embeddings, m, dsub, ksub, id_col, vec_col)
     cb = _lloyd_subspaces(subs, cb, iters, id_col)
@@ -1499,19 +1540,24 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int = 8,
     """(id, sub, code): each subvector's argmin-d2 codebook entry
     (ties break on the lower code).  m rows per vector — the long form;
     pack with collect_list if a single array column is wanted.  One
-    corpus pass; the codebook is broadcast."""
+    corpus pass; the codebook is broadcast.
+
+    Argmin via ``min_by`` keyed (d2, code) rather than a row_number
+    window — same pick (codes unique per sub ⇒ the key totally orders
+    each group), but the ksub candidate rows per (id, sub) collapse in
+    the map-side partial aggregate instead of being exchanged and
+    sorted (see :func:`_lloyd_subspaces`)."""
     subs = vectors.select(
         F.col(id_col),
         F.posexplode(
             subvector_split(F.col(vec_col), m, dsub)
         ).alias("sub", "svec"),
     )
-    w = W.partitionBy(id_col, "sub").orderBy("d2", "code")
     return (
         subs.join(F.broadcast(codebooks), "sub")
         .withColumn("d2", _int_d2(F.col("svec"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
         .select(id_col, "sub", "code")
     )
 

@@ -875,17 +875,64 @@ def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its batch twin.
 # ---------------------------------------------------------------------------
 
-def _run_stream_to_memory(df: DataFrame, name: str, mode: str) -> None:
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """Scale-adaptive shuffle-partition count for a streaming start.
+
+    A stateful streaming operator opens one state store PER shuffle
+    partition, fixed at the query's first start; every micro-batch then
+    pays a commit (delta file + fsync) and maintenance pass per store —
+    a stream-stream join holds FOUR stores per partition.  For batch
+    plans the session conf is safe at any scale because AQE coalesces
+    small shuffles at runtime; AQE is disabled in stateful workloads,
+    so the conf must be right at start.  Derive it from the source's
+    actual size — one partition per ~32 MiB of source bytes, clamped to
+    [1, session conf] — the same input-size heuristic AQE applies to
+    batch exchanges.  At production volume the estimate saturates at
+    the session conf (the cluster-sized value), so this removes idle
+    state-store fixed cost on small streams without capping large ones.
+    Returns None (leave the conf alone) when the source size cannot be
+    read locally (non-local sf_dir)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
     try:
-        q.processAllAvailable()
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+            )
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return None
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(conf, (total + (32 << 20) - 1) // (32 << 20)))
+
+
+def _run_stream_to_memory(df: DataFrame, name: str, mode: str,
+                          partitions: int | None = None) -> None:
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if partitions is not None:
+        # scoped to the stream start (the value is pinned into the
+        # query's state layout at start); restored before the batch
+        # relation over the sink is built, so registered plans and any
+        # concurrent batch work see the session conf unchanged
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -917,7 +964,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled, key_cols=("event_id",), watermark="3650 days"
     )
     name = "stream_dedup_events_sink"
-    _run_stream_to_memory(deduped, name, "append")
+    _run_stream_to_memory(deduped, name, "append",
+                          partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name).select(
         "event_id", "user_id", "event_type", "value", "props",
         ts_micros(F.col("ts")).alias("ts_us"),
@@ -949,7 +997,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = sev.windowed_counts(sev.stream_events(spark, sf_dir))
     name = "stream_windowed_counts_sink"
-    _run_stream_to_memory(agg, name, "complete")
+    _run_stream_to_memory(agg, name, "complete",
+                          partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name).select(
         ts_micros(F.col("window_start")).alias("window_start_us"),
         "event_type",
@@ -986,7 +1035,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = sev.sessionize_stateful(sev.stream_events(spark, sf_dir))
     name = "stream_sessionize_sink"
-    _run_stream_to_memory(out, name, "update")
+    _run_stream_to_memory(out, name, "update",
+                          partitions=_stream_state_partitions(spark, sf_dir))
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1030,7 +1080,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sev.stream_events(spark, sf_dir), window_seconds=1800
     )
     name = "stream_interval_join_sink"
-    _run_stream_to_memory(joined, name, "append")
+    _run_stream_to_memory(joined, name, "append",
+                          partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name).select(
         "user_id",
         F.col("error_id").cast("long").alias("error_id"),
