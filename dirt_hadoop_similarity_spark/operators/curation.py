@@ -105,13 +105,7 @@ def annotate(docs: DataFrame, *, near_dup_min_est_jaccard: float = 0.5,
     # so inlined variants re-split the text per metric (~10x per row for
     # quality + lang-id; negligible at short doc lengths, linear in text
     # size at real ones)
-    from dirt_hadoop_similarity_spark.operators.scale import parallelism_floor
-
-    # parallelism floor: the tokenize/quality/lang-id HOFs below run
-    # before the first exchange, so a one-split local corpus evaluates
-    # them on one core (r16 profile: a multi-second 1-task stage inside
-    # the funnel); a no-op on real corpora (scale.parallelism_floor)
-    base = parallelism_floor(docs).select(
+    base = docs.select(
         F.col(id_col),
         t,
         textfns.tokens(t).alias("_toks"),

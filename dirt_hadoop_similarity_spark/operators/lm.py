@@ -49,12 +49,7 @@ _BIGRAMS = (
 
 
 def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    from dirt_hadoop_similarity_spark.operators.scale import parallelism_floor
-
-    # parallelism floor: tokenization + the bigram explode run before
-    # the first exchange, so a one-split local corpus evaluates them on
-    # one core (r16 profile); a no-op on real corpora (scale.py)
-    return parallelism_floor(docs).select(
+    return docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("t")
     )
 

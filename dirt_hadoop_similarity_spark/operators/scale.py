@@ -24,33 +24,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def parallelism_floor(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
-    """Round-robin repartition ``df`` up to the session's parallelism
-    when its SOURCE reads as fewer splits than task slots — otherwise a
-    no-op returning ``df`` unchanged.
-
-    The disease this cures (pipeline.rebalance_for_extraction's, made
-    reusable): a small local input is one parquet split — and a
-    single-row-group file cannot be split finer by any scan conf — so
-    every expression evaluated before the first exchange (tokenize
-    HOFs, shingle explodes, quality scoring) runs on ONE core while the
-    rest idle (r16 profile: 1-task stages carrying multi-second task
-    time inside curation/lm/textsim plans).  Real corpora read as
-    >= slots splits, making this a plan-time no-op — never a standing
-    shuffle at scale.
-
-    ``probe``: the relation whose partition count to inspect (default
-    ``df``).  Pass the raw SCAN when ``df`` wraps it in projections —
-    probing is an ``.rdd`` conversion, free for narrow plans but
-    job-triggering for shuffle-bearing lineages (the
-    rebalance_for_extraction caveat)."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if (probe if probe is not None else df).rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def salted_sum(df: DataFrame, keys: list[str], value: str, salt: int = 16,
                alias: str | None = None) -> DataFrame:
     """Two-phase skew-proof SUM: groupBy (keys + salt) partial, then

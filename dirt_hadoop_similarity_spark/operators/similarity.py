@@ -992,9 +992,7 @@ def ivfpq_build(
     )
     lloyd_rsubs = None
     if train_iters > 0:
-        lloyd_rsubs = _parallelism_floor(
-            _rsubs(embeddings).select(id_col, "sub", "svec"), embeddings
-        ).cache()
+        lloyd_rsubs = _rsubs(embeddings).select(id_col, "sub", "svec").cache()
         rcb = _lloyd_subspaces(lloyd_rsubs, rcb, train_iters, id_col)
     rcb = rcb.select("code", "sub", F.col("cvec").alias("cbvec"))
 
@@ -1437,25 +1435,6 @@ def pq_seed_codebooks(embeddings: DataFrame, m: int = 8, dsub: int = 8,
     )
 
 
-def _parallelism_floor(df: DataFrame, scan_df: DataFrame) -> DataFrame:
-    """Repartition ``df`` up to the session's parallelism when the
-    SCAN feeding it has fewer splits than task slots — the
-    pipeline.rebalance_for_extraction guard applied to the cached
-    Lloyd residual relation: a tiny local corpus reads as ONE parquet
-    split, which serializes every training iteration on one core (r16
-    profile: the whole rcb.collect() chain ran 1-task stages, 2-3 s
-    each, 31 cores idle).  Real corpora have >= slots splits, making
-    this a no-op rather than a standing shuffle.  The probe reads the
-    SCAN's partition count (narrow plan, no job), not ``df``'s own —
-    ``df`` may sit under an AQE plan whose partitioning is unknown
-    before execution."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if scan_df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def _lloyd_subspaces(subs: DataFrame, cb: DataFrame, iters: int,
                      id_col: str) -> DataFrame:
     """Lloyd's loop over per-subspace int subvectors: ``subs`` is
@@ -1519,14 +1498,11 @@ def pq_train_codebooks(embeddings: DataFrame, m: int = 8, dsub: int = 8,
     """Lloyd's per-subspace codebook training, all m subspaces in ONE
     pass per iteration (see :func:`_lloyd_subspaces` for the loop's
     shuffle shape — corpus-size-independent)."""
-    subs = _parallelism_floor(
-        embeddings.select(
-            F.col(id_col),
-            F.posexplode(
-                subvector_split(F.col(vec_col), m, dsub)
-            ).alias("sub", "svec"),
-        ),
-        embeddings,
+    subs = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            subvector_split(F.col(vec_col), m, dsub)
+        ).alias("sub", "svec"),
     ).cache()
     cb = pq_seed_codebooks(embeddings, m, dsub, ksub, id_col, vec_col)
     cb = _lloyd_subspaces(subs, cb, iters, id_col)

@@ -92,8 +92,6 @@ def shingle_tf(docs: DataFrame, n: int = 3, text_col: str = "text",
     non-cheap/multi-reference guard) and the consumer is a Generate —
     pinned in tests/test_textsim.py.
     """
-    from dirt_hadoop_similarity_spark.operators.scale import parallelism_floor
-
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
     bound = F.col("_toks")
     k = F.greatest(F.size(bound) - (n - 1), F.lit(1))
@@ -102,11 +100,7 @@ def shingle_tf(docs: DataFrame, n: int = 3, text_col: str = "text",
         lambda i: F.array_join(F.slice(bound, i, n), " "),
     )
     return (
-        # parallelism floor (scale.parallelism_floor): the tokenize +
-        # shingle HOFs run BEFORE the tf exchange, so a one-split local
-        # corpus evaluates them on one core; a no-op on real corpora
-        parallelism_floor(docs)
-        .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .select("doc_id", F.explode(shingles).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")

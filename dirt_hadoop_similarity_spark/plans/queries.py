@@ -147,23 +147,22 @@ _PRIORITY = [
     "dedup_pagerank",
     "ann_ivfpq_trained",
     "ann_pq_topk",
-    # ... and the five whose plans gained the conditional parallelism
-    # floor (scale.parallelism_floor in curation.annotate,
-    # lm._tokenized, textsim.shingle_tf — the r16 profile's 1-task
-    # serial map stages):
-    "curation_funnel",
-    "lm_quality",
-    "lm_perplexity_tiers",
-    "text_cosine_pairs",
-    "text_cosine_topk",
+    # freshness filler: the first 5 r14-green names (alphabetical, per
+    # the ledger; the other 5 r14 filler the build session planned were
+    # displaced by the changed-plan names above and lead r17's window):
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "anti_join_customers",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
 ]
 # Round 16: _PRIORITY is exactly 50 names — 4 conservative UDF-source
 # re-earners (multimodal.py changed; registered plans byte-identical),
 # the full 36-name r13-green cohort at its two-round freshness ceiling
-# (the ledger's planned window), and 10 optimization-round changed-plan
-# re-earners (components/PQ restructures + the parallelism floor — see
-# the in-list comments; they displaced the build session's 10 r14
-# filler, which lead r17's window instead).
+# (the ledger's planned window), 5 optimization-round changed-plan
+# re-earners (components/PQ restructures — see the in-list comment;
+# they displaced 5 of the planned r14 filler, which lead r17's window
+# instead), and the first 5 r14-green filler.
 # _DEFERRED enumerates every other name — r14/r15 hash-green,
 # code-unchanged since their row, oracle-backed.
 # The contract is machine-checked on BOTH failure modes:
@@ -193,14 +192,14 @@ _PRIORITY = [
 #
 # ROTATION LEDGER (plan the next two windows so no name ever exceeds
 # the two-round ceiling).  Post-r16 projected freshness histogram:
-# r16=50, r15=38, r14=42 — zero names without hash evidence, none at
-# or past the two-round ceiling.  (The optimization round swapped 10
-# changed-plan names into the window, displacing all 10 r14 filler —
-# the ledger rule "changed plans always pre-empt filler" applied.)
+# r16=50, r15=43, r14=37 — zero names without hash evidence, none at
+# or past the two-round ceiling.  (The optimization round swapped 5
+# changed-plan names into the window, displacing 5 r14 filler — the
+# ledger rule "changed plans always pre-empt filler" applied.)
 #   ROUND-17 WINDOW (assuming no code changes; changed plans always
-#   pre-empt filler): the 42 remaining r14-green names (they lead
-#   _DEFERRED below and hit the two-round ceiling at r17), plus 8 of
-#   the 38 r15-green names (alphabetical) as filler.
+#   pre-empt filler): the 37 remaining r14-green names (they lead
+#   _DEFERRED below and hit the two-round ceiling at r17), plus 13 of
+#   the 43 r15-green names (alphabetical) as filler.
 #   ROUND-18 WINDOW: the remaining 30 r15-green names, plus the oldest
 #   r16 cohort as filler.
 # Steady state: 130 names / 50 slots cycles in <3 rounds with ~20
@@ -209,16 +208,12 @@ _DEFERRED = [
     # r14-green (hash) — code-unchanged since their row,
     # fingerprint-guarded, oracle-backed; they LEAD the r17 window
     # (see the rotation ledger above):
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "anti_join_customers",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
     "bpe_train_batched",
     "cohort_retention",
     "corpus_diff",
     "corr_price_quantity",
     "cube_status_priority",
+    "curation_funnel",
     "dataset_split",
     "decimal_revenue_exact",
     "decontaminate",
@@ -236,6 +231,8 @@ _DEFERRED = [
     "duplicate_spans",
     "join_orders_lineitem",
     "join_salted_skew",
+    "lm_perplexity_tiers",
+    "lm_quality",
     "q1_pricing_summary",
     "quality_classifier",
     "reservoir_per_group",
@@ -288,6 +285,8 @@ _DEFERRED = [
     "sql_running_total",
     "temperature_mixture",
     "text_boilerplate",
+    "text_cosine_pairs",
+    "text_cosine_topk",
     "text_normalize",
     "text_rolling_hash",
     "text_token_budget",

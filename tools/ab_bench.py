@@ -48,7 +48,11 @@ def main() -> None:
 
     mins: dict[str, dict[str, float]] = {"new": {}, "old": {}}
     for rep in range(reps):
-        for side, repo in (("new", new_dir), ("old", old_dir)):
+        order = (("new", new_dir), ("old", old_dir))
+        if rep % 2:  # alternate which side goes first: the first run of
+            # a rep systematically pays colder page cache / host state
+            order = order[::-1]
+        for side, repo in order:
             t = run_side(repo, queries)
             for k, v in t.items():
                 cur = mins[side].get(k)
