@@ -1501,7 +1501,8 @@ def _lloyd_assign_np(subs: DataFrame, cb_rows, id_col: str) -> DataFrame:
                         }
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:  # degenerate codebook (no sub overlap) → empty out
+                yield pd.concat(frames, ignore_index=True)
 
     return subs.select(id_col, "sub", "svec").mapInPandas(
         assign, f"{id_col} long, sub int, code long, svec array<long>"

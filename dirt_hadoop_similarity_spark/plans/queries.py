@@ -81,133 +81,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-runs every oracle-backed entry against DuckDB on each pytest run.
 DRIVER_WINDOW = 50
 _PRIORITY = [
-    # ROUND-16 ROTATION (VERDICT r15 tasks 1-2, 7; ledger below).
-    # Head: the four media_* re-earners — multimodal.py is a
-    # UDF-source module (hashed whole under __udf_sources__) and this
-    # round changed it: decoder default flipped "fake" -> "real" on
-    # all four entry points (registered plans pass the knob explicitly
-    # so their DAGs are unchanged), the ADVICE r15 fixes (WAV torn-data
-    # n_frames clamp, palette-PNG post-expansion budget + numpy
-    # expansion, JPEG chunked-IDCT render raising the declared-dims
-    # budget cap/64 -> cap/8), and the arithmetic-JPEG gate
-    # contract-pin — conservative module-hash rotation, r14/r15
-    # precedent:
-    "media_metadata",
-    "media_features",
-    "media_frames",
-    "media_frames_text",
-    # freshness cohort: ALL 36 r13-green names — at r16 their rows
-    # hit the two-round ceiling exactly (the ledger's planned window):
-    "dirt_full_pipeline",
-    "dirt_pipeline_exact",
-    "event_user_outliers_mad",
-    "left_join_coalesce",
-    "mi_expression",
-    "ntile_quartiles",
-    "percentile_exact",
-    "pii_redact",
-    "pivot_orderstatus",
-    "profile_columns",
-    "q3_shipping_priority",
-    "range_join_events",
-    "rollup_returnflag",
-    "self_join_lineitem",
-    "semi_join_orders",
-    "sequence_packing",
-    "session_windows",
-    "sessionize",
-    "sessionize_auto",
-    "sessionize_skewsafe",
-    "sql_below_avg",
-    "stratified_sample",
-    "stream_dedup_events",
-    "stream_sessionize",
-    "subquery_below_avg",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_tfidf_top_terms",
-    "topk_per_group",
-    "training_shards",
-    "union_label",
-    "unpivot_orderstatus",
-    "window_cumsum",
-    "window_sliding",
-    "window_tumbling",
-    # optimization-round changed-plan re-earners (they pre-empt filler
-    # per the ledger rule): the r16 perf work restructured these five
-    # queries' plans — components.connected_components and
-    # components.pagerank pre-partition their cached edge relation by
-    # the per-round join key, and similarity._lloyd_subspaces /
-    # pq_encode pick the argmin code via min_by aggregation instead of
-    # a row_number window — so their prior driver rows no longer cover
-    # the current code:
-    "dedup_components",
-    "dedup_cluster_keepers",
-    "dedup_pagerank",
-    "ann_ivfpq_trained",
-    "ann_pq_topk",
-    # freshness filler: the first 5 r14-green names (alphabetical, per
-    # the ledger; the other 5 r14 filler the build session planned were
-    # displaced by the changed-plan names above and lead r17's window):
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "anti_join_customers",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
-]
-# Round 16: _PRIORITY is exactly 50 names — 4 conservative UDF-source
-# re-earners (multimodal.py changed; registered plans byte-identical),
-# the full 36-name r13-green cohort at its two-round freshness ceiling
-# (the ledger's planned window), 5 optimization-round changed-plan
-# re-earners (components/PQ restructures — see the in-list comment;
-# they displaced 5 of the planned r14 filler, which lead r17's window
-# instead), and the first 5 r14-green filler.
-# _DEFERRED enumerates every other name — r14/r15 hash-green,
-# code-unchanged since their row, oracle-backed.
-# The contract is machine-checked on BOTH failure modes:
-# tests/test_oracle_all.py recomputes per-query freshness from the
-# committed CORRECTNESS_r*.json files (hash-green rows only —
-# rows_match alone is not value evidence) and fails if any
-# never-driver-checked query sits past the window; and
-# test_deferred_plans_unchanged compares every deferred query's
-# analyzed-plan fingerprint against the committed snapshot
-# (tests/plan_fingerprints.json, regenerated at rotation by
-# tools/plan_fingerprints.py), so an operator edit that changes a
-# deferred query's plan fails the suite until the query is rotated in.
-# Safety net for the tail remains the same test file's full oracle
-# sweep.
-#
-# Registry-size policy (VERDICT r10 task 7): the registry holds at 130
-# with a 50-slot driver window — a full evidence sweep already takes
-# ~3 rounds, the documented ceiling for "no row older than two rounds".
-# From round 11 on, net-new registrations are FROZEN unless the new
-# query retires an existing one (same operator surface, better
-# coverage) or the driver's window grows.  New OPERATORS still land —
-# they either back an existing query or earn their evidence through
-# the pytest contract; what's frozen is registry cardinality, not
-# capability.  Machine-checked since round 12: tests/test_oracle_all.py
-# ::test_registry_size_frozen fails any 131st registration that does
-# not retire an existing name (escape hatch documented there).
-#
-# ROTATION LEDGER (plan the next two windows so no name ever exceeds
-# the two-round ceiling).  Post-r16 projected freshness histogram:
-# r16=50, r15=43, r14=37 — zero names without hash evidence, none at
-# or past the two-round ceiling.  (The optimization round swapped 5
-# changed-plan names into the window, displacing 5 r14 filler — the
-# ledger rule "changed plans always pre-empt filler" applied.)
-#   ROUND-17 WINDOW (assuming no code changes; changed plans always
-#   pre-empt filler): the 37 remaining r14-green names (they lead
-#   _DEFERRED below and hit the two-round ceiling at r17), plus 13 of
-#   the 43 r15-green names (alphabetical) as filler.
-#   ROUND-18 WINDOW: the remaining 30 r15-green names, plus the oldest
-#   r16 cohort as filler.
-# Steady state: 130 names / 50 slots cycles in <3 rounds with ~20
-# slots/round of headroom for changed-plan re-earners.
-_DEFERRED = [
-    # r14-green (hash) — code-unchanged since their row,
-    # fingerprint-guarded, oracle-backed; they LEAD the r17 window
-    # (see the rotation ledger above):
+    # ROUND-17 ROTATION (VERDICT r16 tasks 1 and 8; ledger below).
+    # Head: the full 37-name r14-green cohort — at r17 their rows hit
+    # the two-round ceiling exactly (the ledger's planned window):
     "bpe_train_batched",
     "cohort_retention",
     "corpus_diff",
@@ -245,9 +121,16 @@ _DEFERRED = [
     "vocab_oov_rate",
     "window_range_frame",
     "zorder_events",
-    # r15-green (hash) — last round's driver window minus this
-    # round's four media_* re-earners, all code-unchanged since
-    # their r15 row, fingerprint-guarded:
+    # conservative UDF-source re-earners (they pre-empt filler per the
+    # ledger rule): operators/similarity.py — a UDF-source module,
+    # hashed whole under __udf_sources__ — changed at the r16 round
+    # close (commit 71db412: the Lloyd training assign moved to the
+    # collected-panel numpy mapInPandas _lloyd_assign_np).  The four
+    # similarity-backed queries already in the r16 window
+    # (ann_ivfpq_trained, ann_pq_topk, ann_cosine_topk,
+    # ann_filtered_topk) earned hash-green rows WITH the new code; the
+    # ten similarity-backed names below hold r15 rows that PREdate it,
+    # so they re-earn here (the multimodal r16 precedent):
     "ann_gemm_topk",
     "ann_hard_negatives",
     "ann_ivf_topk",
@@ -256,13 +139,69 @@ _DEFERRED = [
     "ann_lsh_topk",
     "ann_recall_eval",
     "ann_rh_topk",
+    "embedding_near_dups",
+    "semantic_dedup",
+    # freshness filler: the first 3 non-similarity r15-green names
+    # (alphabetical, per the ledger — the 10 re-earners above displaced
+    # 10 of the planned 13 r15 filler; the displaced names lead the
+    # r18 window):
     "asof_join_events",
     "bpe_train_merges",
     "cluster_balanced_sample",
+]
+# Round 17: _PRIORITY is exactly 50 names — the full 37-name r14-green
+# cohort at its two-round freshness ceiling (the ledger's planned
+# window), 10 conservative UDF-source re-earners (similarity.py changed
+# at the r16 close without rotating — VERDICT r16 item 1), and the
+# first 3 non-similarity r15-green filler.
+# _DEFERRED enumerates every other name — r15/r16 hash-green,
+# code-unchanged since their row, oracle-backed.
+# The contract is machine-checked on BOTH failure modes:
+# tests/test_oracle_all.py recomputes per-query freshness from the
+# committed CORRECTNESS_r*.json files (hash-green rows only —
+# rows_match alone is not value evidence) and fails if any
+# never-driver-checked query sits past the window; and
+# test_deferred_plans_unchanged compares every deferred query's
+# analyzed-plan fingerprint against the committed snapshot
+# (tests/plan_fingerprints.json, regenerated at rotation by
+# tools/plan_fingerprints.py), so an operator edit that changes a
+# deferred query's plan fails the suite until the query is rotated in.
+# Safety net for the tail remains the same test file's full oracle
+# sweep.
+#
+# Registry-size policy (VERDICT r10 task 7): the registry holds at 130
+# with a 50-slot driver window — a full evidence sweep already takes
+# ~3 rounds, the documented ceiling for "no row older than two rounds".
+# From round 11 on, net-new registrations are FROZEN unless the new
+# query retires an existing one (same operator surface, better
+# coverage) or the driver's window grows.  New OPERATORS still land —
+# they either back an existing query or earn their evidence through
+# the pytest contract; what's frozen is registry cardinality, not
+# capability.  Machine-checked since round 12: tests/test_oracle_all.py
+# ::test_registry_size_frozen fails any 131st registration that does
+# not retire an existing name (escape hatch documented there).
+#
+# ROTATION LEDGER (plan the next two windows so no name ever exceeds
+# the two-round ceiling).  Post-r17 projected freshness histogram:
+# r17=50, r16=50, r15=30 — zero names without hash evidence, none at
+# or past the two-round ceiling.  (The 10 similarity re-earners
+# displaced 10 of the planned 13 r15 filler — the ledger rule "changed
+# plans always pre-empt filler" applied.)
+#   ROUND-18 WINDOW (assuming no code changes; changed plans always
+#   pre-empt filler): the 30 remaining r15-green names (they lead
+#   _DEFERRED below and hit the two-round ceiling at r18), plus 20 of
+#   the 50 r16-green names (alphabetical) as filler.
+#   ROUND-19 WINDOW: the remaining 30 r16-green names, plus the oldest
+#   r17 cohort as filler.
+# Steady state: 130 names / 50 slots cycles in <3 rounds with ~20
+# slots/round of headroom for changed-plan re-earners.
+_DEFERRED = [
+    # r15-green (hash) — code-unchanged since their row,
+    # fingerprint-guarded, oracle-backed; they LEAD the r18 window
+    # (see the rotation ledger above):
     "dedup_simhash",
     "dedup_threshold_sweep",
     "dirt_extract_counts",
-    "embedding_near_dups",
     "event_interarrival",
     "event_user_outliers",
     "funnel_conversion",
@@ -276,7 +215,6 @@ _DEFERRED = [
     "mixture_resample",
     "profile_approx",
     "rolling_distinct_users",
-    "semantic_dedup",
     "snapshot_upsert",
     "source_budget_waterfill",
     "split_contamination",
@@ -291,6 +229,58 @@ _DEFERRED = [
     "text_rolling_hash",
     "text_token_budget",
     "timeseries_gapfill",
+    # r16-green (hash) — last round's driver window, all code-unchanged
+    # since their r16 row, fingerprint-guarded:
+    "media_metadata",
+    "media_features",
+    "media_frames",
+    "media_frames_text",
+    "dirt_full_pipeline",
+    "dirt_pipeline_exact",
+    "event_user_outliers_mad",
+    "left_join_coalesce",
+    "mi_expression",
+    "ntile_quartiles",
+    "percentile_exact",
+    "pii_redact",
+    "pivot_orderstatus",
+    "profile_columns",
+    "q3_shipping_priority",
+    "range_join_events",
+    "rollup_returnflag",
+    "self_join_lineitem",
+    "semi_join_orders",
+    "sequence_packing",
+    "session_windows",
+    "sessionize",
+    "sessionize_auto",
+    "sessionize_skewsafe",
+    "sql_below_avg",
+    "stratified_sample",
+    "stream_dedup_events",
+    "stream_sessionize",
+    "subquery_below_avg",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "topk_per_group",
+    "training_shards",
+    "union_label",
+    "unpivot_orderstatus",
+    "window_cumsum",
+    "window_sliding",
+    "window_tumbling",
+    "dedup_components",
+    "dedup_cluster_keepers",
+    "dedup_pagerank",
+    "ann_ivfpq_trained",
+    "ann_pq_topk",
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "anti_join_customers",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
 ]
 # Rows-only-by-design queries that may sit past the window: NONE since
 # r15.  profile_approx held this set for 14 rounds (engine-specific

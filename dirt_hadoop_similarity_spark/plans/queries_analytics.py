@@ -875,7 +875,8 @@ def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its batch twin.
 # ---------------------------------------------------------------------------
 
-def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+def _stream_state_partitions(spark: SparkSession, sf_dir: str,
+                             source: str = "events.parquet") -> int | None:
     """Scale-adaptive shuffle-partition count for a streaming start.
 
     A stateful streaming operator opens one state store PER shuffle
@@ -894,7 +895,7 @@ def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
     read locally (non-local sf_dir)."""
     import os
 
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, source)
     try:
         if os.path.isdir(path):
             total = sum(
