@@ -125,6 +125,14 @@ def train(
     vocab = word_freqs(docs, text_col).select(
         _sym_string(F.col("word")).alias("sym"), "c"
     ).cache()
+    # Iteration 1 runs under the session's AQE (it fills the vocab
+    # cache — the one corpus-sized step); its collect materializes the
+    # cache, so later iterations are sized statically off the vocab's
+    # ACTUAL bytes with AQE's per-iteration stage-materialization jobs
+    # dropped (scale.loop_conf; no-op at cluster volume).
+    from dirt_hadoop_similarity_spark.operators.scale import loop_conf
+
+    lc = None
     try:
         merges: list[tuple[str, str, int]] = []
         cur = vocab
@@ -136,6 +144,9 @@ def train(
                 .filter(F.col("n") >= 2)
             )
             best = counts.orderBy(F.desc("n"), F.asc("p")).limit(1).collect()
+            if lc is None:
+                lc = loop_conf(docs.sparkSession, vocab)
+                lc.__enter__()
             if not best:
                 break
             pair, freq = best[0]["p"], int(best[0]["n"])
@@ -152,6 +163,8 @@ def train(
             )
         return merges
     finally:
+        if lc is not None:
+            lc.__exit__()
         vocab.unpersist()
 
 
@@ -222,6 +235,11 @@ def train_batched(
     vocab = word_freqs(docs, text_col).select(
         _sym_string(F.col("word")).alias("sym"), "c"
     ).cache()
+    # same scoped static sizing as train(): iteration 1 adaptive (cache
+    # fill), later rounds sized off the materialized vocab bytes
+    from dirt_hadoop_similarity_spark.operators.scale import loop_conf
+
+    lc = None
     try:
         merges: list[tuple[str, str, int]] = []
         cur = vocab
@@ -243,6 +261,9 @@ def train_batched(
             # rank cutoff reproduces exactly.
             want = min(batch, n_merges - len(merges))
             top = counts.orderBy(F.desc("n"), F.asc("p")).limit(4 * batch).collect()
+            if lc is None:
+                lc = loop_conf(docs.sparkSession, vocab)
+                lc.__enter__()
             if not top:
                 break
             picked = pick_non_interfering(
@@ -257,6 +278,8 @@ def train_batched(
             cur = cur.withColumn("sym", col)
         return merges
     finally:
+        if lc is not None:
+            lc.__exit__()
         vocab.unpersist()
 
 

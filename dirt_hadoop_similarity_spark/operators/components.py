@@ -129,24 +129,31 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
 
-    for _ in range(max_iter):
-        # neighbor labels flow along edges; keep own label via union
-        msgs = und.join(
-            labels, und["v"] == labels["node"]
-        ).select(F.col("u").alias("node"), "component")
-        # each round's checkpoint supersedes the previous round's, whose
-        # storage _ckpt releases once the new one has materialized —
-        # storage stays O(1) per call instead of O(rounds)
-        labels, ck_rdd = _ckpt(
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component")),
-            release=ck_rdd,
-        )
-        new_sum = labels.agg(F.sum("component")).first()[0]
-        if new_sum == prev_sum:  # min-propagation is monotone; fixpoint
-            break
-        prev_sum = new_sum
+    # the seed action above materialized the edge cache, so its Catalyst
+    # stats are now the ACTUAL bytes — size the propagation rounds
+    # statically off them and drop AQE's per-round stage-materialization
+    # jobs (scale.loop_conf; no-op at cluster volume)
+    from dirt_hadoop_similarity_spark.operators.scale import loop_conf
+
+    with loop_conf(edges.sparkSession, und):
+        for _ in range(max_iter):
+            # neighbor labels flow along edges; keep own label via union
+            msgs = und.join(
+                labels, und["v"] == labels["node"]
+            ).select(F.col("u").alias("node"), "component")
+            # each round's checkpoint supersedes the previous round's,
+            # whose storage _ckpt releases once the new one has
+            # materialized — storage stays O(1) per call, not O(rounds)
+            labels, ck_rdd = _ckpt(
+                labels.union(msgs)
+                .groupBy("node")
+                .agg(F.min("component").alias("component")),
+                release=ck_rdd,
+            )
+            new_sum = labels.agg(F.sum("component")).first()[0]
+            if new_sum == prev_sum:  # min-propagation monotone; fixpoint
+                break
+            prev_sum = new_sum
     und.unpersist(blocking=True)
     # the FINAL checkpoint's storage stays: the returned plan reads it.
     # It is freed by the context cleaner once the caller drops the frame.
@@ -211,50 +218,59 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
     prev = _fingerprint(e)
     ck_rdd = None  # first e is SQL-cached, not checkpointed
 
-    for _ in range(max_iter):
-        # LARGE-STAR over the undirected view: m(u) = min(N(u) ∪ {u});
-        # each undirected edge {x, y} (x < y) is re-emitted exactly once
-        # as (y, m(x)) — by the grouping where it is the larger endpoint
-        und = _undirected(e, "u", "v")
-        mins = und.groupBy("u").agg(
-            F.min(F.least(F.col("u"), F.col("v"))).alias("m")
-        )
-        # the distinct is load-bearing for dense clusters: every member
-        # of a k-clique has its (member, root) edge re-emitted by ~k
-        # neighborhoods, so skipping canonicalization here feeds k×
-        # duplicates into the small-star stage (measured slower)
-        large = (
-            und.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # SMALL-STAR on the directed (hi, lo) edges: every lo-neighbor
-        # and u itself connect to the group minimum
-        smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(smins, "u")
-            .select(
-                F.col("u"),
-                F.col("v"),
-                F.col("m"),
+    # e's cache just materialized (the fingerprint read it) — size the
+    # star rounds statically off its actual bytes (scale.loop_conf;
+    # no-op at cluster volume).  `nodes` stays un-materialized until
+    # after the loop, so only `e` informs the estimate.
+    from dirt_hadoop_similarity_spark.operators.scale import loop_conf
+
+    with loop_conf(edges.sparkSession, e):
+        for _ in range(max_iter):
+            # LARGE-STAR over the undirected view: m(u) = min(N(u) ∪
+            # {u}); each undirected edge {x, y} (x < y) is re-emitted
+            # exactly once as (y, m(x)) — by the grouping where it is
+            # the larger endpoint
+            und = _undirected(e, "u", "v")
+            mins = und.groupBy("u").agg(
+                F.min(F.least(F.col("u"), F.col("v"))).alias("m")
             )
-        )
-        new_e, new_rdd = _ckpt(
-            small.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(small.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct(),
-            release=ck_rdd,
-        )
-        cur = _fingerprint(new_e)
-        if ck_rdd is None:
-            e.unpersist(blocking=True)  # release the SQL-cached seed
-        e, ck_rdd = new_e, new_rdd
-        if cur == prev:
-            break
-        prev = cur
+            # the distinct is load-bearing for dense clusters: every
+            # member of a k-clique has its (member, root) edge
+            # re-emitted by ~k neighborhoods, so skipping
+            # canonicalization here feeds k× duplicates into the
+            # small-star stage (measured slower)
+            large = (
+                und.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # SMALL-STAR on the directed (hi, lo) edges: every
+            # lo-neighbor and u itself connect to the group minimum
+            smins = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(smins, "u")
+                .select(
+                    F.col("u"),
+                    F.col("v"),
+                    F.col("m"),
+                )
+            )
+            new_e, new_rdd = _ckpt(
+                small.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(small.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct(),
+                release=ck_rdd,
+            )
+            cur = _fingerprint(new_e)
+            if ck_rdd is None:
+                e.unpersist(blocking=True)  # release the SQL-cached seed
+            e, ck_rdd = new_e, new_rdd
+            if cur == prev:
+                break
+            prev = cur
 
     # at fixpoint every member points only at its root; roots have no
     # outgoing (hi, lo) edge — they label themselves
@@ -411,37 +427,54 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     base = ((100 - damping_pct) * scale) // 100
     pr = nodes.select("node", F.lit(int(scale)).cast("long").alias("pr"))
     ck_rdd = None
-    for _ in range(iters):
-        contrib = pr.join(deg, "node").select(
-            F.col("node").alias("u"), F.expr("pr div d").alias("m")
-        )
-        if salt > 1:
-            from dirt_hadoop_similarity_spark.operators.scale import (
-                salted_join,
+    # Round 1 runs under the session's AQE (it fills the edge/degree
+    # caches — the one data-sized step); its checkpoint materializes
+    # both, so rounds 2..k can be sized statically off the caches'
+    # ACTUAL bytes with AQE's per-round stage-materialization jobs
+    # dropped (scale.loop_conf; no-op at cluster volume).
+    lc = None
+    try:
+        for _ in range(iters):
+            contrib = pr.join(deg, "node").select(
+                F.col("node").alias("u"), F.expr("pr div d").alias("m")
             )
+            if salt > 1:
+                from dirt_hadoop_similarity_spark.operators.scale import (
+                    salted_join,
+                )
 
-            routed = salted_join(und, contrib, "u", salt=salt)
-        else:
-            routed = contrib.join(und, "u")
-        msgs = (
-            routed.groupBy("v")
-            .agg(F.sum("m").alias("c"))
-            .select(F.col("v").alias("node"), "c")
-        )
-        # each round's checkpoint supersedes the previous round's; _ckpt
-        # releases the superseded storage once the new one materializes,
-        # so a k-round run holds ONE rank relation, not k
-        pr, ck_rdd = _ckpt(
-            nodes.join(msgs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(c, 0)) div 100")
-                ).cast("long").alias("pr"),
-            ),
-            release=ck_rdd,
-        )
+                routed = salted_join(und, contrib, "u", salt=salt)
+            else:
+                routed = contrib.join(und, "u")
+            msgs = (
+                routed.groupBy("v")
+                .agg(F.sum("m").alias("c"))
+                .select(F.col("v").alias("node"), "c")
+            )
+            # each round's checkpoint supersedes the previous round's;
+            # _ckpt releases the superseded storage once the new one
+            # materializes, so a k-round run holds ONE rank relation
+            pr, ck_rdd = _ckpt(
+                nodes.join(msgs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damping_pct} * coalesce(c, 0)) div 100")
+                    ).cast("long").alias("pr"),
+                ),
+                release=ck_rdd,
+            )
+            if lc is None:
+                from dirt_hadoop_similarity_spark.operators.scale import (
+                    loop_conf,
+                )
+
+                lc = loop_conf(edges.sparkSession, und, deg)
+                lc.__enter__()
+    finally:
+        if lc is not None:
+            lc.__exit__()
     # the final localCheckpoint materialized pr, so the returned plan no
     # longer references `und` — release its storage now (long sessions
     # would otherwise leak one cached edge relation per call).  `deg`

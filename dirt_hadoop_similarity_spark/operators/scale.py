@@ -56,6 +56,105 @@ def salted_join(large: DataFrame, small: DataFrame, key: str,
     return big.join(replicas, [key, "_salt"], how).drop("_salt")
 
 
+#: bytes of loop working set per static shuffle partition — the same
+#: input-size heuristic AQE's coalescer applies to batch exchanges
+#: (advisoryPartitionSizeInBytes-class sizing) and the one
+#: plans/queries_analytics._stream_state_partitions already applies to
+#: streaming state, reused for driver-loop exchanges
+LOOP_BYTES_PER_PARTITION = 32 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for a relation — no job is run.
+
+    Accurate for plain file scans (file bytes) and for CACHED relations
+    AFTER they materialize (the cache manager replaces the estimate with
+    the actual in-memory size); wildly inflated for un-materialized
+    join/aggregate outputs (measured: a ~10 KB edge relation estimated
+    at 64 GB pre-materialization, 10,080 bytes post).  Callers must pass
+    either a scan-rooted frame or a materialized cached one.  Returns
+    None when the estimate is unreadable."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # py4j/analysis failure — caller degrades to no-op
+        return None
+
+
+class loop_conf:
+    """Scope the session for a fixed-shape iterative driver loop whose
+    working set is SMALL (guide §2.6/§5: the per-round cost of these
+    loops at low volume is job scheduling + AQE stage materialization,
+    not data).
+
+    Derives a static shuffle-partition count from the loop's standing
+    relations' Catalyst size estimates (one partition per 32 MiB —
+    :data:`LOOP_BYTES_PER_PARTITION`, the input-size heuristic AQE's
+    coalescer applies), clamped to [1, session conf].  When the derived
+    count lands BELOW the session conf (a small loop), the scope pins
+    ``spark.sql.shuffle.partitions`` to it and disables AQE: every
+    exchange inside these loops is explicitly keyed and now statically
+    right-sized, so AQE has nothing left to decide — its per-exchange
+    stage-materialization job and re-optimization pass are pure fixed
+    cost multiplied by the round count (the r16 PageRank profile: 40
+    near-empty jobs).  At production volume the estimate saturates at
+    the session conf and the scope is a NO-OP — AQE (skew splitting,
+    runtime join changes) stays on for the cluster-scale path, so this
+    is not a local-mode tuning; it is the same saturation contract as
+    the streaming state-partition heuristic the r16 round shipped.
+
+    Unknown/unreadable estimates saturate (Catalyst's default for an
+    unknown relation is Long.MaxValue), i.e. fail safe to the no-op.
+    try/finally semantics via context manager; the conf mutation is
+    scoped exactly like ``_run_stream_to_memory``'s (serial bench/test
+    execution documented there)."""
+
+    def __init__(self, spark: SparkSession, *relations: DataFrame,
+                 bytes_hint: int | None = None):
+        self.spark = spark
+        total = bytes_hint if bytes_hint is not None else 0
+        if bytes_hint is None:
+            for r in relations:
+                b = plan_size_bytes(r)
+                if b is None:
+                    total = None
+                    break
+                total += b
+        try:
+            conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            conf = None
+        self.parts: int | None = None
+        if conf is not None and total is not None:
+            derived = max(
+                1,
+                (total + LOOP_BYTES_PER_PARTITION - 1)
+                // LOOP_BYTES_PER_PARTITION,
+            )
+            if derived < conf:
+                self.parts = int(derived)
+
+    def __enter__(self):
+        self._saved = None
+        if self.parts is not None:
+            c = self.spark.conf
+            self._saved = (
+                c.get("spark.sql.shuffle.partitions"),
+                c.get("spark.sql.adaptive.enabled"),
+            )
+            c.set("spark.sql.shuffle.partitions", str(self.parts))
+            c.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        if self._saved is not None:
+            c = self.spark.conf
+            c.set("spark.sql.shuffle.partitions", self._saved[0])
+            c.set("spark.sql.adaptive.enabled", self._saved[1])
+        return False
+
+
 def semi_prune(large: DataFrame, small: DataFrame, key: str) -> DataFrame:
     """Pre-join pruning: drop large-side rows whose key cannot match the
     small side BEFORE the expensive join/aggregation shuffles them.

@@ -78,17 +78,26 @@ def run_pipeline(
         biarcs = parse_biarc_lines(corpus)
     parsed = rebalance_for_extraction(with_tokens(biarcs), spark)
 
-    triples = counting.triples(facts(extractions(parsed)))
-    if cache:
-        triples = triples.cache()
+    # `parsed` is scan-rooted, so its Catalyst estimate is the corpus's
+    # real byte size — size the aggregate/join exchanges (and the cached
+    # plans compiled inside the scope) statically off it instead of
+    # paying AQE's stage-materialization job per exchange on a small
+    # corpus (scale.loop_conf; no-op at cluster volume, where AQE keeps
+    # the skew/join machinery this DAG then genuinely wants)
+    from dirt_hadoop_similarity_spark.operators.scale import loop_conf
 
-    sw = counting.word_margins(triples)
-    ps = counting.path_margins(triples)
-    n_total = counting.global_n(triples)
+    with loop_conf(spark, parsed):
+        triples = counting.triples(facts(extractions(parsed)))
+        if cache:
+            triples = triples.cache()
 
-    mi_df = mi_ops.mi_table(triples, sw, ps, n_total)
-    if cache:
-        mi_df = mi_df.cache()
+        sw = counting.word_margins(triples)
+        ps = counting.path_margins(triples)
+        n_total = counting.global_n(triples)
+
+        mi_df = mi_ops.mi_table(triples, sw, ps, n_total)
+        if cache:
+            mi_df = mi_df.cache()
     sum_mi_df = mi_ops.sum_mi(mi_df)
 
     sims = None
