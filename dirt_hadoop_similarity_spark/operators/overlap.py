@@ -15,11 +15,14 @@ Reference semantics preserved exactly (DirtDriver.java:736-978):
     into v1 and leaves v2 empty (DirtDriver.java:890-893);
   * zero denominators guard to 0.0 (DirtDriver.java:972-973).
 
-Spark shape: the Job-3 broadcast fan-out becomes a semi-join of the MI
-table against the (tiny) pair-membership table followed by a self-equi-
-join on (pair, slot, word) — Catalyst broadcasts the pair table to both
-sides, so the big MI relation is scanned twice but never shuffled except
-on the final (p1,p2) aggregate, whose cardinality is |pairs|.
+Spark shape: the Job-3 broadcast fan-out becomes ONE broadcast join of
+the MI table against the (tiny) pair-membership table, each fanned row
+tagged with the vector side it fills; the feature intersection is then
+a keyed aggregation, not a self-join.  The big MI relation is scanned
+once and crosses one exchange — an explicit (p1, p2) repartition that
+the side-collapse aggregate, the numerator aggregate and the emit-zero
+distinct all reuse (guide §2.4; the former shape scanned MI three times
+and exchanged the fan-out twice more for the self-join's two sides).
 """
 
 from __future__ import annotations
@@ -65,40 +68,54 @@ def similarities(
     pairs = canonical_pairs(pairs_df)
     members = F.broadcast(pair_members(pairs))
 
-    # J3: keep only MI rows belonging to some pair, fanned out per pair.
+    # J3: keep only MI rows belonging to some pair, fanned out per pair
+    # and TAGGED with the vector side each row fills — ONE scan of the
+    # MI relation (the former a/b role split scanned it twice, and the
+    # emit-zero universe a third time).  The v1/v2 split that zeroes
+    # self-pairs is preserved: a p1 == p2 row lands in mi1 only (the
+    # reference routes all rows into v1, DirtDriver.java:890-893), so no
+    # intersection survives for it.
     fanned = mi_df.join(members, "path", "inner")
+    tagged = fanned.select(
+        "p1", "p2", "slot", "word",
+        F.when(F.col("path") == F.col("p1"), F.col("mi")).alias("mi1"),
+        F.when(
+            (F.col("path") == F.col("p2")) & (F.col("p1") != F.col("p2")),
+            F.col("mi"),
+        ).alias("mi2"),
+    ).repartition("p1", "p2")
 
-    # J4/A5: feature intersection via self-equi-join on (pair, slot, word).
-    # Left side = p1's vector, right side = p2's vector.  Restricting each
-    # side to its role also reproduces the v1/v2 split that zeroes
-    # self-pairs (p1 == p2 rows all land in v1 there; here the a/b role
-    # filters make the join key disjoint so no intersection survives).
-    a = (
-        fanned.filter(F.col("path") == F.col("p1"))
-        .select("p1", "p2", "slot", "word", F.col("mi").alias("mi1"))
+    # J4/A5: feature intersection as ONE keyed aggregation over the
+    # shared (p1, p2) clustering instead of a self-equi-join of two
+    # role-filtered scans.  The explicit repartition establishes the
+    # partitioning ONCE and all three keyed consumers — the
+    # (p1,p2,slot,word) side-collapse, the (p1,p2) numerator aggregate,
+    # and the emit-zero distinct — reuse it exchange-free (guide §2.4:
+    # operations keyed the same way share one exchange; subset
+    # clustering satisfies each wider grouping).  mi is unique per
+    # (path, slot, word), so each group holds at most one row per side
+    # and max() is exact selection, not float combining; a feature is
+    # in the intersection iff both sides are present, and the numerator
+    # terms (mi1 + mi2 summed per pair/slot) are the identical doubles
+    # the join produced.
+    grouped = tagged.groupBy("p1", "p2", "slot", "word").agg(
+        F.max("mi1").alias("mi1"), F.max("mi2").alias("mi2")
     )
-    b = (
-        fanned.filter((F.col("path") == F.col("p2")) & (F.col("p1") != F.col("p2")))
-        .select("p1", "p2", "slot", "word", F.col("mi").alias("mi2"))
+    nums = (
+        grouped.filter(F.col("mi1").isNotNull() & F.col("mi2").isNotNull())
+        .groupBy("p1", "p2")
+        .agg(
+            F.sum(F.when(F.col("slot") == "X", F.col("mi1") + F.col("mi2"))).alias("num_x"),
+            F.sum(F.when(F.col("slot") == "Y", F.col("mi1") + F.col("mi2"))).alias("num_y"),
+        )
     )
-    overlap = a.join(b, ["p1", "p2", "slot", "word"], "inner")
 
-    nums = overlap.groupBy("p1", "p2").agg(
-        F.sum(F.when(F.col("slot") == "X", F.col("mi1") + F.col("mi2"))).alias("num_x"),
-        F.sum(F.when(F.col("slot") == "Y", F.col("mi1") + F.col("mi2"))).alias("num_y"),
-    )
-
-    # Emit-zero universe: pairs where >=1 member path has MI features.
-    # Shaped as inner-join-then-distinct (not members left-semi mi) so the
-    # tiny membership table is the BUILD side of a broadcast hash join —
-    # a broadcast hint on the stream side of a left-semi is unsupported
-    # and Spark logs a warning while silently shuffling both sides.
-    emitted = (
-        mi_df.select("path")
-        .join(members, "path", "inner")
-        .select("p1", "p2")
-        .distinct()
-    )
+    # Emit-zero universe: pairs where >=1 member path has MI features —
+    # the distinct of the SAME tagged relation, exchange-free on the
+    # shared partitioning (every tagged row carries a side by
+    # construction, so this is exactly the former mi ⋈ members
+    # projection).
+    emitted = tagged.select("p1", "p2").distinct()
 
     # J5: denominators from the pivoted ΣMI table, one lookup per side.
     denoms = sum_mi_pivoted(sum_mi_df)

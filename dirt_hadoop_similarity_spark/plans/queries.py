@@ -141,19 +141,27 @@ _PRIORITY = [
     "ann_rh_topk",
     "embedding_near_dups",
     "semantic_dedup",
-    # freshness filler: the first 3 non-similarity r15-green names
+    # optimization-round changed-plan re-earners (they pre-empt filler
+    # per the ledger rule): overlap.similarities now computes the
+    # feature intersection as one keyed aggregation over a shared
+    # (p1, p2) repartition instead of a role-filtered self-join (guide
+    # §2.4), so these two r16-green consumers' prior driver rows no
+    # longer cover the current plan (dirt_sim, the third consumer, sits
+    # in the r14 cohort above):
+    "dirt_full_pipeline",
+    "dirt_pipeline_exact",
+    # freshness filler: the first non-similarity r15-green name
     # (alphabetical, per the ledger — the 10 re-earners above displaced
-    # 10 of the planned 13 r15 filler; the displaced names lead the
-    # r18 window):
-    "asof_join_events",
+    # 10 of the planned 13 r15 filler and the 2 changed-plan names
+    # displaced 2 more; the displaced names lead the r18 window):
     "bpe_train_merges",
-    "cluster_balanced_sample",
 ]
 # Round 17: _PRIORITY is exactly 50 names — the full 37-name r14-green
 # cohort at its two-round freshness ceiling (the ledger's planned
 # window), 10 conservative UDF-source re-earners (similarity.py changed
-# at the r16 close without rotating — VERDICT r16 item 1), and the
-# first 3 non-similarity r15-green filler.
+# at the r16 close without rotating — VERDICT r16 item 1), 2
+# changed-plan re-earners (the overlap rewrite), and 1 r15-green
+# filler.
 # _DEFERRED enumerates every other name — r15/r16 hash-green,
 # code-unchanged since their row, oracle-backed.
 # The contract is machine-checked on BOTH failure modes:
@@ -199,6 +207,8 @@ _DEFERRED = [
     # r15-green (hash) — code-unchanged since their row,
     # fingerprint-guarded, oracle-backed; they LEAD the r18 window
     # (see the rotation ledger above):
+    "asof_join_events",
+    "cluster_balanced_sample",
     "dedup_simhash",
     "dedup_threshold_sweep",
     "dirt_extract_counts",
@@ -235,8 +245,6 @@ _DEFERRED = [
     "media_features",
     "media_frames",
     "media_frames_text",
-    "dirt_full_pipeline",
-    "dirt_pipeline_exact",
     "event_user_outliers_mad",
     "left_join_coalesce",
     "mi_expression",
